@@ -1,0 +1,208 @@
+"""Conformance tests for the core libs against the reference's golden data.
+
+Golden inputs/expectations were extracted verbatim from the reference's
+table-driven unit tests (see tests/golden/*.json and
+tools/extract_goldens.py); the morton and tile-math cases are small and
+transcribed by hand from ``morton/morton_test.go:10-57`` and
+``tms20/tms20_test.go:131-215``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from texel_ray.core import fixedpoint as fp
+from texel_ray.core import morton
+from texel_ray.core.pointindex import PointIndex, _contains_point, line_intersects
+from texel_ray.core.tms import builtin_tms, load_tms_json
+
+from .golden_util import as_lists, build_pointindex, load_cases
+
+# ---- morton ---------------------------------------------------------------
+
+MORTON_CASES = [
+    (0b0, 0b0, 0b0),
+    (0b1, 0b1, 0b11),
+    (0b11, 0b0, 0b0101),
+    (0b1111111111111111, 0b0, 0b01010101010101010101010101010101),
+    (
+        0b11111111111111111111111111111111,
+        0b0,
+        0b0101010101010101010101010101010101010101010101010101010101010101,
+    ),
+]
+
+
+@pytest.mark.parametrize("x,y,z", MORTON_CASES)
+def test_morton_to_z(x, y, z):
+    assert morton.to_z(x, y) == z
+    assert morton.from_z(z) == (x, y)
+
+
+def test_morton_out_of_range():
+    with pytest.raises(ValueError):
+        morton.to_z(0b100000000000000000000000000000000, 0)
+
+
+def test_morton_vectorized_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    x = rng.integers(0, 1 << 32, size=1000, dtype=np.uint64)
+    y = rng.integers(0, 1 << 32, size=1000, dtype=np.uint64)
+    z = morton.to_z_np(x, y)
+    rx, ry = morton.from_z_np(z)
+    assert (rx == x).all() and (ry == y).all()
+    assert z[0] == morton.to_z(int(x[0]), int(y[0]))
+
+
+# ---- tms tile assignment (tms20_test.go goldens) --------------------------
+
+_CUSTOM_TMS_JSON = {
+    # equivalent of tms20/testdata/SomethingWithBottomLeftAndLatLonAndDoubleHeight.json
+    "id": "SomethingWithBottomLeftAndLatLonAndDoubleHeight",
+    "crs": {"uri": "http://www.opengis.net/def/crs/CUSTOM/0/1"},
+    "orderedAxes": ["Y", "X"],
+    "tileMatrices": [
+        {
+            "id": "0",
+            "pointOfOrigin": [0.0, 0.0],
+            "scaleDenominator": 3571.42857143,
+            "cellSize": 1.0,
+            "tileWidth": 256,
+            "tileHeight": 256,
+            "matrixWidth": 2,
+            "matrixHeight": 4,
+            "cornerOfOrigin": "bottomLeft",
+        }
+    ],
+}
+
+
+def test_from_native_goldens():
+    rd = builtin_tms("NetherlandsRDNewQuad")
+    assert rd.from_native(1, 155000, 463000.0) == (1, 1)
+    assert rd.from_native(100, 0, 0) is None
+    assert rd.from_native(0, -285401.92 - 1, 903401.92) is None
+    assert rd.from_native(0, -285401.92, 903401.92 + 1) is None
+    assert rd.from_native(0, 595401.92 + 1, 22598.08) is None
+    assert rd.from_native(0, 595401.92, 22598.08 - 1) is None
+
+    custom = load_tms_json(_CUSTOM_TMS_JSON)
+    assert custom.from_native(0, 256.0, 256.0) == (1, 1)
+
+
+def test_from_native_vectorized_matches_scalar():
+    import numpy as np
+
+    rd = builtin_tms("NetherlandsRDNewQuad")
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(-400000, 700000, 5000)
+    ys = rng.uniform(-100000, 1000000, 5000)
+    for zoom in (0, 5, 12):
+        tx, ty, valid = rd.from_native_np(zoom, xs, ys)
+        for i in range(0, 5000, 217):
+            expect = rd.from_native(zoom, xs[i], ys[i])
+            if expect is None:
+                assert not valid[i]
+            else:
+                assert valid[i] and (tx[i], ty[i]) == expect
+
+
+def test_to_native_goldens():
+    rd = builtin_tms("NetherlandsRDNewQuad")
+    assert rd.to_native(1, 1, 1) == (155000, 463000.0)
+    custom = load_tms_json(_CUSTOM_TMS_JSON)
+    assert custom.to_native(0, 1, 1) == (256.0, 512.0)
+
+
+def test_is_quadtree_builtin():
+    for name in ("WebMercatorQuad", "NetherlandsRDNewQuad"):
+        ok, reason = builtin_tms(name).is_quadtree()
+        assert ok, reason
+
+
+def test_deviation_stats():
+    # pointindex_test.go:594-655: WebMercatorQuad z17 < 1px, z19 > 1px
+    wm = builtin_tms("WebMercatorQuad")
+    _, dev_px_17 = wm.deviation_stats(17)
+    assert abs(dev_px_17) < 1
+    _, dev_px_19 = wm.deviation_stats(19)
+    assert abs(dev_px_19) > 1
+    rd = builtin_tms("NetherlandsRDNewQuad")
+    _, dev_px_rd = rd.deviation_stats(16)
+    assert abs(dev_px_rd) < 1e-6  # RD grid is exactly representable
+
+
+# ---- pointindex goldens ---------------------------------------------------
+
+
+def test_contains_point_goldens():
+    for case in load_cases("pi_contains_point_cases.json"):
+        ipt = (fp.from_ord(case["pt"][0]), fp.from_ord(case["pt"][1]))
+        got = _contains_point(ipt, (0, 0, fp.ONE, fp.ONE))
+        assert got == case["want"], case["name"]
+
+
+def test_insert_point_deepest_goldens():
+    for case in load_cases("pi_insert_deepest_cases.json"):
+        tms = builtin_tms(case["tmsID"])
+        ix = PointIndex(tms, case["tmID"])
+        ix.insert_point(tuple(case["point"]))
+        deepest = ix.quadrants[ix.deepest_level]
+        assert len(deepest) == 1, case["name"]
+        ((z, (ext, cen)),) = deepest.items()
+        assert z == case["want"]["z"], case["name"]
+        assert list(ext) == case["want"]["intExtent"], case["name"]
+        assert list(cen) == case["want"]["intCentroid"], case["name"]
+
+
+def test_insert_point_goldens():
+    for case in load_cases("pi_insert_point_cases.json"):
+        ix = build_pointindex(case["ix"])
+        ix.insert_point(tuple(case["point"]))
+        want = case["want"]
+        assert ix.deepest_level == want["deepestLevel"], case["name"]
+        assert ix.deepest_size == want["deepestSize"], case["name"]
+        assert ix.deepest_res == want["deepestRes"], case["name"]
+        want_quadrants = want.get("quadrants") or {}
+        got = {
+            int(level): {
+                int(z): {"intExtent": list(q[0]), "intCentroid": list(q[1])}
+                for z, q in qs.items()
+            }
+            for level, qs in ix.quadrants.items()
+        }
+        want_norm = {
+            int(level): {
+                int(z): {
+                    "intExtent": q["intExtent"],
+                    "intCentroid": q["intCentroid"],
+                }
+                for z, q in qs.items()
+            }
+            for level, qs in want_quadrants.items()
+        }
+        assert got == want_norm, case["name"]
+
+
+def test_snap_closest_points_goldens():
+    for case in load_cases("pi_snap_closest_cases.json"):
+        ix = build_pointindex(case["ix"])
+        for ring in case["poly"]:
+            for vertex in ring:
+                ix.insert_point(tuple(vertex))
+        levels = case.get("levels") or [ix.deepest_level]
+        line = (tuple(case["line"][0]), tuple(case["line"][1]))
+        got = ix.snap_closest_points(line, set(levels), case["ringID"])
+        want = {int(k): v for k, v in (case["want"] or {}).items()} if isinstance(
+            case["want"], dict
+        ) else {}
+        assert {k: as_lists(v) for k, v in got.items()} == want, case["name"]
+
+
+def test_line_intersects_goldens():
+    for case in load_cases("pi_line_intersects_cases.json"):
+        line = (tuple(case["line"][0]), tuple(case["line"][1]))
+        ext = tuple(case["extent"])
+        assert line_intersects(line, ext) == case["want"], case["name"]
