@@ -1,0 +1,230 @@
+"""Named query pipelines + their ANSI-SQL oracles (DuckDB).
+
+Each entry in ``QUERIES`` is ``name -> callable(sf_dir) -> Dataset/Table``;
+``ORACLE_SQL`` holds the equivalent DuckDB SQL for the SQL-expressible ones
+(run against the same parquet inputs; the synthetic images/regions tables
+are referenced via read_parquet of their deterministic /tmp paths).
+Column names match between both sides — the driver hash-compares values
+after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources import images as images_src
+from ..sources.regions import regions_parquet_path
+from ..stages.pip_join import PIPJoiner
+from ..stages.tiles import encode_tiles, tile_metrics
+
+# ---- SQL fragments for the WebMercatorQuad tile arithmetic ----------------
+# exactly the float ops of tms.from_native_np + lonlat_to_webmercator_np,
+# so DuckDB computes bit-identical doubles.
+
+_MERC_X = "(lon * (pi() / 180.0) * 6378137.0)"
+_MERC_Y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+_ORIGIN = "20037508.3427892"
+
+
+def _tile_sql(zoom: int) -> dict[str, str]:
+    tile_span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    fx = f"(({_MERC_X}) - (-{_ORIGIN})) / {tile_span}"
+    fy = f"(({_ORIGIN}) - ({_MERC_Y})) / {tile_span}"
+    matrix = 1 << zoom
+    return {
+        "tx": f"CAST(trunc({fx}) AS BIGINT)",
+        "ty": f"CAST(trunc({fy}) AS BIGINT)",
+        "valid": (
+            f"({fx}) >= 0 AND ({fy}) >= 0 "
+            f"AND CAST(trunc({fx}) AS BIGINT) < {matrix} "
+            f"AND CAST(trunc({fy}) AS BIGINT) < {matrix}"
+        ),
+    }
+
+
+def images_sql_source() -> str:
+    """The sf0.01 images table as a DuckDB relation (driver compares at sf0.01)."""
+    path = images_src.images_parquet_path("/root/testdata/sf0.01")
+    return f"read_parquet('{path}')"
+
+
+def regions_sql_source() -> str:
+    return f"read_parquet('{regions_parquet_path()}')"
+
+
+# ---- query implementations ------------------------------------------------
+
+
+def q_tile_assign(sf_dir: str, zoom: int = 8):
+    """Deterministic tile assignment: per-tile image counts at one zoom."""
+    from ray.data.aggregate import Sum
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tm_id", "tile_x", "tile_y"]).aggregate(
+            [("tile_x", "count")]
+        )
+        return g.rename_columns(["tm_id", "tile_x", "tile_y", "n_partial"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["tm_id", "tile_x", "tile_y"]).aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+
+
+def sql_tile_assign(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+SELECT {zoom} AS tm_id, {t['tx']} AS tile_x, {t['ty']} AS tile_y,
+       count(*) AS n
+FROM {images_sql_source()}
+WHERE {t['valid']}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tile_metrics(sf_dir: str, zoom: int = 8):
+    """Outside-grid policy counters (IgnoreOutsideGrid semantics)."""
+    from ray.data.aggregate import Sum
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: tile_metrics(b, "WebMercatorQuad", zoom),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    totals = ds.aggregate(
+        Sum("rows", alias_name="rows"),
+        Sum("inside_grid", alias_name="inside_grid"),
+        Sum("outside_grid", alias_name="outside_grid"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([totals])
+
+
+def sql_tile_metrics(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+SELECT count(*) AS rows,
+       count(*) FILTER (WHERE {t['valid']}) AS inside_grid,
+       count(*) FILTER (WHERE NOT ({t['valid']})) AS outside_grid
+FROM {images_sql_source()}
+"""
+
+
+def q_pip_join_rect(sf_dir: str):
+    """Point-in-polygon join vs rectangular regions: per-region counts."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    regions = pq.read_table(regions_parquet_path())
+    rect = regions.filter(pa.compute.equal(regions["kind"], "rect"))
+    ds = images_src.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"regions": rect, "keep_columns": []},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["region_id"]).aggregate([("region_id", "count")])
+        return g.rename_columns(["region_id", "n_partial"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("region_id").aggregate(Sum("n_partial", alias_name="n"))
+
+
+def sql_pip_join_rect() -> str:
+    return f"""
+SELECT r.region_id AS region_id, count(*) AS n
+FROM {images_sql_source()} i
+JOIN {regions_sql_source()} r
+  ON r.kind = 'rect'
+ AND i.lon >= r.minx AND i.lon <= r.maxx
+ AND i.lat >= r.miny AND i.lat <= r.maxy
+GROUP BY 1
+"""
+
+
+def q_pip_join_poly(sf_dir: str):
+    """Full PIP join (rects + hexagons) — general even-odd path.
+
+    Not ANSI-SQL-expressible (ray-cast PIP); verified by pytest goldens
+    and a rows-only driver check.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = images_src.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": []},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["region_id"]).aggregate([("region_id", "count")])
+        return g.rename_columns(["region_id", "n_partial"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("region_id").aggregate(Sum("n_partial", alias_name="n"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup on phash: one representative (min image_id) per hash.
+
+    Hash-partitioned: per-batch partial min (combiner) -> groupby(phash)
+    -> global min; only (phash, image_id) rows cross the shuffle.
+    """
+    from ray.data.aggregate import Count, Min
+
+    ds = images_src.read_images(sf_dir, columns=["image_id", "phash"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["phash"]).aggregate(
+            [("image_id", "min"), ("image_id", "count")]
+        )
+        return g.rename_columns(["phash", "image_id_min", "n_partial"])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("phash").aggregate(
+        Min("image_id_min", alias_name="image_id"),
+        Count(alias_name="n_dup_batches"),
+    ).drop_columns(["n_dup_batches"])
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT phash, min(image_id) AS image_id
+FROM {images_sql_source()}
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
+    "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
+    "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
+    "pip_join_rect": q_pip_join_rect,
+    "pip_join_poly": q_pip_join_poly,
+    "dedup_exact": q_dedup_exact,
+}
+
+ORACLE_SQL = {
+    "tile_assign_z4": sql_tile_assign(4),
+    "tile_assign_z8": sql_tile_assign(8),
+    "tile_metrics_z8": sql_tile_metrics(8),
+    "pip_join_rect": sql_pip_join_rect(),
+    "dedup_exact": sql_dedup_exact(),
+}

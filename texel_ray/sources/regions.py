@@ -1,0 +1,110 @@
+"""Deterministic polygon side-table ("regions") for PIP joins and tiling.
+
+Small dimension table (broadcast side of the PIP join): axis-aligned
+rectangles around the urban geotag clusters plus a lon/lat grid of coarse
+rectangles, and a few general (non-rectangular) polygons — hexagons —
+exercising the full even-odd point-in-polygon path.
+
+Columns: ``region_id:int64, name:string, kind:string ('rect'|'poly'),
+minx,miny,maxx,maxy:float64`` (bbox; for rects the exact shape) and
+``geom_wkb:binary`` (the polygon, WKB). Rect regions are expressible in
+ANSI SQL (the DuckDB oracle); hexagons are pinned by pytest goldens.
+
+Rebuilt deterministically from the seed anywhere — workers regenerate it
+instead of shipping it (cheaper than a broadcast at cluster scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.geom import wkb_encode_polygon
+
+from .images import _URBAN_CENTERS
+
+
+def _hexagon(cx: float, cy: float, r: float):
+    pts = []
+    for k in range(6):
+        a = math.pi / 3.0 * k
+        pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+    return pts
+
+
+def generate_regions_table() -> pa.Table:
+    region_id = []
+    name = []
+    kind = []
+    minx, miny, maxx, maxy = [], [], [], []
+    wkb = []
+
+    rid = 0
+    # tight rectangles around each urban cluster
+    for i, (lon, lat) in enumerate(_URBAN_CENTERS):
+        for j, half in enumerate((0.1, 0.25)):
+            region_id.append(rid)
+            name.append(f"urban_{i}_{j}")
+            kind.append("rect")
+            x0, y0, x1, y1 = lon - half, lat - half, lon + half, lat + half
+            minx.append(x0), miny.append(y0), maxx.append(x1), maxy.append(y1)
+            wkb.append(
+                wkb_encode_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+            )
+            rid += 1
+    # coarse world grid rectangles (30 x 30 degrees)
+    for gx in range(-6, 6):
+        for gy in range(-2, 2):
+            x0, y0 = gx * 30.0, gy * 30.0
+            x1, y1 = x0 + 30.0, y0 + 30.0
+            region_id.append(rid)
+            name.append(f"grid_{gx}_{gy}")
+            kind.append("rect")
+            minx.append(x0), miny.append(y0), maxx.append(x1), maxy.append(y1)
+            wkb.append(
+                wkb_encode_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+            )
+            rid += 1
+    # general polygons: hexagons around the urban centers
+    for i, (lon, lat) in enumerate(_URBAN_CENTERS):
+        pts = _hexagon(lon, lat, 0.5)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        region_id.append(rid)
+        name.append(f"hex_{i}")
+        kind.append("poly")
+        minx.append(min(xs)), miny.append(min(ys))
+        maxx.append(max(xs)), maxy.append(max(ys))
+        wkb.append(wkb_encode_polygon([pts]))
+        rid += 1
+
+    return pa.table(
+        {
+            "region_id": pa.array(region_id, pa.int64()),
+            "name": pa.array(name, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "minx": pa.array(np.array(minx, dtype=np.float64)),
+            "miny": pa.array(np.array(miny, dtype=np.float64)),
+            "maxx": pa.array(np.array(maxx, dtype=np.float64)),
+            "maxy": pa.array(np.array(maxy, dtype=np.float64)),
+            "geom_wkb": pa.array(wkb, pa.binary()),
+        }
+    )
+
+
+def regions_parquet_path() -> str:
+    import pyarrow.parquet as pq
+
+    from .images import DATA_DIR
+
+    path = DATA_DIR / "regions.parquet"
+    if not path.exists():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(generate_regions_table(), tmp)
+        import os
+
+        os.replace(tmp, path)
+    return str(path)

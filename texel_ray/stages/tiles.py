@@ -1,0 +1,117 @@
+"""Deterministic tile assignment + S2/H3-style cell encoding over geotags.
+
+Vectorized ``map_batches`` kernels (zero-copy Arrow in/out):
+
+- ``encode_tiles``: explode each geotagged row to one row per requested
+  zoom with ``tm_id, tile_x, tile_y, cell`` columns. Tile assignment is
+  the reference's FromNative arithmetic (``tms20/tms20.go:664-712``):
+  ``tile = trunc((pt - origin) / (tile_size * cell_size))`` with
+  right/top-exclusive bounds — applied vectorized over the batch.
+- ``encode_cells``: single-level cell id at a fixed level (the kNN /
+  dedup partitioning key).
+
+Cells are Morton-curve quadtree cells, the same space-filling-curve
+construction S2/quadkey use (the h3/s2 libs are not in this container):
+``cell = (zoom << 58) | morton(tile_x, tile_y)`` — 58 bits of Morton key
+supports zoom <= 28. Cells at one level sort contiguously along the
+Z-curve, so range partitioning by ``cell`` co-locates spatial neighbors.
+
+Outside-grid points (e.g. |lat| beyond the WebMercator domain) follow the
+reference's IgnoreOutsideGrid semantics: dropped, with a per-batch count
+in the ``outside_grid`` metric column of ``tile_metrics``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import morton
+from ..core.tms import TileMatrixSet, builtin_tms, lonlat_to_webmercator_np
+
+CELL_ZOOM_SHIFT = 58
+
+
+def cell_ids_np(zoom: int, tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    """(zoom, tile_x, tile_y) -> uint64 Morton cell ids."""
+    z = morton.to_z_np(tx.astype(np.uint64), ty.astype(np.uint64))
+    return (np.uint64(zoom) << np.uint64(CELL_ZOOM_SHIFT)) | z
+
+
+def cell_parent_np(cell: np.ndarray, levels_up: int = 1) -> np.ndarray:
+    """Parent cell id `levels_up` levels toward the root."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    zoom = (cell >> np.uint64(CELL_ZOOM_SHIFT)).astype(np.int64) - levels_up
+    z = cell & ((np.uint64(1) << np.uint64(CELL_ZOOM_SHIFT)) - np.uint64(1))
+    return (zoom.astype(np.uint64) << np.uint64(CELL_ZOOM_SHIFT)) | (
+        z >> np.uint64(2 * levels_up)
+    )
+
+
+def _native_xy(batch: pa.Table, tms: TileMatrixSet, lon_col: str, lat_col: str):
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    if "3857" in tms.crs:
+        return lonlat_to_webmercator_np(lon, lat)
+    # native-CRS geotags (columns already in grid units)
+    return lon, lat
+
+
+def encode_tiles(
+    batch: pa.Table,
+    tms: TileMatrixSet | str = "WebMercatorQuad",
+    zooms: tuple[int, ...] = (8,),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_columns: list[str] | None = None,
+    with_cell: bool = True,
+) -> pa.Table:
+    """Explode a geotagged Arrow batch to (row x zoom) tile assignments."""
+    if isinstance(tms, str):
+        tms = builtin_tms(tms)
+    x, y = _native_xy(batch, tms, lon_col, lat_col)
+    keep = keep_columns if keep_columns is not None else batch.column_names
+    pieces = []
+    for zoom in zooms:
+        tx, ty, valid = tms.from_native_np(zoom, x, y)
+        idx = np.nonzero(valid)[0]
+        sub = batch.select(keep).take(pa.array(idx))
+        cols = list(sub.columns)
+        names = list(sub.column_names)
+        cols.append(pa.array(np.full(len(idx), zoom, dtype=np.int32)))
+        names.append("tm_id")
+        cols.append(pa.array(tx[idx]))
+        names.append("tile_x")
+        cols.append(pa.array(ty[idx]))
+        names.append("tile_y")
+        if with_cell:
+            cols.append(pa.array(cell_ids_np(zoom, tx[idx], ty[idx])))
+            names.append("cell")
+        pieces.append(pa.table(cols, names=names))
+    if not pieces:
+        return pa.table({})
+    return pa.concat_tables(pieces)
+
+
+def tile_metrics(
+    batch: pa.Table,
+    tms: TileMatrixSet | str = "WebMercatorQuad",
+    zoom: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> pa.Table:
+    """Per-batch partial counters (pre-aggregation before the tiny groupby):
+    total rows, in-grid rows, outside-grid rows."""
+    if isinstance(tms, str):
+        tms = builtin_tms(tms)
+    x, y = _native_xy(batch, tms, lon_col, lat_col)
+    _, _, valid = tms.from_native_np(zoom, x, y)
+    n = len(valid)
+    inside = int(valid.sum())
+    return pa.table(
+        {
+            "rows": pa.array([n], pa.int64()),
+            "inside_grid": pa.array([inside], pa.int64()),
+            "outside_grid": pa.array([n - inside], pa.int64()),
+        }
+    )
