@@ -1,0 +1,164 @@
+"""Operator tests: dedup family (planted near-duplicates), similarity
+search vs a numpy reference, text features, windows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from texel_ray.stages.dedup import (
+    EmbeddingNearDup,
+    JaccardVerifier,
+    MinHasher,
+    SimHasher,
+    bucket_pairs,
+    hamming64,
+    jaccard,
+    shingle_set,
+    simhash64,
+)
+from texel_ray.stages.similarity import (
+    BruteForceTopK,
+    LSHBucketer,
+    _stack_embeddings,
+    normalize_rows,
+)
+from texel_ray.stages.text import TextFeatures, fingerprint64
+
+
+def _docs_with_neardups() -> pa.Table:
+    rng = np.random.default_rng(0)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    # plant near-duplicates: copy with 2 token edits (high jaccard)
+    for src in (3, 17, 25):
+        toks = texts[src].split()
+        toks[5] = "MUTATED"
+        toks[30] = "CHANGED"
+        texts.append(" ".join(toks))
+    ids = list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_minhash_lsh_finds_planted_neardups():
+    docs = _docs_with_neardups()
+    hasher = MinHasher(num_perm=128, bands=32)
+    banded = hasher(docs)
+    # group in-process (mirrors groupby(band_id, band_hash).map_groups)
+    df = banded.to_pandas()
+    pairs = (
+        df.groupby(["band_id", "band_hash"])
+        .apply(lambda g: bucket_pairs(g), include_groups=False)
+        .reset_index(drop=True)
+    )
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]) if len(pairs) else pairs
+    texts_by_id = dict(
+        zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    )
+    verifier = JaccardVerifier(texts_by_id, threshold=0.8)
+    verified = verifier(pa.Table.from_pandas(pairs[["id_a", "id_b"]]))
+    got = set(zip(verified["id_a"].to_pylist(), verified["id_b"].to_pylist()))
+    assert {(3, 40), (17, 41), (25, 42)} <= got
+    # no false positives below threshold survive verification
+    for a, b in got:
+        assert jaccard(shingle_set(texts_by_id[a]), shingle_set(texts_by_id[b])) >= 0.8
+
+
+def test_simhash_neardup_detects_small_edits():
+    docs = _docs_with_neardups()
+    texts = docs["text"].to_pylist()
+    h_orig = simhash64(texts[3].split())
+    h_dup = simhash64(texts[40].split())
+    h_other = simhash64(texts[4].split())
+    assert hamming64(h_orig, h_dup) < hamming64(h_orig, h_other)
+    # banded blocking emits 4 rows per doc
+    banded = SimHasher()(docs)
+    assert banded.num_rows == docs.num_rows * 4
+
+
+def test_bruteforce_topk_matches_numpy_reference():
+    rng = np.random.default_rng(5)
+    n, d = 500, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    k = 10
+    stage = BruteForceTopK(queries=emb[:3].astype(np.float64), query_ids=ids[:3], k=k)
+    # run over two batches, then take global top-k per query
+    out1 = stage(table.slice(0, 250)).to_pandas()
+    out2 = stage(table.slice(250)).to_pandas()
+    cand = pd.concat([out1, out2])
+    mat = normalize_rows(emb.astype(np.float64))
+    for qi in range(3):
+        sims = mat @ mat[qi]
+        expect = np.argsort(-sims, kind="stable")[:k]
+        got = (
+            cand[cand["query_id"] == qi]
+            .sort_values(["sim", "vec_id"], ascending=[False, True])
+            .head(k)["vec_id"]
+            .to_numpy()
+        )
+        assert set(got) == set(expect)
+
+
+def test_embedding_neardup_finds_planted_duplicate():
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((50, 16))
+    emb[20] = emb[7] + rng.standard_normal(16) * 0.01  # near-identical pair
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64)})
+    df["embedding"] = list(emb)
+    out = EmbeddingNearDup(threshold=0.98)(df)
+    assert (7, 20) in set(zip(out["id_a"], out["id_b"]))
+    # bucketer puts the near-identical pair in the same bucket
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array(list(emb.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    b = LSHBucketer(dim=16, bits=8)(table)
+    buckets = b["bucket"].to_numpy()
+    assert buckets[7] == buckets[20]
+
+
+def test_stack_embeddings_shape():
+    t = pa.table(
+        {"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))}
+    )
+    m = _stack_embeddings(t["embedding"])
+    assert m.shape == (2, 2) and m.dtype == np.float64
+
+
+def test_text_features_and_fingerprint_deterministic():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["the cat and the hat", ""]),
+        }
+    )
+    out = TextFeatures()(t)
+    assert out["n_tokens"].to_pylist() == [5, 0]
+    assert out["stop_hits"].to_pylist() == [3, 0]  # the, and, the
+    assert fingerprint64("abc") == fingerprint64("abc")
+    assert fingerprint64("abc") != fingerprint64("abd")
+
+
+def test_session_windows():
+    from texel_ray.stages.window import session_windows
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00", "2024-01-01 02:05"]
+    )
+    g = pd.DataFrame({"user_id": [1] * 4, "ts": ts})
+    out = session_windows(g)
+    assert out["n_sessions"].iloc[0] == 2
+    assert out["n_events"].iloc[0] == 4

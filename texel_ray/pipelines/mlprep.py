@@ -1,0 +1,247 @@
+"""Training-data-prep pipelines: text analysis, dedup family, similarity
+search, spatial kNN. (See stages/{text,dedup,similarity,knn}.py.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---- text analysis --------------------------------------------------------
+
+
+def q_text_features(sf_dir: str):
+    from ..stages.text import TextFeatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TextFeatures, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+
+SQL_TEXT_FEATURES = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+       len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop_hits,
+       0.5 * (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+                   ELSE 0.0 END)
+       + 0.3 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+                     THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+                          / (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END)
+                     ELSE 0.0 END)
+       + 0.2 * (CAST(least((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END), 100) AS DOUBLE) / 100.0)
+       AS quality_score
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.text import Fingerprinter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+def q_langid(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+
+def q_token_counts(sf_dir: str, top: int = 50):
+    """Corpus vocabulary: top tokens by frequency (partial histograms ->
+    one tiny shuffle)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_histogram
+
+    ds = _read(sf_dir, "documents", ["text"])
+    ds = ds.map_batches(token_histogram, batch_format="pandas")
+    out = ds.groupby("token").aggregate(Sum("n_partial", alias_name="n"))
+    return out.sort(["n", "token"], descending=[True, False]).limit(top)
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+# ---- dedup family ---------------------------------------------------------
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle -> minhash -> band explode -> groupby(band) -> candidate pairs
+    -> distinct pair -> verify >= threshold. Rows-only driver check;
+    recall/precision pinned by pytest with planted near-duplicates.
+    """
+    from ..stages.dedup import JaccardVerifier, MinHasher, bucket_pairs
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
+    )
+    pairs = ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1)[["id_a", "id_b"]], batch_format="pandas"
+    )
+    verified = pairs.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={"texts_by_id": texts_by_id, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return verified
+
+
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup: banded exact-match blocking + hamming verify."""
+    import pandas as pd
+
+    from ..stages.dedup import SimHasher, hamming64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        sh = rows["simhash"].to_numpy()
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, min(i + 51, len(ids))):
+                dist = hamming64(int(sh[i]), int(sh[j]))
+                if dist <= max_hamming:
+                    a.append(int(ids[i]))
+                    b.append(int(ids[j]))
+                    d.append(dist)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+
+    pairs = ds.groupby(["band_id", "band_bits"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.98):
+    """Embedding-cosine near-dup via LSH buckets + within-bucket pairwise."""
+    from ..stages.dedup import EmbeddingNearDup
+    from ..stages.similarity import LSHBucketer
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs={"dim": 64, "bits": 8},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    near_dup = EmbeddingNearDup(threshold=threshold)
+    return ds.groupby("bucket").map_groups(
+        lambda g: near_dup(g), batch_format="pandas"
+    )
+
+
+# ---- similarity search ----------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Brute-force cosine top-k (exact ANN baseline): first n_queries
+    embeddings are the query matrix (broadcast), streamed matmul per batch,
+    tiny top-k groupby. Rows-only driver check (float rank ties are not
+    SQL-stable); exactness pinned by pytest vs a numpy reference."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import BruteForceTopK, _stack_embeddings, finalize_topk
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, n_queries)
+    q = _stack_embeddings(head["embedding"])
+    qids = head["vec_id"].to_numpy()
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries": q, "query_ids": qids, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    out = finalize_topk(ds, k=k)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---- spatial kNN ----------------------------------------------------------
+
+
+def q_knn_radius(sf_dir: str, n_queries: int = 20, k: int = 5, radius: float = 1.0):
+    """Bounded kNN over image geotags via cell-ring cover (oracle-exact)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.images import ensure_images_for_sf_dir, read_images
+    from ..stages.knn import CellRingKNN, finalize_knn
+
+    path = ensure_images_for_sf_dir(sf_dir)
+    head = pq.read_table(path, columns=["image_id", "lon", "lat"]).slice(0, n_queries)
+
+    ds = read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    ds = ds.map_batches(
+        CellRingKNN,
+        fn_constructor_kwargs={
+            "query_ids": head["image_id"].to_pylist(),
+            "query_lon": head["lon"].to_numpy(),
+            "query_lat": head["lat"].to_numpy(),
+            "radius": radius,
+        },
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+    return finalize_knn(ds, k=k)
+
+
+def sql_knn_radius(images_source: str, n_queries: int = 20, k: int = 5, radius: float = 1.0) -> str:
+    return f"""
+WITH q AS (
+    SELECT image_id AS query_id, lon AS qlon, lat AS qlat
+    FROM {images_source} ORDER BY image_id LIMIT {n_queries}
+), d AS (
+    SELECT q.query_id, i.image_id,
+           (i.lon - q.qlon) * (i.lon - q.qlon) + (i.lat - q.qlat) * (i.lat - q.qlat) AS d2
+    FROM {images_source} i CROSS JOIN q
+)
+SELECT query_id, image_id, rank FROM (
+    SELECT query_id, image_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+    FROM d WHERE d2 <= {radius * radius!r}
+) WHERE rank <= {k}
+"""

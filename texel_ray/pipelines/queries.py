@@ -212,13 +212,36 @@ GROUP BY 1
 """
 
 
+from . import mlprep, relational  # noqa: E402
+
 QUERIES = {
+    # spatial: tiling + joins + kNN
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
+    "knn_radius": mlprep.q_knn_radius,
+    # dedup family
     "dedup_exact": q_dedup_exact,
+    "minhash_neardup": mlprep.q_minhash_neardup,
+    "simhash_neardup": mlprep.q_simhash_neardup,
+    "embedding_neardup": mlprep.q_embedding_neardup,
+    # similarity search
+    "ann_topk": mlprep.q_ann_topk,
+    # text analysis
+    "text_features": mlprep.q_text_features,
+    "token_counts": mlprep.q_token_counts,
+    "fingerprint": mlprep.q_fingerprint,
+    "langid": mlprep.q_langid,
+    # relational / windows
+    "agg_pricing": relational.q_agg_pricing,
+    "join_mktsegment": relational.q_join_mktsegment,
+    "topk_orders": relational.q_topk_orders,
+    "distinct_users": relational.q_distinct_users,
+    "tumbling_events": relational.q_tumbling_events,
+    "sessionize": relational.q_sessionize,
+    "event_props_extract": relational.q_event_props_extract,
 }
 
 ORACLE_SQL = {
@@ -227,4 +250,14 @@ ORACLE_SQL = {
     "tile_metrics_z8": sql_tile_metrics(8),
     "pip_join_rect": sql_pip_join_rect(),
     "dedup_exact": sql_dedup_exact(),
+    "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
+    "text_features": mlprep.SQL_TEXT_FEATURES,
+    "token_counts": mlprep.SQL_TOKEN_COUNTS,
+    "agg_pricing": relational.SQL_AGG_PRICING,
+    "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
+    "topk_orders": relational.SQL_TOPK_ORDERS,
+    "distinct_users": relational.SQL_DISTINCT_USERS,
+    "tumbling_events": relational.SQL_TUMBLING_EVENTS,
+    "sessionize": relational.SQL_SESSIONIZE,
+    "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
 }

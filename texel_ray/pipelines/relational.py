@@ -1,0 +1,274 @@
+"""Relational pipelines over the TPC-H-ish tables (lineitem/orders/...).
+
+The reference engine has no dataset-level joins/aggregates (SURVEY.md
+§2.4-2.6); these pipelines are part of generalizing it into a complete
+data-processing engine. Every double measure that crosses rows is
+scale-truncated to int64 cents first, so sums are addition-order-independent
+and bit-equal to the DuckDB oracle under any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q_agg_pricing(sf_dir: str):
+    """Pricing summary per (returnflag, linestatus): counts + cent-sums."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": pa.array(np.trunc(qty * 100.0).astype(np.int64)),
+                "price_cents": pa.array(np.trunc(ep * 100.0).astype(np.int64)),
+                "disc_price_cents": pa.array(
+                    np.trunc(ep * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_cents", "sum"),
+                ("price_cents", "sum"),
+                ("disc_price_cents", "sum"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "qty_cents",
+                "price_cents",
+                "disc_price_cents",
+                "n",
+            ]
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_cents", alias_name="qty_cents"),
+        Sum("price_cents", alias_name="price_cents"),
+        Sum("disc_price_cents", alias_name="disc_price_cents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(trunc(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(sum(CAST(trunc(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents,
+       CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS disc_price_cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def q_join_mktsegment(sf_dir: str):
+    """Broadcast hash join: orders x customer -> order counts + cent-sums
+    per market segment. The customer side is small -> shipped once per
+    actor; no shuffle of the fact table."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(lookup_keys)
+    lookup_keys = lookup_keys[order]
+    lookup_vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(lookup_keys, ck)
+        pos = np.clip(pos, 0, len(lookup_keys) - 1)
+        matched = lookup_keys[pos] == ck
+        seg = lookup_vals[pos]
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(seg[matched].tolist(), pa.string()),
+                "price_cents": pa.array(
+                    np.trunc(tp[matched] * 100.0).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(int(matched.sum()), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("price_cents", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "price_cents", "n"])
+
+    ds = ds.map_batches(join_partial, batch_format="pyarrow")
+    return ds.groupby("c_mktsegment").aggregate(
+        Sum("price_cents", alias_name="price_cents"), Sum("n", alias_name="n")
+    )
+
+
+SQL_JOIN_MKTSEGMENT = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       CAST(sum(CAST(trunc(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents,
+       count(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_topk_orders(sf_dir: str, k: int = 25):
+    """Global top-k by total price (distributed sort + limit)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_cents": pa.array(np.trunc(tp * 100.0).astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return ds.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, CAST(trunc(o_totalprice * 100.0) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Distinct user count per event type (two-stage distinct)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    ds = ds.map_batches(pair_partial, batch_format="pyarrow")
+    # global distinct of (event_type, user_id), then count per event_type
+    ds = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    ds = ds.drop_columns(["_c"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+def q_tumbling_events(sf_dir: str):
+    from ..stages.window import finalize_tumbling, tumbling_window_partials
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = ds.map_batches(tumbling_window_partials, batch_format="pyarrow")
+    return finalize_tumbling(ds)
+
+
+SQL_TUMBLING_EVENTS = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(trunc(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (sorted-group streaming semantics)."""
+    from ..stages.window import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        lambda g: session_windows(g, gap_minutes * 60 * 1_000_000),
+        batch_format="pandas",
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(*) FILTER (
+           WHERE prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+       ) AS n_sessions
+FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+)
+GROUP BY 1
+"""
+
+
+def q_event_props_extract(sf_dir: str):
+    """JSON-ish scalar extraction (regexp) + aggregate: sum of props.k per
+    event_type."""
+    from ray.data.aggregate import Sum
+    import re
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    pattern = re.compile(r'"k":\s*(-?\d+)')
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch["props"].to_pylist()
+        ks = np.array(
+            [int(m.group(1)) if (m := pattern.search(p or "")) else 0 for p in props],
+            dtype=np.int64,
+        )
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k_sum": pa.array(ks),
+                "n": pa.array(np.ones(len(ks), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate([("k_sum", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "k_sum", "n"])
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n")
+    )
+
+
+SQL_EVENT_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), ''), '0') AS BIGINT)) AS BIGINT) AS k_sum,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``BruteForceTopK``: the exact baseline — each actor holds the broadcast
+  query matrix (normalized, float64) and scores every batch with one
+  numpy matmul, emitting (query_id, vec_id, sim) candidates; a tiny
+  groupby(query_id) top-k finishes. Scales linearly in corpus size and is
+  embarrassingly parallel over batches — at 100 TB the corpus streams,
+  only (n_queries x k) rows shuffle.
+- ``LSHBucketer``: the scale path — signed-random-projection (SimHash)
+  bucketing; probes only matching buckets (hash-partitioned groupby),
+  trading recall for a ~2^bits candidate reduction.
+
+Spatial kNN over geotags lives in stages/knn.py (cell-ring expansion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack_embeddings(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix, zero-ish copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine scores vs the broadcast queries.
+
+    Emits per-batch local top-k candidates per query (combiner) — the
+    global top-k over candidates equals the global top-k over everything.
+    """
+
+    def __init__(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        k: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.q = normalize_rows(np.asarray(queries, dtype=np.float64)).T  # (d, nq)
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
+        sims = m @ self.q  # (n, nq)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[0])
+        # local top-k per query (argpartition then exact sort of the head)
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = part[:, qi]
+            out_q.append(np.full(len(rows), self.query_ids[qi]))
+            out_v.append(ids[rows])
+            out_s.append(sims[rows, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def finalize_topk(ds, k: int = 10, id_col: str = "vec_id"):
+    """groupby(query_id) -> exact top-k with (sim desc, id asc) tie-break."""
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+class LSHBucketer:
+    """Signed-random-projection bucket ids for ANN / near-dup blocking."""
+
+    def __init__(
+        self,
+        dim: int,
+        bits: int = 16,
+        seed: int = 42,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (np.asarray(m, dtype=np.float64) @ self.planes) > 0
+        weights = (1 << np.arange(signs.shape[1], dtype=np.uint64)).astype(np.uint64)
+        return (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack_embeddings(batch[self.vec_col])
+        return batch.append_column("bucket", pa.array(self.bucket_of(m)))

@@ -1,0 +1,149 @@
+"""Text-analysis stages for training-data pipelines (documents table).
+
+Vectorized per-batch kernels (pandas string ops / compiled regexes held by
+an actor): token counting, quality scoring (length/alpha/stopword ratios),
+n-gram language ID, and rolling-hash document fingerprinting.
+
+The feature kernel's arithmetic is mirrored 1:1 by ANSI SQL in
+``pipelines/queries.py`` so the DuckDB oracle reproduces the exact doubles
+(same operation order; integer counts wherever a sum crosses rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOPWORDS_RE = r"\b(the|a|of|and|to|in|is)\b"
+_ALPHA_RE = r"[^a-zA-Z]"
+
+# language stopword profiles for the n-gram/stopword heuristic language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+    "zh": set(),  # CJK detected by codepoint range, not stopwords
+}
+
+
+class TextFeatures:
+    """Actor-pool stage: compiled regexes once per actor, vectorized batches.
+
+    Output columns (exact-parity with the SQL oracle):
+    n_chars, n_tokens, alpha_chars, stop_hits, quality_score.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stop_re = re.compile(STOPWORDS_RE)
+        self.alpha_re = re.compile(_ALPHA_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col].to_pandas().astype(str)
+        n_chars = text.str.len().to_numpy(dtype=np.int64)
+        stripped = text.str.strip()
+        n_tokens = np.where(
+            stripped.str.len() == 0, 0, stripped.str.split().str.len()
+        ).astype(np.int64)
+        alpha_chars = (
+            text.str.replace(self.alpha_re, "", regex=True).str.len().to_numpy(np.int64)
+        )
+        stop_hits = (
+            text.str.lower().str.count(self.stop_re).to_numpy(np.int64)
+        )
+        # quality score: fixed operation order, mirrored in SQL
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_ratio = np.where(n_chars > 0, alpha_chars / n_chars, 0.0)
+            stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens, 0.0)
+        len_norm = np.minimum(n_tokens, 100).astype(np.float64) / 100.0
+        quality = 0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * len_norm
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "alpha_chars": pa.array(alpha_chars),
+                "stop_hits": pa.array(stop_hits),
+                "quality_score": pa.array(quality),
+            }
+        )
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 257
+
+
+def fingerprint64(s: str) -> int:
+    """Polynomial rolling hash of the utf-8 bytes, mod 2^61-1."""
+    h = 0
+    for b in s.encode("utf-8"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (dedup pre-key / lineage id)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        fps = np.fromiter(
+            (fingerprint64(t or "") for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(fps)})
+
+
+class LangId:
+    """Stopword-profile + codepoint-range language identification."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def _predict(self, text: str) -> tuple[str, float]:
+        if self.cjk_re.search(text):
+            return "zh", 1.0
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und", 0.0
+        best_lang, best = "und", 0
+        for lang, profile in _LANG_PROFILES.items():
+            if not profile:
+                continue
+            hits = sum(1 for w in words if w in profile)
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang, best / len(words)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            lang, score = self._predict(t or "")
+            preds.append(lang)
+            scores.append(score)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def token_histogram(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-batch partial token counts (word -> n), pre-aggregation for a
+    vocabulary groupby."""
+    tokens = batch[text_col].astype(str).str.split().explode()
+    counts = tokens.value_counts()
+    return pd.DataFrame({"token": counts.index, "n_partial": counts.to_numpy()})

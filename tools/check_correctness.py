@@ -24,10 +24,21 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            try:
+                as_num = pd.to_numeric(df[c])
+                df[c] = as_num
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+                continue
+        if np.issubdtype(df[c].dtype, np.floating):
+            vals = df[c].to_numpy()
+            if np.all(np.isfinite(vals)) and np.all(vals == np.trunc(vals)):
+                df[c] = vals.astype(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
