@@ -1,0 +1,127 @@
+"""Tests: dataset-level snap stage, raster tile cutting (reassembly
+invariant), resumable partitioned writes with lineage manifest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from texel_ray.core.imagecodec import decode_image, psnr
+from texel_ray.core.geom import wkb_decode, wkb_encode_point, wkb_encode_polygon
+from texel_ray.sources.images import ensure_images_for_sf_dir
+from texel_ray.stages.snap_stage import SnapStage
+from texel_ray.stages.tilecut import TileCutter, reassemble_image
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_snap_stage_dispatch():
+    # polygon snapped per zoom; point passes through to every zoom
+    square = [[(100000.0, 450000.0), (120000.0, 450000.0), (120000.0, 470000.0),
+               (100000.0, 470000.0)]]
+    batch = pa.table(
+        {
+            "fid": pa.array([1, 2], pa.int64()),
+            "geom_wkb": pa.array(
+                [wkb_encode_polygon(square), wkb_encode_point(110000.0, 460000.0)],
+                pa.binary(),
+            ),
+        }
+    )
+    stage = SnapStage("NetherlandsRDNewQuad", (5, 9))
+    out = stage(batch)
+    assert set(out.column_names) == {"fid", "tm_id", "geom_wkb"}
+    rows = list(zip(out["fid"].to_pylist(), out["tm_id"].to_pylist()))
+    assert sorted(rows) == [(1, 5), (1, 9), (2, 5), (2, 9)]
+    kind, coords = wkb_decode(out["geom_wkb"][0].as_py())
+    assert kind == "Polygon" and len(coords[0]) >= 4
+    assert stage.last_counters["pre"] == 2
+    assert stage.last_counters["non_polygon"] == 1
+
+
+def test_snap_stage_matches_kernel_golden():
+    # same "missing corner" polygon as the golden corpus, through the stage
+    from tests.golden_util import load_cases
+
+    case = next(
+        c for c in load_cases("snap_polygon_cases.json") if c["name"] == "missing corner"
+    )
+    ring = [tuple(p) for p in case["polygon"][0]]
+    batch = pa.table(
+        {
+            "fid": pa.array([7], pa.int64()),
+            "geom_wkb": pa.array([wkb_encode_polygon([ring])], pa.binary()),
+        }
+    )
+    stage = SnapStage("NetherlandsRDNewQuad", (14,), keep_points_and_lines=True)
+    out = stage(batch)
+    kind, coords = wkb_decode(out["geom_wkb"][0].as_py())
+    want = case["want"]["14"][0][0]
+    assert [list(p) for p in coords[0]] == want
+
+
+def test_tilecut_reassembly_invariant():
+    path = ensure_images_for_sf_dir(SF_DIR)
+    t = pq.read_table(path).slice(0, 300)
+    cutter = TileCutter(zoom=13)
+    pieces = cutter(t)
+    assert pieces.num_rows >= 300  # some images cross tile boundaries
+    by_image: dict[str, list] = {}
+    for i in range(pieces.num_rows):
+        row = {c: pieces[c][i].as_py() for c in pieces.column_names}
+        by_image.setdefault(row["image_id"], []).append(row)
+    originals = {t["image_id"][i].as_py(): i for i in range(t.num_rows)}
+    n_multi = 0
+    for image_id, rows in list(by_image.items())[:100]:
+        i = originals[image_id]
+        w, h = t["w"][i].as_py(), t["h"][i].as_py()
+        covered = sum(r["pw"] * r["ph"] for r in rows)
+        assert covered == w * h, f"{image_id}: pieces do not partition the image"
+        rebuilt = reassemble_image(rows, w, h)
+        orig = decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+        if t["fmt"][i].as_py() == "png":
+            assert (rebuilt == orig).all()
+        else:
+            assert psnr(orig, rebuilt) >= 40.0
+        assert rows[0]["caption"] == t["caption"][i].as_py()
+        if len(rows) > 1:
+            n_multi += 1
+    assert n_multi > 0  # the invariant actually exercised boundary crossing
+
+
+def test_resumable_write_manifest(ray_session, tmp_path):
+    import ray.data
+
+    from texel_ray.state.manifest import Manifest, resumable_write
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "tm_id": pa.array([4] * 10 + [8] * 20, pa.int32()),
+                "v": pa.array(range(30)),
+            }
+        )
+    )
+    out = str(tmp_path / "tiles")
+    written, skipped = resumable_write(ds, out, partition_col="tm_id")
+    assert sorted(written) == [4, 8] and skipped == []
+    recs = Manifest(out).completed()
+    assert len(recs) == 2
+    assert {r["rows"] for r in recs.values()} == {10, 20}
+    # rerun: everything skipped, nothing rewritten
+    written2, skipped2 = resumable_write(ds, out, partition_col="tm_id")
+    assert written2 == [] and sorted(skipped2) == [4, 8]
+
+
+def test_project_wkb_roundtrip():
+    from texel_ray.pipelines.spatial import project_wkb_to_mercator
+
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    batch = pa.table({"geom_wkb": pa.array([wkb_encode_polygon([ring])], pa.binary())})
+    out = project_wkb_to_mercator(batch)
+    kind, coords = wkb_decode(out["geom_wkb"][0].as_py())
+    assert kind == "Polygon"
+    xs = [p[0] for p in coords[0]]
+    assert max(xs) == pytest.approx(111319.49079327357)

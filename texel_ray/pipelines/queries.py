@@ -212,9 +212,12 @@ GROUP BY 1
 """
 
 
-from . import mlprep, relational  # noqa: E402
+from . import mlprep, relational, spatial  # noqa: E402
 
 QUERIES = {
+    # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
+    "snap_regions": spatial.q_snap_regions,
+    "tilecut_z13": spatial.q_tilecut,
     # spatial: tiling + joins + kNN
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),

@@ -1,0 +1,157 @@
+"""Spatial pipelines: dataset-level snapping, raster tile cutting, and the
+resumable per-zoom partitioned tile write."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.geom import wkb_decode, wkb_encode_multipolygon, wkb_encode_polygon
+from ..core.tms import lonlat_to_webmercator_np
+
+
+def project_wkb_to_mercator(batch: pa.Table, geom_col: str = "geom_wkb") -> pa.Table:
+    """Reproject WKB polygon coordinates from lon/lat to EPSG:3857 meters."""
+    out = []
+    for buf in batch[geom_col].to_pylist():
+        kind, coords = wkb_decode(buf)
+        if kind == "Polygon":
+            rings = [
+                list(zip(*lonlat_to_webmercator_np(*map(np.array, zip(*ring)))))
+                for ring in coords
+            ]
+            out.append(wkb_encode_polygon(rings))
+        elif kind == "MultiPolygon":
+            polys = []
+            for poly in coords:
+                polys.append(
+                    [
+                        list(zip(*lonlat_to_webmercator_np(*map(np.array, zip(*ring)))))
+                        for ring in poly
+                    ]
+                )
+            out.append(wkb_encode_multipolygon(polys))
+        else:
+            out.append(buf)
+    idx = batch.column_names.index(geom_col)
+    return batch.set_column(idx, geom_col, pa.array(out, pa.binary()))
+
+
+def q_snap_regions(sf_dir: str, zooms: tuple[int, ...] = (6, 10)):
+    """Snap the region polygons to the WebMercator grid at several zooms;
+    emit a deterministic per-(region, zoom) geometry summary.
+
+    Mirrors the reference CLI run (snap every feature of a table for a
+    zoom list, fan out per zoom); exact vertex-level semantics are pinned
+    by the golden kernel suite, this pipeline checks the dataset shape.
+    """
+    import ray.data
+
+    from ..sources.regions import regions_parquet_path
+    from ..stages.snap_stage import snap_dataset
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "geom_wkb"]
+    )
+    ds = ds.map_batches(project_wkb_to_mercator, batch_format="pyarrow")
+    snapped = snap_dataset(
+        ds, "WebMercatorQuad", zooms, keep_points_and_lines=True
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n_vertices = []
+        n_rings = []
+        for buf in batch["geom_wkb"].to_pylist():
+            kind, coords = wkb_decode(buf)
+            if kind == "Polygon":
+                rings = coords
+            elif kind == "MultiPolygon":
+                rings = [r for poly in coords for r in poly]
+            elif kind == "LineString":
+                rings = [coords]
+            else:
+                rings = [[coords]]
+            n_rings.append(len(rings))
+            n_vertices.append(sum(len(r) for r in rings))
+        return pa.table(
+            {
+                "region_id": batch["region_id"],
+                "tm_id": batch["tm_id"],
+                "n_rings": pa.array(n_rings, pa.int64()),
+                "n_vertices": pa.array(n_vertices, pa.int64()),
+            }
+        )
+
+    return snapped.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_tilecut(sf_dir: str, zoom: int = 13):
+    """Cut image rasters along the z13 tile grid; per-tile piece stats.
+
+    Deterministic: per (tile): piece count, distinct images, pixel area.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.images import read_images
+    from ..stages.tilecut import cut_images
+
+    ds = read_images(
+        sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "lon", "lat"]
+    )
+    pieces = cut_images(ds, zoom=zoom)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        area = pa.compute.multiply(
+            batch["pw"].cast(pa.int64()), batch["ph"].cast(pa.int64())
+        )
+        t = pa.table(
+            {
+                "tm_id": batch["tm_id"],
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "pixel_area": area,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["tm_id", "tile_x", "tile_y"]).aggregate(
+            [("pixel_area", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["tm_id", "tile_x", "tile_y", "pixel_area", "n_pieces"])
+
+    partials = pieces.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["tm_id", "tile_x", "tile_y"]).aggregate(
+        Sum("pixel_area", alias_name="pixel_area"),
+        Sum("n_pieces", alias_name="n_pieces"),
+    )
+
+
+def write_tiles(sf_dir: str, out_dir: str, zooms: tuple[int, ...] = (4, 8)):
+    """End-to-end resumable tile write: PIP-joined tile rows, partitioned
+    by tm_id with per-partition lineage records (see state/manifest.py)."""
+    from ..sources.images import images_parquet_path, read_images
+    from ..sources.regions import regions_parquet_path
+    from ..stages.pip_join import PIPJoiner
+    from ..stages.tiles import encode_tiles
+    from ..state.manifest import resumable_write
+
+    ds = read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={
+            "regions_path": regions_parquet_path(),
+            "keep_columns": ["image_id", "lon", "lat"],
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(2, 8),
+    )
+    ds = ds.map_batches(
+        lambda b: encode_tiles(
+            b, "WebMercatorQuad", zooms, keep_columns=["image_id", "region_id"]
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return resumable_write(
+        ds, out_dir, partition_col="tm_id", inputs=[images_parquet_path(sf_dir)]
+    )

@@ -54,11 +54,13 @@ def generate_regions_table() -> pa.Table:
                 wkb_encode_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
             )
             rid += 1
-    # coarse world grid rectangles (30 x 30 degrees)
+    # coarse world grid rectangles (30 x 30 degrees), clipped a hair inside
+    # the antimeridian: the registry's WebMercatorQuad origin is rounded to
+    # 13 digits, so lon=+-180 projects marginally outside the snap grid
     for gx in range(-6, 6):
         for gy in range(-2, 2):
-            x0, y0 = gx * 30.0, gy * 30.0
-            x1, y1 = x0 + 30.0, y0 + 30.0
+            x0, y0 = max(gx * 30.0, -179.99), gy * 30.0
+            x1, y1 = min(x0 + 30.0, 179.99), y0 + 30.0
             region_id.append(rid)
             name.append(f"grid_{gx}_{gy}")
             kind.append("rect")
@@ -99,7 +101,7 @@ def regions_parquet_path() -> str:
 
     from .images import DATA_DIR
 
-    path = DATA_DIR / "regions.parquet"
+    path = DATA_DIR / "regions_v2.parquet"
     if not path.exists():
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp")
