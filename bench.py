@@ -1,0 +1,176 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "tiles_per_sec": ..., "joined_rows_per_sec": ...}
+
+`--scaling` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+the scaling efficiency (see BASELINE.md).
+
+Input generation (the deterministic synthetic images table) is cached on
+disk and excluded from timings; one warm-up read primes the page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from texel_ray.pipelines import mlprep, relational, spatial
+    from texel_ray.pipelines.flagship import tile_counts
+    from texel_ray.pipelines.queries import q_dedup_exact, q_pip_join_rect, q_tile_assign
+    from texel_ray.sources.images import ensure_images_for_sf_dir, sf_of_dir
+
+    ensure_images_for_sf_dir(SF_DIR)  # cached generation, not timed
+
+    # warm-up: prime the OS page cache so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    from texel_ray.sources.images import images_parquet_path
+
+    pq.read_table(images_parquet_path(SF_DIR), columns=["image_id"])
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn, consume="to_pandas"):
+        t0 = time.perf_counter()
+        result = fn()
+        if consume == "to_pandas" and hasattr(result, "to_pandas"):
+            result = result.to_pandas()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return result, dt
+
+    # headline: flagship spatial join + tiling (PIP join -> tile counts)
+    df, headline_sec = timed("flagship_tile_counts", lambda: tile_counts(SF_DIR))
+    n_tiles = len(df)
+    joined_rows = int(df[df["tm_id"] == df["tm_id"].max()]["n"].sum())
+    extras["tiles_per_sec"] = round(n_tiles / headline_sec, 1)
+    extras["joined_rows_per_sec"] = round(joined_rows / headline_sec, 1)
+
+    timed("tile_assign_z8", lambda: q_tile_assign(SF_DIR, 8))
+    timed("pip_join_rect", lambda: q_pip_join_rect(SF_DIR))
+    timed("dedup_exact", lambda: q_dedup_exact(SF_DIR))
+    timed("tilecut_z13", lambda: spatial.q_tilecut(SF_DIR))
+    timed("snap_regions", lambda: spatial.q_snap_regions(SF_DIR))
+    timed("minhash_neardup", lambda: mlprep.q_minhash_neardup(SF_DIR))
+    timed("ann_topk", lambda: mlprep.q_ann_topk(SF_DIR))
+    timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
+    timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
+
+    ray.shutdown()
+    return {
+        "metric": "tiles/sec + joined rows/sec on the synthetic image+caption table",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (32 vs 8 cpus, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "throughput_8_rows_per_sec": r_lo["joined_rows_per_sec"],
+        "throughput_32_rows_per_sec": r_hi["joined_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from texel_ray.pipelines.flagship import tile_counts
+    from texel_ray.sources.images import (
+        ensure_images_for_sf_dir,
+        images_parquet_path,
+        sf_of_dir,
+    )
+
+    ensure_images_for_sf_dir(SF_DIR)
+    pq.read_table(images_parquet_path(SF_DIR), columns=["image_id"])
+    t0 = time.perf_counter()
+    df = tile_counts(SF_DIR).to_pandas()
+    dt = time.perf_counter() - t0
+    joined = int(df[df["tm_id"] == df["tm_id"].max()]["n"].sum())
+    ray.shutdown()
+    return {
+        "metric": "flagship headline",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "sf": sf_of_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "tiles_per_sec": round(len(df) / dt, 1),
+        "joined_rows_per_sec": round(joined / dt, 1),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("BENCH_HEADLINE_ONLY"):
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -101,17 +101,56 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
 
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(
+    banded = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
     )
-    pairs = ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # Candidate generation at scale: almost every (band, hash) bucket is a
+    # singleton. Count buckets vectorized, keep only hot ones (>=2 docs) —
+    # a tiny set — then pair up just the rows in hot buckets.
+    counts = banded.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="n")
     )
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1)[["id_a", "id_b"]], batch_format="pandas"
+    hot = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot_keys = set(
+        zip(hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())
     )
-    verified = pairs.map_batches(
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        bid = batch["band_id"].to_numpy()
+        bh = batch["band_hash"].to_numpy()
+        mask = np.fromiter(
+            ((int(a), int(b)) in hot_keys for a, b in zip(bid, bh)),
+            dtype=bool,
+            count=len(bid),
+        )
+        return batch.filter(pa.array(mask))
+
+    import pandas as pd
+
+    survivors = banded.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    if len(survivors) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    pairs = (
+        survivors.groupby(["band_id", "band_hash"])[["doc_id"]]
+        .apply(lambda g: bucket_pairs(g, id_col="doc_id"))
+        .reset_index(drop=True)[["id_a", "id_b"]]
+        .drop_duplicates()
+    )
+    import ray.data
+
+    verified = ray.data.from_pandas(pairs).map_batches(
         JaccardVerifier,
         fn_constructor_kwargs={"texts_by_id": texts_by_id, "threshold": threshold},
         batch_format="pyarrow",
@@ -126,14 +165,36 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
     from ..stages.dedup import SimHasher, hamming64
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
+    from ray.data.aggregate import Count
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    banded = ds.map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
+    )
+    # same hot-bucket candidate generation as minhash (see q_minhash_neardup)
+    counts = banded.groupby(["band_id", "band_bits"]).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot_keys = set(zip(hot["band_id"].to_numpy(), hot["band_bits"].to_numpy()))
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        bid = batch["band_id"].to_numpy()
+        bb = batch["band_bits"].to_numpy()
+        mask = np.fromiter(
+            ((int(a), int(b)) in hot_keys for a, b in zip(bid, bb)),
+            dtype=bool,
+            count=len(bid),
+        )
+        return batch.filter(pa.array(mask))
+
+    survivors = banded.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    a, b, d = [], [], []
+    for _, group in survivors.groupby(["band_id", "band_bits"]):
         rows = group[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
         ids = rows["doc_id"].to_numpy()
         sh = rows["simhash"].to_numpy()
-        a, b, d = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, min(i + 51, len(ids))):
                 dist = hamming64(int(sh[i]), int(sh[j]))
@@ -141,13 +202,10 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
                     a.append(int(ids[i]))
                     b.append(int(ids[j]))
                     d.append(dist)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
-
-    pairs = ds.groupby(["band_id", "band_bits"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return (
+        pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+        .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
     )
 
 
