@@ -1,0 +1,127 @@
+"""CLI driver — the `ray job submit` entry point.
+
+Mirrors the reference CLI's surface (``main.go:39-188``): source table,
+per-zoom targets, TMS selection, zoom list, keep-points-and-lines /
+ignore-outside-grid / reverse-winding-order flags, overwrite — re-expressed
+as Ray Data pipelines with a resumable partitioned sink (the per-zoom
+`target_%v.gpkg` files become `out/tm_id=Z/` parquet partitions + lineage
+manifest).
+
+Subcommands:
+  snap  — snap a polygon table to the tile grid per zoom (the reference's
+          only executable path)
+  tiles — flagship image pipeline: PIP join + tile assignment, partitioned
+          tile write
+
+Usage (local or `ray job submit -- python -m texel_ray.cli ...`):
+  python -m texel_ray.cli snap -s regions.parquet -t /tmp/out \
+      --tms WebMercatorQuad -z 4,8 --keep-points-and-lines
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_snap(args) -> int:
+    from .core.tms import builtin_tms
+    from .stages.snap_stage import snap_dataset
+    from .state.manifest import resumable_write
+
+    tms = builtin_tms(args.tms)
+    ok, reason = tms.is_quadtree()
+    if not ok:
+        print(f"error: TMS {args.tms} is not a quadtree: {reason}", file=sys.stderr)
+        return 2
+    zooms = tuple(int(z) for z in args.zooms.split(","))
+    _, dev_px = tms.deviation_stats(max(zooms))
+    if abs(dev_px) >= 1.0:
+        print(
+            f"warning: fixed-point deviation at deepest zoom is {dev_px:.2f} px (>= 1)",
+            file=sys.stderr,
+        )
+
+    if args.overwrite:
+        shutil.rmtree(args.target, ignore_errors=True)
+
+    _ray_init(args.num_cpus)
+    import ray.data
+
+    ds = ray.data.read_parquet(args.source)
+    snapped = snap_dataset(
+        ds,
+        args.tms,
+        zooms,
+        keep_points_and_lines=args.keep_points_and_lines,
+        ignore_outside_grid=args.ignore_outside_grid,
+        reverse_winding_order=args.reverse_winding_order,
+        geom_col=args.geom_column,
+    )
+    written, skipped = resumable_write(
+        snapped, args.target, partition_col="tm_id", inputs=[args.source]
+    )
+    print(f"snap: wrote partitions {written}, skipped (already done) {skipped}")
+    return 0
+
+
+def cmd_tiles(args) -> int:
+    _ray_init(args.num_cpus)
+    from .pipelines.spatial import write_tiles
+
+    zooms = tuple(int(z) for z in args.zooms.split(","))
+    if args.overwrite:
+        shutil.rmtree(args.target, ignore_errors=True)
+    written, skipped = write_tiles(args.source, args.target, zooms)
+    print(f"tiles: wrote partitions {written}, skipped (already done) {skipped}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="texel_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("snap", help="snap a polygon table to the tile grid")
+    ps.add_argument("-s", "--source", required=True, help="input parquet of WKB features")
+    ps.add_argument("-t", "--target", required=True, help="output directory")
+    ps.add_argument("--tms", default="WebMercatorQuad")
+    ps.add_argument("-z", "--zooms", default="8", help="comma-separated zoom list")
+    ps.add_argument("--geom-column", default="geom_wkb")
+    ps.add_argument("--keep-points-and-lines", action="store_true")
+    ps.add_argument("--ignore-outside-grid", action="store_true", default=True)
+    ps.add_argument("--reverse-winding-order", action="store_true")
+    ps.add_argument("-o", "--overwrite", action="store_true")
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_snap)
+
+    pt = sub.add_parser("tiles", help="flagship image tiling pipeline")
+    pt.add_argument("-s", "--source", required=True, help="testdata sf dir")
+    pt.add_argument("-t", "--target", required=True, help="output directory")
+    pt.add_argument("-z", "--zooms", default="4,8")
+    pt.add_argument("-o", "--overwrite", action="store_true")
+    pt.add_argument("--num-cpus", type=int, default=None)
+    pt.set_defaults(fn=cmd_tiles)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

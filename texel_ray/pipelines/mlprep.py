@@ -258,6 +258,80 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+# ---- multimodal (image payload) stages ------------------------------------
+
+
+def q_image_stats(sf_dir: str):
+    """Decode every image payload; per-format aggregate of pixel stats.
+    Deterministic integer sums; rows-only check (SQL cannot decode)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..sources.images import read_images
+    from ..stages.multimodal import ImageStats
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageStats, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["fmt"]).aggregate(
+            [
+                ("mean_r", "sum"),
+                ("mean_g", "sum"),
+                ("mean_b", "sum"),
+                ("px_min", "min"),
+                ("px_max", "max"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["fmt", "sum_mean_r", "sum_mean_g", "sum_mean_b", "px_min", "px_max", "n"]
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("fmt").aggregate(
+        Sum("sum_mean_r", alias_name="sum_mean_r"),
+        Sum("sum_mean_g", alias_name="sum_mean_g"),
+        Sum("sum_mean_b", alias_name="sum_mean_b"),
+        Min("px_min", alias_name="px_min"),
+        Max("px_max", alias_name="px_max"),
+        Sum("n", alias_name="n"),
+    )
+
+
+def q_image_embed_neardup(sf_dir: str, threshold: float = 0.9999):
+    """Visual near-dup: decode -> patch-mean embedding -> LSH bucket ->
+    within-bucket cosine. Composition of the multimodal + dedup stages."""
+    from ..sources.images import read_images
+    from ..stages.dedup import EmbeddingNearDup
+    from ..stages.multimodal import ImageEmbedder
+    from ..stages.similarity import LSHBucketer
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageEmbedder, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+    ds = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs={"dim": 16, "bits": 12, "id_col": "image_id"},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    near_dup = EmbeddingNearDup(threshold=threshold, id_col="image_id", cap=256)
+    from ray.data.aggregate import Count
+
+    pairs = ds.groupby("bucket").map_groups(
+        lambda g: near_dup(g), batch_format="pandas"
+    )
+    # summarize (pair lists can be large for self-similar corpora)
+    return pairs.groupby("id_a").aggregate(Count(alias_name="n_neardups"))
+
+
 # ---- spatial kNN ----------------------------------------------------------
 
 

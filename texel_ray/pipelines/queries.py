@@ -232,6 +232,9 @@ QUERIES = {
     "embedding_neardup": mlprep.q_embedding_neardup,
     # similarity search
     "ann_topk": mlprep.q_ann_topk,
+    # multimodal image stages
+    "image_stats": mlprep.q_image_stats,
+    "image_embed_neardup": mlprep.q_image_embed_neardup,
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,

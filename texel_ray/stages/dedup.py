@@ -207,22 +207,29 @@ def hamming64(a: int, b: int) -> int:
 class EmbeddingNearDup:
     """Within-LSH-bucket pairwise cosine >= threshold (map_groups stage)."""
 
-    def __init__(self, threshold: float = 0.95, id_col: str = "vec_id"):
+    def __init__(self, threshold: float = 0.95, id_col: str = "vec_id", cap: int = 1024):
         self.threshold = threshold
         self.id_col = id_col
+        self.cap = cap  # bound the quadratic pair scan per bucket
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         from .similarity import normalize_rows
 
+        group = group.sort_values(self.id_col).head(self.cap)
         ids = group[self.id_col].to_numpy()
         m = normalize_rows(np.stack(group["embedding"].to_numpy()))
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= self.threshold
+        id_a = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        id_b = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        if np.issubdtype(ids.dtype, np.integer):
+            id_a = id_a.astype(np.int64)
+            id_b = id_b.astype(np.int64)
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[ia[keep]], ids[ib[keep]]).astype(np.int64),
-                "id_b": np.maximum(ids[ia[keep]], ids[ib[keep]]).astype(np.int64),
+                "id_a": id_a,
+                "id_b": id_b,
                 "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
             }
         )

@@ -131,6 +131,42 @@ def reassemble_image(pieces: list[dict], w: int, h: int) -> np.ndarray:
     return out
 
 
+def assemble_tiles(pieces_ds, max_pieces_per_tile: int = 256):
+    """groupby(tile) -> one atlas row per tile: pieces stacked vertically
+    into a single PNG (padded to the widest piece), with a deterministic
+    piece index. The shuffle moves cut pieces only; per-tile group size is
+    bounded by `max_pieces_per_tile` (overflow counted, not crashed)."""
+    import pandas as pd
+
+    def build_atlas(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["image_id", "px", "py"]).head(max_pieces_per_tile)
+        imgs = [decode_image(b, f) for b, f in zip(g["bytes"], g["fmt"])]
+        width = max(im.shape[1] for im in imgs)
+        height = sum(im.shape[0] for im in imgs)
+        atlas = np.zeros((height, width, 3), dtype=np.uint8)
+        y = 0
+        index = []
+        for im, image_id in zip(imgs, g["image_id"]):
+            atlas[y : y + im.shape[0], : im.shape[1]] = im
+            index.append(f"{image_id}:{y}")
+            y += im.shape[0]
+        return pd.DataFrame(
+            {
+                "tm_id": [int(g["tm_id"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "n_pieces": [len(imgs)],
+                "dropped": [len(group) - len(g)],
+                "atlas": [encode_image(atlas, "png")],
+                "piece_index": [";".join(index)],
+            }
+        )
+
+    return pieces_ds.groupby(["tm_id", "tile_x", "tile_y"]).map_groups(
+        build_atlas, batch_format="pandas"
+    )
+
+
 def cut_images(ds, zoom: int = 13, concurrency=(2, 8), batch_size: int = 512):
     """images Dataset (id/bytes/w/h/fmt/caption/lon/lat) -> piece rows."""
     return ds.map_batches(
