@@ -70,6 +70,8 @@ def decode_png(buf: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     stride = w * 3 + 1
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not rows[:, 0].any():  # all filter 0 (our encoder): fully vectorized
+        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):

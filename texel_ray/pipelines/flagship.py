@@ -28,9 +28,6 @@ def tile_counts(
     concurrency: int | tuple[int, int] = (2, 8),
 ):
     """Per-tile joined-image counts at each requested zoom."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
     ds = read_images(sf_dir, columns=["image_id", "lon", "lat"])
     if with_pip:
         ds = ds.map_batches(
@@ -51,14 +48,7 @@ def tile_counts(
         batch_size=8192,
     )
 
-    # partial counts per batch (combiner) -> small shuffle -> final sums
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["tm_id", "tile_x", "tile_y"]).aggregate(
-            [("tile_x", "count")]
-        )
-        return g.rename_columns(["tm_id", "tile_x", "tile_y", "n_partial"])
+    # partial counts per batch (combiner) -> coalesce -> small shuffle
+    from ..stages.agg import partial_count_groupby
 
-    ds = ds.map_batches(partial_counts, batch_format="pyarrow")
-    return ds.groupby(["tm_id", "tile_x", "tile_y"]).aggregate(
-        Sum("n_partial", alias_name="n")
-    )
+    return partial_count_groupby(ds, ["tm_id", "tile_x", "tile_y"], alias="n")

@@ -101,18 +101,16 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
 
-    from ray.data.aggregate import Count
+    from ..stages.agg import partial_count_groupby
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
-    )
+    ).materialize()  # consumed twice (counts + survivors); rows are tiny
     # Candidate generation at scale: almost every (band, hash) bucket is a
     # singleton. Count buckets vectorized, keep only hot ones (>=2 docs) —
     # a tiny set — then pair up just the rows in hot buckets.
-    counts = banded.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n")
-    )
+    counts = partial_count_groupby(banded, ["band_id", "band_hash"], alias="n", coalesce=8)
     hot = counts.map_batches(
         lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
         batch_format="pyarrow",
@@ -165,14 +163,14 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
     from ..stages.dedup import SimHasher, hamming64
 
-    from ray.data.aggregate import Count
+    from ..stages.agg import partial_count_groupby
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
-    )
+    ).materialize()  # consumed twice (counts + survivors); rows are tiny
     # same hot-bucket candidate generation as minhash (see q_minhash_neardup)
-    counts = banded.groupby(["band_id", "band_bits"]).aggregate(Count(alias_name="n"))
+    counts = partial_count_groupby(banded, ["band_id", "band_bits"], alias="n", coalesce=8)
     hot = counts.map_batches(
         lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
         batch_format="pyarrow",

@@ -58,7 +58,7 @@ def regions_sql_source() -> str:
 
 def q_tile_assign(sf_dir: str, zoom: int = 8):
     """Deterministic tile assignment: per-tile image counts at one zoom."""
-    from ray.data.aggregate import Sum
+    from ..stages.agg import partial_count_groupby
 
     ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
     ds = ds.map_batches(
@@ -66,17 +66,7 @@ def q_tile_assign(sf_dir: str, zoom: int = 8):
         batch_format="pyarrow",
         batch_size=16384,
     )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["tm_id", "tile_x", "tile_y"]).aggregate(
-            [("tile_x", "count")]
-        )
-        return g.rename_columns(["tm_id", "tile_x", "tile_y", "n_partial"])
-
-    ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby(["tm_id", "tile_x", "tile_y"]).aggregate(
-        Sum("n_partial", alias_name="n")
-    )
+    return partial_count_groupby(ds, ["tm_id", "tile_x", "tile_y"], alias="n")
 
 
 def sql_tile_assign(zoom: int = 8) -> str:
@@ -135,13 +125,9 @@ def q_pip_join_rect(sf_dir: str):
         batch_size=16384,
         concurrency=(1, 8),
     )
+    from ..stages.agg import partial_count_groupby
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["region_id"]).aggregate([("region_id", "count")])
-        return g.rename_columns(["region_id", "n_partial"])
-
-    ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("region_id").aggregate(Sum("n_partial", alias_name="n"))
+    return partial_count_groupby(ds, ["region_id"], alias="n")
 
 
 def sql_pip_join_rect() -> str:
@@ -172,13 +158,9 @@ def q_pip_join_poly(sf_dir: str):
         batch_size=16384,
         concurrency=(1, 8),
     )
+    from ..stages.agg import partial_count_groupby
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["region_id"]).aggregate([("region_id", "count")])
-        return g.rename_columns(["region_id", "n_partial"])
-
-    ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("region_id").aggregate(Sum("n_partial", alias_name="n"))
+    return partial_count_groupby(ds, ["region_id"], alias="n")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -192,12 +174,10 @@ def q_dedup_exact(sf_dir: str):
     ds = images_src.read_images(sf_dir, columns=["image_id", "phash"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["phash"]).aggregate(
-            [("image_id", "min"), ("image_id", "count")]
-        )
-        return g.rename_columns(["phash", "image_id_min", "n_partial"])
+        g = batch.group_by(["phash"]).aggregate([("image_id", "min")])
+        return g.rename_columns(["phash", "image_id_min"])
 
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow").repartition(16)
     return ds.groupby("phash").aggregate(
         Min("image_id_min", alias_name="image_id"),
         Count(alias_name="n_dup_batches"),

@@ -90,8 +90,6 @@ def q_tilecut(sf_dir: str, zoom: int = 13):
 
     Deterministic: per (tile): piece count, distinct images, pixel area.
     """
-    from ray.data.aggregate import Count, Sum
-
     from ..sources.images import read_images
     from ..stages.tilecut import cut_images
 
@@ -100,28 +98,26 @@ def q_tilecut(sf_dir: str, zoom: int = 13):
     )
     pieces = cut_images(ds, zoom=zoom)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def to_area(batch: pa.Table) -> pa.Table:
         area = pa.compute.multiply(
             batch["pw"].cast(pa.int64()), batch["ph"].cast(pa.int64())
         )
-        t = pa.table(
+        return pa.table(
             {
                 "tm_id": batch["tm_id"],
                 "tile_x": batch["tile_x"],
                 "tile_y": batch["tile_y"],
                 "pixel_area": area,
-                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
             }
         )
-        g = t.group_by(["tm_id", "tile_x", "tile_y"]).aggregate(
-            [("pixel_area", "sum"), ("one", "sum")]
-        )
-        return g.rename_columns(["tm_id", "tile_x", "tile_y", "pixel_area", "n_pieces"])
 
-    partials = pieces.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["tm_id", "tile_x", "tile_y"]).aggregate(
-        Sum("pixel_area", alias_name="pixel_area"),
-        Sum("n_pieces", alias_name="n_pieces"),
+    from ..stages.agg import partial_sum_groupby
+
+    return partial_sum_groupby(
+        pieces.map_batches(to_area, batch_format="pyarrow"),
+        ["tm_id", "tile_x", "tile_y"],
+        ["pixel_area"],
+        count_alias="n_pieces",
     )
 
 

@@ -30,18 +30,19 @@ _MASK32 = np.uint64(0xFFFFFFFF)
 
 
 def _hash_tokens_ngrams(tokens: list[str], n: int) -> np.ndarray:
-    """Word n-gram shingles -> uint64 hashes (python hash is unstable across
-    processes, so use a explicit FNV-1a over the joined shingle)."""
+    """Word n-gram shingles -> uint64 hashes. Python's builtin hash() is
+    process-unstable, so use crc32 (C speed, deterministic everywhere) over
+    the shingle bytes, salted twice to fill 64 bits."""
     if len(tokens) < n:
         shingles = [" ".join(tokens)] if tokens else []
     else:
         shingles = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    import zlib
+
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+        b = s.encode("utf-8")
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
     return out
 
 

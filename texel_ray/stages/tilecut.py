@@ -100,7 +100,7 @@ class TileCutter:
                     o_py.append(py0)
                     o_pw.append(px1 - px0)
                     o_ph.append(py1 - py0)
-                    o_bytes.append(encode_image(piece, fmts[i]))
+                    o_bytes.append(encode_image(piece, fmts[i], level=1))
                     o_fmt.append(fmts[i])
                     o_caption.append(captions[i])
 
@@ -167,7 +167,7 @@ def assemble_tiles(pieces_ds, max_pieces_per_tile: int = 256):
     )
 
 
-def cut_images(ds, zoom: int = 13, concurrency=(2, 8), batch_size: int = 512):
+def cut_images(ds, zoom: int = 13, concurrency=(4, 24), batch_size: int = 1024):
     """images Dataset (id/bytes/w/h/fmt/caption/lon/lat) -> piece rows."""
     return ds.map_batches(
         TileCutter,
