@@ -69,12 +69,17 @@ def run_benchmarks() -> dict:
         timings[name] = round(dt, 3)
         return result, dt
 
-    # headline: flagship spatial join + tiling (PIP join -> tile counts)
-    df, headline_sec = timed("flagship_tile_counts", lambda: tile_counts(SF_DIR))
+    # headline: fused spatial join + raster tile cutting + rollup
+    from texel_ray.pipelines.flagship import full_pipeline_fused
+
+    df, headline_sec = timed(
+        "fused_join_cut_rollup", lambda: full_pipeline_fused(SF_DIR)
+    )
     n_tiles = len(df)
-    joined_rows = int(df[df["tm_id"] == df["tm_id"].max()]["n"].sum())
+    pieces = int(df["n_pieces"].sum())
     extras["tiles_per_sec"] = round(n_tiles / headline_sec, 1)
-    extras["joined_rows_per_sec"] = round(joined_rows / headline_sec, 1)
+    extras["joined_rows_per_sec"] = round(pieces / headline_sec, 1)
+    timed("flagship_tile_counts", lambda: tile_counts(SF_DIR))
 
     timed("tile_assign_z8", lambda: q_tile_assign(SF_DIR, 8))
     timed("pip_join_rect", lambda: q_pip_join_rect(SF_DIR))
@@ -142,7 +147,7 @@ def run_headline_only() -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
     import pyarrow.parquet as pq
 
-    from texel_ray.pipelines.flagship import tile_counts
+    from texel_ray.pipelines.flagship import full_pipeline_fused
     from texel_ray.sources.images import (
         ensure_images_for_sf_dir,
         images_parquet_path,
@@ -151,19 +156,21 @@ def run_headline_only() -> dict:
 
     ensure_images_for_sf_dir(SF_DIR)
     pq.read_table(images_parquet_path(SF_DIR), columns=["image_id"])
+    epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
     t0 = time.perf_counter()
-    df = tile_counts(SF_DIR).to_pandas()
+    df = full_pipeline_fused(SF_DIR, epochs=epochs).to_pandas()
     dt = time.perf_counter() - t0
-    joined = int(df[df["tm_id"] == df["tm_id"].max()]["n"].sum())
+    pieces = int(df["n_pieces"].sum())
     ray.shutdown()
     return {
-        "metric": "flagship headline",
+        "metric": "fused join+cut+rollup headline",
         "value": round(dt, 3),
         "unit": "sec",
         "sf": sf_of_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "epochs": epochs,
         "tiles_per_sec": round(len(df) / dt, 1),
-        "joined_rows_per_sec": round(joined / dt, 1),
+        "joined_rows_per_sec": round(pieces / dt, 1),
     }
 
 

@@ -46,7 +46,7 @@ def _tile_sql(zoom: int) -> dict[str, str]:
 def images_sql_source() -> str:
     """The sf0.01 images table as a DuckDB relation (driver compares at sf0.01)."""
     path = images_src.images_parquet_path("/root/testdata/sf0.01")
-    return f"read_parquet('{path}')"
+    return f"read_parquet('{path}/*.parquet')"
 
 
 def regions_sql_source() -> str:
@@ -123,7 +123,7 @@ def q_pip_join_rect(sf_dir: str):
         fn_constructor_kwargs={"regions": rect, "keep_columns": []},
         batch_format="pyarrow",
         batch_size=16384,
-        concurrency=(1, 8),
+        concurrency=(2, 16),
     )
     from ..stages.agg import partial_count_groupby
 
@@ -156,7 +156,7 @@ def q_pip_join_poly(sf_dir: str):
         fn_constructor_kwargs={"keep_columns": []},
         batch_format="pyarrow",
         batch_size=16384,
-        concurrency=(1, 8),
+        concurrency=(2, 16),
     )
     from ..stages.agg import partial_count_groupby
 

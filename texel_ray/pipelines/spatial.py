@@ -139,7 +139,7 @@ def write_tiles(sf_dir: str, out_dir: str, zooms: tuple[int, ...] = (4, 8)):
         },
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(2, 8),
+        concurrency=(2, 16),
     )
     ds = ds.map_batches(
         lambda b: encode_tiles(

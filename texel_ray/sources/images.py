@@ -84,8 +84,10 @@ def sf_of_dir(sf_dir: str) -> float:
 
 
 def images_parquet_path(sf_dir: str) -> str:
+    """Directory of parquet shards (the Lance-fragment model: parallel
+    reads, per-fragment lineage)."""
     name = pathlib.Path(sf_dir).name or "default"
-    return str(DATA_DIR / f"images_{name}.parquet")
+    return str(DATA_DIR / f"images_{name}")
 
 
 def _make_batch(start: int, n: int, rng: np.random.Generator) -> pa.RecordBatch:
@@ -144,20 +146,22 @@ def _make_batch(start: int, n: int, rng: np.random.Generator) -> pa.RecordBatch:
 def generate_images_parquet(
     path: str, n_rows: int, seed: int = 42, batch_rows: int = 20_000
 ) -> str:
-    """Write the deterministic images table to parquet (idempotent)."""
+    """Write the deterministic images table as a directory of parquet
+    shards (idempotent; one shard per generation batch so reads
+    parallelize like Lance fragments)."""
     p = pathlib.Path(path)
     if p.exists():
         return str(p)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.with_suffix(".tmp")
+    tmp = p.with_name(p.name + ".tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    writer = pq.ParquetWriter(tmp, SCHEMA)
-    try:
-        for start in range(0, n_rows, batch_rows):
-            n = min(batch_rows, n_rows - start)
-            writer.write_batch(_make_batch(start, n, rng))
-    finally:
-        writer.close()
+    for shard, start in enumerate(range(0, n_rows, batch_rows)):
+        n = min(batch_rows, n_rows - start)
+        table = pa.Table.from_batches([_make_batch(start, n, rng)])
+        pq.write_table(table, tmp / f"part-{shard:05d}.parquet")
     os.replace(tmp, p)
     return str(p)
 
