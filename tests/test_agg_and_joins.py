@@ -1,0 +1,79 @@
+"""Tests: salted skew-safe groupby, as-of join, anti join, langid."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_salted_group_map_matches_unsalted(ray_session):
+    import ray.data
+
+    from texel_ray.stages.agg import salted_group_map
+
+    rng = np.random.default_rng(3)
+    # heavy skew: 80% of rows share one key
+    keys = np.where(rng.random(20000) < 0.8, 7, rng.integers(0, 50, 20000))
+    vals = rng.integers(0, 1000, 20000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [int(g["k"].iloc[0])], "s": [int(g["v"].sum())], "n": [len(g)]}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [int(g["k"].iloc[0])], "s": [int(g["s"].sum())], "n": [int(g["n"].sum())]}
+        )
+
+    out = (
+        salted_group_map(ds, "k", per_group, merge, hot_keys={7}, salt=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k")
+        .agg(s=("v", "sum"), n=("v", "count"))
+        .reset_index()
+    )
+    assert (out["k"].to_numpy() == expect["k"].to_numpy()).all()
+    assert (out["s"].to_numpy() == expect["s"].to_numpy()).all()
+    assert (out["n"].to_numpy() == expect["n"].to_numpy()).all()
+
+
+def test_langid_real_language_samples():
+    from texel_ray.stages.text import LangId
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog and runs to the hills",
+                    "der Hund ist ein treuer Freund und das Leben ist schoen mit ihm",
+                    "le chat est sur la table et il regarde les oiseaux pour le plaisir",
+                    "el perro es un animal muy fiel y la vida es bella por la manana",
+                    "这是一个中文句子",
+                ]
+            ),
+        }
+    )
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_asof_join_reference(ray_session):
+    from texel_ray.pipelines.relational import q_asof_join
+
+    df = q_asof_join("/root/testdata/sf0.001").to_pandas()
+    assert set(df.columns) == {"event_id", "user_id", "purchase_event_id", "lag_us"}
+    assert (df["lag_us"] >= 0).all()
+    # every purchase event matches itself with lag 0
+    selfm = df[df["event_id"] == df["purchase_event_id"]]
+    assert (selfm["lag_us"] == 0).all() and len(selfm) > 0

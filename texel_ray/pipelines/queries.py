@@ -228,6 +228,8 @@ QUERIES = {
     "tumbling_events": relational.q_tumbling_events,
     "sessionize": relational.q_sessionize,
     "event_props_extract": relational.q_event_props_extract,
+    "asof_join": relational.q_asof_join,
+    "anti_join_lineitem": relational.q_anti_join_lineitem,
 }
 
 ORACLE_SQL = {
@@ -246,4 +248,6 @@ ORACLE_SQL = {
     "tumbling_events": relational.SQL_TUMBLING_EVENTS,
     "sessionize": relational.SQL_SESSIONIZE,
     "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
+    "asof_join": relational.SQL_ASOF_JOIN,
+    "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
 }

@@ -234,6 +234,107 @@ GROUP BY 1
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: for every event, the most recent prior-or-equal
+    'purchase' event of the same user. Sorted merge_asof per user group
+    (groupby(user_id).map_groups) — the guide's bucketed as-of pattern.
+
+    Output: one row per event that has a prior purchase, with the lag in
+    microseconds (integer, deterministic).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "purchase_event_id": pd.Series([], dtype="int64"),
+            "lag_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def asof_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["__ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        purchases = g[g["event_type"] == "purchase"]
+        if purchases.empty:
+            return empty
+        right = pd.DataFrame(
+            {
+                "purchase_event_id": purchases["event_id"].to_numpy(),
+                "p_ts_us": purchases["__ts_us"].to_numpy(),
+                "__ts_us": purchases["__ts_us"].to_numpy(),
+            }
+        )
+        merged = pd.merge_asof(
+            g[["event_id", "user_id", "__ts_us"]],
+            right,
+            on="__ts_us",
+            direction="backward",
+        ).dropna(subset=["purchase_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "purchase_event_id": merged["purchase_event_id"].astype("int64"),
+                "lag_us": (merged["__ts_us"] - merged["p_ts_us"]).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof_per_user, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id, user_id, purchase_event_id, lag_us FROM (
+    SELECT e.event_id, e.user_id,
+           last_value(CASE WHEN e.event_type = 'purchase' THEN e.event_id END IGNORE NULLS)
+               OVER w AS purchase_event_id,
+           epoch_us(e.ts) - last_value(CASE WHEN e.event_type = 'purchase' THEN epoch_us(e.ts) END IGNORE NULLS)
+               OVER w AS lag_us
+    FROM events e
+    WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id ROWS UNBOUNDED PRECEDING)
+)
+WHERE purchase_event_id IS NOT NULL
+"""
+
+
+def q_anti_join_lineitem(sf_dir: str):
+    """Broadcast anti join: lineitems NOT supplied by high-balance
+    suppliers (s_acctbal > 5000), counted per return flag.
+
+    The excluded key set is small -> collected once and broadcast into a
+    vectorized np.isin filter (no shuffle; a Bloom filter takes this to
+    billions of keys)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import partial_count_groupby
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    rich = supp.filter(pa.compute.greater(supp["s_acctbal"], 5000.0))[
+        "s_suppkey"
+    ].to_numpy()
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = ~np.isin(batch["l_suppkey"].to_numpy(zero_copy_only=False), rich)
+        return batch.filter(pa.array(keep)).select(["l_returnflag"])
+
+    ds = ds.map_batches(anti, batch_format="pyarrow")
+    return partial_count_groupby(ds, ["l_returnflag"], alias="n", coalesce=4)
+
+
+SQL_ANTI_JOIN_LINEITEM = """
+SELECT l_returnflag, count(*) AS n
+FROM lineitem l
+WHERE NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 5000.0
+)
+GROUP BY 1
+"""
+
+
 def q_event_props_extract(sf_dir: str):
     """JSON-ish scalar extraction (regexp) + aggregate: sum of props.k per
     event_type."""

@@ -68,3 +68,40 @@ def partial_sum_groupby(
 def partial_count_groupby(ds, keys: list[str], alias: str = "n", coalesce: int = 16):
     """Distributed count-per-key with per-batch combining."""
     return partial_sum_groupby(ds, keys, [], count_alias=alias, coalesce=coalesce)
+
+
+def salted_group_map(
+    ds,
+    key: str,
+    fn,
+    merge_fn,
+    hot_keys: set | None = None,
+    salt: int = 8,
+    batch_format: str = "pandas",
+):
+    """Skew-safe groupby().map_groups: hot keys are split into `salt`
+    sub-groups (``__salt = hash(row) % salt``), ``fn`` runs per
+    (key, salt) sub-group, and ``merge_fn`` combines the sub-results per
+    key in a second, tiny pass. Non-hot keys keep salt 0 (single group).
+
+    Use when per-group work is heavy and a few keys dominate (dense urban
+    tiles): without salting, the one worker holding the hot key becomes
+    the straggler. `fn` must be decomposable (its merge is `merge_fn`).
+    If `hot_keys` is None every key is salted (uniform decomposition).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if hot_keys is None:
+            salts = np.arange(n, dtype=np.int64) % salt
+        else:
+            keys_np = batch[key].to_numpy(zero_copy_only=False)
+            is_hot = np.isin(keys_np, np.array(list(hot_keys)))
+            salts = np.where(is_hot, np.arange(n, dtype=np.int64) % salt, 0)
+        return batch.append_column("__salt", pa.array(salts))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partial = salted.groupby([key, "__salt"]).map_groups(fn, batch_format=batch_format)
+    return partial.groupby(key).map_groups(merge_fn, batch_format=batch_format)
