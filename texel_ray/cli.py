@@ -65,7 +65,13 @@ def cmd_snap(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data
 
-    ds = ray.data.read_parquet(args.source)
+    if args.source.endswith(".gpkg"):
+        from .sources.gpkg import list_tables, read_gpkg
+
+        table = args.table or list_tables(args.source)[0].name
+        ds = read_gpkg(args.source, table)
+    else:
+        ds = ray.data.read_parquet(args.source)
     snapped = snap_dataset(
         ds,
         args.tms,
@@ -99,7 +105,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("snap", help="snap a polygon table to the tile grid")
-    ps.add_argument("-s", "--source", required=True, help="input parquet of WKB features")
+    ps.add_argument(
+        "-s", "--source", required=True, help="input parquet dir/file or .gpkg"
+    )
+    ps.add_argument("--table", default=None, help="gpkg table (default: first)")
     ps.add_argument("-t", "--target", required=True, help="output directory")
     ps.add_argument("--tms", default="WebMercatorQuad")
     ps.add_argument("-z", "--zooms", default="8", help="comma-separated zoom list")

@@ -256,6 +256,71 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users per event type: per-batch mergeable
+    sketches -> tiny merge (no raw-key shuffle, unlike exact distinct).
+    Rows-only check; error bound pinned by pytest vs exact counts."""
+    import pandas as pd
+
+    from ..stages.sketch import hll_merge_estimate, hll_partials
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    partials = ds.map_batches(
+        lambda b: hll_partials(b, "user_id", "event_type"), batch_format="pyarrow"
+    )
+    rows = [
+        (r["group"], r["sketch"]) for r in partials.take_all()
+    ]
+    est = hll_merge_estimate(rows)
+    return pd.DataFrame(
+        {
+            "event_type": sorted(est),
+            "n_users_approx": [int(round(est[g])) for g in sorted(est)],
+        }
+    )
+
+
+def q_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10, nprobe: int = 4):
+    """IVF-accelerated ANN: coarse-quantize the corpus (broadcast
+    centroids trained on a driver sample), probe nprobe lists per query.
+    Rows-only; recall vs brute force pinned by pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import IVFIndexer, IVFTopK, _stack_embeddings, finalize_topk
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = _stack_embeddings(head["embedding"].slice(0, 256))
+    centroids = IVFIndexer.train(sample, k=8)
+    q = _stack_embeddings(head["embedding"]. slice(0, n_queries))
+    qids = head["vec_id"].to_numpy()[:n_queries]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        IVFIndexer,
+        fn_constructor_kwargs={"centroids": centroids},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    ds = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "centroids": centroids,
+            "queries": q,
+            "query_ids": qids,
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    out = finalize_topk(ds, k=k)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 # ---- multimodal (image payload) stages ------------------------------------
 
 

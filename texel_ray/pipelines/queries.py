@@ -210,8 +210,10 @@ QUERIES = {
     "minhash_neardup": mlprep.q_minhash_neardup,
     "simhash_neardup": mlprep.q_simhash_neardup,
     "embedding_neardup": mlprep.q_embedding_neardup,
-    # similarity search
+    # similarity search + sketches
     "ann_topk": mlprep.q_ann_topk,
+    "ivf_topk": mlprep.q_ivf_topk,
+    "approx_distinct": mlprep.q_approx_distinct,
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
     "image_embed_neardup": mlprep.q_image_embed_neardup,

@@ -90,6 +90,91 @@ def finalize_topk(ds, k: int = 10, id_col: str = "vec_id"):
     return ds.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+class IVFIndexer:
+    """IVF (inverted-file) coarse quantizer: assign each vector to its
+    nearest of K centroids (broadcast, trained once on a sample with a few
+    Lloyd iterations). Search probes only the `nprobe` nearest centroid
+    lists — the classic trade of recall for a K/nprobe candidate cut.
+    """
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.centroids = normalize_rows(np.asarray(centroids, dtype=np.float64)).T
+        self.vec_col = vec_col
+
+    @staticmethod
+    def train(sample: np.ndarray, k: int = 16, iters: int = 5, seed: int = 42):
+        """Deterministic mini-kmeans on a driver-side sample."""
+        rng = np.random.default_rng(seed)
+        sample = normalize_rows(np.asarray(sample, dtype=np.float64))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = normalize_rows(centroids)
+        return centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
+        lists = np.argmax(m @ self.centroids, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+class IVFTopK(BruteForceTopK):
+    """Brute-force scoring restricted to the queries' nprobe nearest IVF
+    lists: batches are pre-partitioned by ivf_list; each actor scores a
+    batch only against the queries probing that list."""
+
+    def __init__(self, centroids, queries, query_ids, k=10, nprobe=4, **kw):
+        super().__init__(queries, query_ids, k=k, **kw)
+        c = normalize_rows(np.asarray(centroids, dtype=np.float64))
+        sims = self.q.T @ c.T  # (nq, K)
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.queries_for_list: dict[int, np.ndarray] = {}
+        for qi in range(order.shape[0]):
+            for li in order[qi]:
+                self.queries_for_list.setdefault(int(li), []).append(qi)
+        self.queries_for_list = {
+            k_: np.asarray(v) for k_, v in self.queries_for_list.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for li in np.unique(lists):
+            qidx = self.queries_for_list.get(int(li))
+            if qidx is None:
+                continue
+            rows = np.nonzero(lists == li)[0]
+            sims = m[rows] @ self.q[:, qidx]  # (n_rows, n_q_probing)
+            k = min(self.k, len(rows))
+            part = np.argpartition(-sims, k - 1, axis=0)[:k]
+            for j, qi in enumerate(qidx):
+                sel = rows[part[:, j]]
+                out_q.append(np.full(len(sel), self.query_ids[qi]))
+                out_v.append(ids[sel])
+                out_s.append(sims[part[:, j], j])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
 class LSHBucketer:
     """Signed-random-projection bucket ids for ANN / near-dup blocking."""
 
