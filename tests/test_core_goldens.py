@@ -117,9 +117,19 @@ def test_to_native_goldens():
 
 
 def test_is_quadtree_builtin():
-    for name in ("WebMercatorQuad", "NetherlandsRDNewQuad"):
+    # all 7 quadtree grids of the public registry (the reference's
+    # IsQuadTree accepts exactly these; pointindex_test.go:551-592)
+    for name in (
+        "WebMercatorQuad",
+        "NetherlandsRDNewQuad",
+        "EuropeanETRS89_LAEAQuad",
+        "NZTM2000Quad",
+        "UPSAntarcticWGS84Quad",
+        "UPSArcticWGS84Quad",
+        "WorldMercatorWGS84Quad",
+    ):
         ok, reason = builtin_tms(name).is_quadtree()
-        assert ok, reason
+        assert ok, f"{name}: {reason}"
 
 
 def test_deviation_stats():

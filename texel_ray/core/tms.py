@@ -291,28 +291,76 @@ def load_tms_json(doc: dict | str) -> TileMatrixSet:
     return TileMatrixSet(id=doc.get("id", "custom"), crs=crs or "", tile_matrices=tms)
 
 
+# Public OGC tile-matrix-set registry constants for the quadtree grids
+# (non-quadtree registry grids are out of scope for the snap kernel, as in
+# the reference's IsQuadTree preflight). Origins are in XY order.
+_BUILTIN_QUADTREE_TMS = {
+    "WebMercatorQuad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/3857",
+        origin=(-20037508.3427892, 20037508.3427892),
+        cell0=156543.033928041,
+        depth=24,
+        scale0=559082264.028717,
+    ),
+    "NetherlandsRDNewQuad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/28992",
+        origin=(-285401.92, 903401.92),
+        cell0=3440.64,
+        depth=16,
+        scale0=12288000.0,
+    ),
+    "EuropeanETRS89_LAEAQuad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/3035",
+        origin=(2000000.0, 5500000.0),  # registry lists Y,X order
+        cell0=17578.125,
+        depth=15,
+        scale0=62779017.857142866,
+    ),
+    "NZTM2000Quad": dict(
+        crs="urn:ogc:def:crs:EPSG::2193",
+        origin=(-3260586.7284, 10438190.1652),  # registry lists Y,X order
+        cell0=39135.75848201011,
+        depth=21,
+        scale0=139770566.0071794,
+    ),
+    "UPSAntarcticWGS84Quad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/5042",
+        origin=(-14440759.350252, 18440759.350252),
+        cell0=128443.4324,
+        depth=24,
+        scale0=458726544.4,
+    ),
+    "UPSArcticWGS84Quad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/5041",
+        origin=(-14440759.350252, 18440759.350252),
+        cell0=128443.4324,
+        depth=24,
+        scale0=458726544.4,
+    ),
+    "WorldMercatorWGS84Quad": dict(
+        crs="http://www.opengis.net/def/crs/EPSG/0/3395",
+        origin=(-20037508.3427892, 20037508.3427892),
+        cell0=156543.033928041,
+        depth=24,
+        scale0=559082264.028717,
+    ),
+}
+
+
 @lru_cache(maxsize=None)
 def builtin_tms(name: str) -> TileMatrixSet:
     """Built-in grids from public OGC tile-matrix-set registry constants."""
-    if name == "WebMercatorQuad":
-        return make_quadtree_tms(
-            "WebMercatorQuad",
-            "http://www.opengis.net/def/crs/EPSG/0/3857",
-            (-20037508.3427892, 20037508.3427892),
-            156543.033928041,
-            depth=24,
-            z0_scale_denominator=559082264.028717,
-        )
-    if name == "NetherlandsRDNewQuad":
-        return make_quadtree_tms(
-            "NetherlandsRDNewQuad",
-            "http://www.opengis.net/def/crs/EPSG/0/28992",
-            (-285401.92, 903401.92),
-            3440.64,
-            depth=16,
-            z0_scale_denominator=12288000.0,
-        )
-    raise KeyError(f"unknown builtin TMS: {name}")
+    spec = _BUILTIN_QUADTREE_TMS.get(name)
+    if spec is None:
+        raise KeyError(f"unknown builtin TMS: {name}")
+    return make_quadtree_tms(
+        name,
+        spec["crs"],
+        spec["origin"],
+        spec["cell0"],
+        depth=spec["depth"],
+        z0_scale_denominator=spec["scale0"],
+    )
 
 
 # WebMercator forward projection (EPSG:3857), for lon/lat geotag columns.
