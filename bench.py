@@ -86,6 +86,7 @@ def run_benchmarks() -> dict:
     timed("dedup_exact", lambda: q_dedup_exact(SF_DIR))
     timed("tilecut_z13", lambda: spatial.q_tilecut(SF_DIR))
     timed("snap_regions", lambda: spatial.q_snap_regions(SF_DIR))
+    timed("snap_throughput_x40", lambda: spatial.snap_throughput(SF_DIR))
     timed("minhash_neardup", lambda: mlprep.q_minhash_neardup(SF_DIR))
     timed("ann_topk", lambda: mlprep.q_ann_topk(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))

@@ -206,11 +206,13 @@ class PointIndex:
             or deepest_y > self.deepest_size - 1
         ):
             raise OutsideGridError(deepest_x, deepest_y, self.deepest_size)
+        # morton(x>>s, y>>s) == morton(x, y) >> 2s: interleave once
+        z_deepest = morton.to_z(deepest_x, deepest_y)
         for level in range(self.deepest_level + 1):
             shift = self.deepest_level - level
             x = deepest_x >> shift
             y = deepest_y >> shift
-            z = morton.to_z(x, y)
+            z = z_deepest >> (2 * shift)
             level_map = self.quadrants.setdefault(level, {})
             level_map[z] = self._quadrant_extent_and_centroid(level, x, y)
 
@@ -265,10 +267,11 @@ class PointIndex:
             level_quadrants = self.quadrants.get(level, {})
             intersected = []
             for parent_ext, parent_centroid, parent_z in parents:
-                px, py = morton.from_z(parent_z)
+                # child quadrant q of parent z has key (z << 2) | q
+                base = parent_z << 2
                 with_points = {}
                 for q in range(4):
-                    z = morton.to_z(px * 2 + (q & _RIGHT), py * 2 + ((q & _TOP) >> 1))
+                    z = base | q
                     quad = level_quadrants.get(z)
                     if quad is not None:
                         with_points[q] = (quad[0], quad[1], z)

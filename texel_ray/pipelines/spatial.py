@@ -85,6 +85,47 @@ def q_snap_regions(sf_dir: str, zooms: tuple[int, ...] = (6, 10)):
     return snapped.map_batches(summarize, batch_format="pyarrow")
 
 
+def snap_throughput(sf_dir: str, copies: int = 40, zooms: tuple[int, ...] = (6, 10)):
+    """Snap-kernel throughput at volume: the region polygon corpus
+    replicated `copies` times (translated by multiples of 0.5 degrees so
+    every copy is distinct work), snapped at several zooms. Returns the
+    per-(tm_id) output row counts — consumption forces the full snap."""
+    import ray.data
+
+    from ..sources.regions import generate_regions_table
+    from ..stages.agg import partial_count_groupby
+    from ..stages.snap_stage import snap_dataset
+
+    base = generate_regions_table()
+    tables = []
+    for c in range(copies):
+        dx = (c % 8) * 0.5 - 2.0
+        dy = (c // 8) * 0.25 - 1.0
+        shifted = []
+        for buf in base["geom_wkb"].to_pylist():
+            kind, coords = wkb_decode(buf)
+            if kind == "Polygon":
+                shifted.append(
+                    wkb_encode_polygon(
+                        [[(x + dx, y + dy) for x, y in ring] for ring in coords]
+                    )
+                )
+            else:
+                shifted.append(buf)
+        tables.append(
+            pa.table(
+                {
+                    "region_id": pa.compute.add(base["region_id"], c * 1000),
+                    "geom_wkb": pa.array(shifted, pa.binary()),
+                }
+            )
+        )
+    ds = ray.data.from_arrow(pa.concat_tables(tables)).repartition(32)
+    ds = ds.map_batches(project_wkb_to_mercator, batch_format="pyarrow")
+    snapped = snap_dataset(ds, "WebMercatorQuad", zooms, keep_points_and_lines=True)
+    return partial_count_groupby(snapped, ["tm_id"], alias="n_features", coalesce=4)
+
+
 def q_tilecut(sf_dir: str, zoom: int = 13):
     """Cut image rasters along the z13 tile grid; per-tile piece stats.
 
