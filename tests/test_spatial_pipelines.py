@@ -125,3 +125,32 @@ def test_project_wkb_roundtrip():
     assert kind == "Polygon"
     xs = [p[0] for p in coords[0]]
     assert max(xs) == pytest.approx(111319.49079327357)
+
+
+def test_vector_tile_cutting_partitions_area():
+    from texel_ray.pipelines.spatial import project_wkb_to_mercator
+    from texel_ray.sources.regions import generate_regions_table
+    from texel_ray.stages.vectorcut import VectorTileCutter, clipped_area
+    from texel_ray.core.geom import wkb_decode
+    from texel_ray.core.geom import shoelace
+
+    regions = generate_regions_table()
+    batch = project_wkb_to_mercator(
+        regions.select(["region_id", "geom_wkb"])
+    )
+    cutter = VectorTileCutter("WebMercatorQuad", zoom=6)
+    out = cutter(batch)
+    assert out.num_rows > batch.num_rows  # big rects span several tiles
+    # clipped pieces partition each polygon: areas sum to the original
+    areas: dict[int, float] = {}
+    for i in range(out.num_rows):
+        rid = out["region_id"][i].as_py()
+        areas[rid] = areas.get(rid, 0.0) + clipped_area(out["geom_wkb"][i].as_py())
+    for i in range(batch.num_rows):
+        rid = batch["region_id"][i].as_py()
+        kind, coords = wkb_decode(batch["geom_wkb"][i].as_py())
+        if kind != "Polygon":
+            continue
+        original = shoelace(coords[0])
+        if rid in areas and original > 0:
+            assert abs(areas[rid] - original) / original < 1e-9, rid

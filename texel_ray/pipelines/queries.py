@@ -198,6 +198,7 @@ QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
     "tilecut_z13": spatial.q_tilecut,
+    "vector_tilecut": spatial.q_vector_tilecut,
     # spatial: tiling + joins + kNN
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),

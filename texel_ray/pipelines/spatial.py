@@ -162,6 +162,53 @@ def q_tilecut(sf_dir: str, zoom: int = 13):
     )
 
 
+def q_vector_tilecut(sf_dir: str, zoom: int = 6):
+    """Vector tile cutting: snap region polygons, clip to tile boundaries,
+    per-tile feature counts + integer-truncated clipped area (m^2).
+    Snap -> clip is the full reference-style vector-tile preprocessing
+    chain; area partitioning is pinned by pytest."""
+    import ray.data
+
+    from ..sources.regions import regions_parquet_path
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.snap_stage import snap_dataset
+    from ..stages.vectorcut import VectorTileCutter, clipped_area
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "geom_wkb"]
+    )
+    ds = ds.map_batches(project_wkb_to_mercator, batch_format="pyarrow")
+    snapped = snap_dataset(ds, "WebMercatorQuad", (zoom,), keep_points_and_lines=False)
+    clipped = snapped.map_batches(
+        VectorTileCutter,
+        fn_constructor_kwargs={"tms": "WebMercatorQuad", "zoom": zoom},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def to_area(batch: pa.Table) -> pa.Table:
+        areas = np.array(
+            [clipped_area(b) for b in batch["geom_wkb"].to_pylist()], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "tm_id": batch["tm_id"],
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "area_m2": pa.array(np.trunc(areas).astype(np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        clipped.map_batches(to_area, batch_format="pyarrow"),
+        ["tm_id", "tile_x", "tile_y"],
+        ["area_m2"],
+        count_alias="n_features",
+        coalesce=4,
+    )
+
+
 def write_tiles(sf_dir: str, out_dir: str, zooms: tuple[int, ...] = (4, 8)):
     """End-to-end resumable tile write: PIP-joined tile rows, partitioned
     by tm_id with per-partition lineage records (see state/manifest.py)."""
