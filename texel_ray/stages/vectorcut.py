@@ -89,7 +89,12 @@ class VectorTileCutter:
         return (x0, y0, x0 + self.tile_span, y0 + self.tile_span)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        carry = [c for c in batch.column_names if c != "geom_wkb"]
+        # replace any upstream tile columns (e.g. the snap stage's tm_id)
+        carry = [
+            c
+            for c in batch.column_names
+            if c not in ("geom_wkb", "tm_id", "tile_x", "tile_y")
+        ]
         out_idx, out_tx, out_ty, out_wkb = [], [], [], []
         for i, buf in enumerate(batch["geom_wkb"].to_pylist()):
             kind, coords = wkb_decode(buf)
