@@ -94,3 +94,30 @@ def test_gpkg_snap_pipeline(sample_gpkg, ray_session):
     # 2 polygons + 1 point passthrough, each on 2 zooms (unless collapsed)
     assert set(df["tm_id"]) == {2, 4}
     assert len(df) >= 4
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/example/example.gpkg"),
+    reason="reference example.gpkg not present",
+)
+def test_read_real_world_gpkg(ray_session):
+    """Read a real GeoPackage produced by standard GIS tooling (the
+    reference repo's demo file) and run the snap pipeline over it."""
+    path = "/root/reference/example/example.gpkg"
+    tables = {t.name: t for t in list_tables(path)}
+    assert {"polygons", "points", "lines"} <= set(tables)
+    assert tables["polygons"].srs_id in (28992, 3857)
+    polys = read_table_arrow(path, tables["polygons"])
+    assert polys.num_rows == 6
+    kinds = {wkb_decode(b)[0] for b in polys["geom_wkb"].to_pylist()}
+    assert kinds <= {"Polygon", "MultiPolygon"}
+
+    from texel_ray.stages.snap_stage import snap_dataset
+
+    # the demo file's coordinates are in WebMercator range
+    ds = read_gpkg(path, "polygons").select_columns(["fid", "geom_wkb"])
+    snapped = snap_dataset(
+        ds, "WebMercatorQuad", (5, 9), keep_points_and_lines=True
+    ).to_pandas()
+    assert set(snapped["tm_id"]) == {5, 9}
+    assert len(snapped) >= 6  # every polygon survives on at least one zoom
