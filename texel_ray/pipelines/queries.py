@@ -226,6 +226,8 @@ QUERIES = {
     # relational / windows
     "agg_pricing": relational.q_agg_pricing,
     "join_mktsegment": relational.q_join_mktsegment,
+    "join_part_brand": relational.q_join_part_brand,
+    "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
     "tumbling_events": relational.q_tumbling_events,
@@ -246,6 +248,8 @@ ORACLE_SQL = {
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "agg_pricing": relational.SQL_AGG_PRICING,
     "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
+    "join_part_brand": relational.SQL_JOIN_PART_BRAND,
+    "label_stats": relational.SQL_LABEL_STATS,
     "topk_orders": relational.SQL_TOPK_ORDERS,
     "distinct_users": relational.SQL_DISTINCT_USERS,
     "tumbling_events": relational.SQL_TUMBLING_EVENTS,

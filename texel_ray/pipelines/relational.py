@@ -284,6 +284,87 @@ def q_asof_join(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof_per_user, batch_format="pandas")
 
 
+def q_join_part_brand(sf_dir: str):
+    """Broadcast join lineitem x part: quantity cents per brand."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    keys = part["p_partkey"].to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        matched = keys[pos] == pk
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": pa.array(brands[pos][matched].tolist(), pa.string()),
+                "qty_cents": pa.array(
+                    np.trunc(qty[matched] * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    from ..stages.agg import partial_sum_groupby
+
+    return partial_sum_groupby(
+        ds.map_batches(join, batch_format="pyarrow"),
+        ["p_brand"],
+        ["qty_cents"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_JOIN_PART_BRAND = """
+SELECT p.p_brand AS p_brand,
+       CAST(sum(CAST(trunc(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
+       count(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+def q_label_stats(sf_dir: str):
+    """Embedding metadata aggregate: per label, count + integer-truncated
+    sum of the first embedding dimension (list-column access, deterministic
+    int sums on both sides)."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.similarity import _stack_embeddings
+
+        m = _stack_embeddings(batch["embedding"])
+        first_scaled = np.trunc(m[:, 0] * 1000000.0).astype(np.int64)
+        return pa.table(
+            {"label": batch["label"], "dim0_sum": pa.array(first_scaled)}
+        )
+
+    from ..stages.agg import partial_sum_groupby
+
+    return partial_sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"],
+        ["dim0_sum"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_LABEL_STATS = """
+SELECT label,
+       CAST(sum(CAST(trunc(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS dim0_sum,
+       count(*) AS n
+FROM embeddings
+GROUP BY 1
+"""
+
+
 SQL_ASOF_JOIN = """
 SELECT event_id, user_id, purchase_event_id, lag_us FROM (
     SELECT e.event_id, e.user_id,
