@@ -81,10 +81,20 @@ def cmd_snap(args) -> int:
         reverse_winding_order=args.reverse_winding_order,
         geom_col=args.geom_column,
     )
+    n_in = ds.count()
     written, skipped = resumable_write(
         snapped, args.target, partition_col="tm_id", inputs=[args.source]
     )
-    print(f"snap: wrote partitions {written}, skipped (already done) {skipped}")
+    from .state.manifest import Manifest
+
+    per_zoom = {
+        rec["key"]["tm_id"]: rec["rows"] for rec in Manifest(args.target).completed().values()
+    }
+    print(
+        f"snap: {n_in} input features -> rows per zoom {per_zoom} "
+        f"(features dropped by collapse/outside-grid are absent); "
+        f"wrote partitions {written}, skipped (already done) {skipped}"
+    )
     return 0
 
 
