@@ -92,6 +92,17 @@ def run_benchmarks() -> dict:
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
 
+    def _shuffle():
+        from texel_ray.sources.images import read_images
+
+        return (
+            read_images(SF_DIR, columns=["image_id", "bytes"])
+            .random_shuffle(seed=42)
+            .count()
+        )
+
+    timed("random_shuffle_payload", _shuffle, consume=None)
+
     ray.shutdown()
     return {
         "metric": "tiles/sec + joined rows/sec on the synthetic image+caption table",

@@ -256,6 +256,70 @@ def q_ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_train_test_split(sf_dir: str, test_frac_pct: int = 10):
+    """Deterministic hash-based train/test split of the documents table:
+    split = 'test' iff (doc_id * 2654435761) % 100 < pct (Knuth
+    multiplicative hash — stable everywhere, no RNG state). Counts +
+    integer char sums per split."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (doc_id * np.uint64(2654435761)) % np.uint64(100)
+        labels = np.where(bucket < test_frac_pct, "test", "train")
+        return pa.table(
+            {
+                "split": pa.array(labels.tolist(), pa.string()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(split, batch_format="pyarrow"),
+        ["split"],
+        ["n_chars"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = """
+SELECT CASE WHEN (CAST(doc_id AS UBIGINT) * 2654435761) % 100 < 10
+            THEN 'test' ELSE 'train' END AS split,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       count(*) AS n
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_stratified_sample(sf_dir: str, pct: int = 20):
+    """Stratified deterministic sample: keep `pct`% of documents per
+    language (hash-bucketed, not RNG) — per-lang counts prove the strata."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (doc_id * np.uint64(0x9E3779B1)) % np.uint64(100) < pct
+        return batch.filter(pa.array(keep)).select(["lang"])
+
+    return partial_count_groupby(
+        ds.map_batches(sample, batch_format="pyarrow"), ["lang"], alias="n", coalesce=4
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, count(*) AS n
+FROM documents
+WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 100 < 20
+GROUP BY 1
+"""
+
+
 def q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users per event type: per-batch mergeable
     sketches -> tiny merge (no raw-key shuffle, unlike exact distinct).

@@ -215,6 +215,8 @@ QUERIES = {
     "ann_topk": mlprep.q_ann_topk,
     "ivf_topk": mlprep.q_ivf_topk,
     "approx_distinct": mlprep.q_approx_distinct,
+    "train_test_split": mlprep.q_train_test_split,
+    "stratified_sample": mlprep.q_stratified_sample,
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
@@ -250,6 +252,8 @@ ORACLE_SQL = {
     "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
     "join_part_brand": relational.SQL_JOIN_PART_BRAND,
     "label_stats": relational.SQL_LABEL_STATS,
+    "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
+    "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,
     "topk_orders": relational.SQL_TOPK_ORDERS,
     "distinct_users": relational.SQL_DISTINCT_USERS,
     "tumbling_events": relational.SQL_TUMBLING_EVENTS,
