@@ -229,6 +229,7 @@ QUERIES = {
     "agg_pricing": relational.q_agg_pricing,
     "join_mktsegment": relational.q_join_mktsegment,
     "join_part_brand": relational.q_join_part_brand,
+    "join_large": relational.q_join_large,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -251,6 +252,7 @@ ORACLE_SQL = {
     "agg_pricing": relational.SQL_AGG_PRICING,
     "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
     "join_part_brand": relational.SQL_JOIN_PART_BRAND,
+    "join_large": relational.SQL_JOIN_LARGE,
     "label_stats": relational.SQL_LABEL_STATS,
     "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,

@@ -284,6 +284,50 @@ def q_asof_join(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof_per_user, batch_format="pandas")
 
 
+def q_join_large(sf_dir: str, num_partitions: int = 16):
+    """Large-large hash-partitioned join via Dataset.join (both sides
+    shuffled on the key): lineitem x orders -> cent-revenue per order
+    priority. The broadcast pattern (q_join_mktsegment) covers small
+    sides; this is the genuine two-sided exchange."""
+    from ..stages.agg import partial_sum_groupby
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_cents": pa.array(
+                    np.trunc(ep * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    lineitem = lineitem.map_batches(li_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return partial_sum_groupby(
+        joined, ["o_orderpriority"], ["rev_cents"], count_alias="n", coalesce=4
+    )
+
+
+SQL_JOIN_LARGE = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def q_join_part_brand(sf_dir: str):
     """Broadcast join lineitem x part: quantity cents per brand."""
     import pyarrow.parquet as pq
