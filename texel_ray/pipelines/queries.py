@@ -166,22 +166,28 @@ def q_pip_join_poly(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     """Exact dedup on phash: one representative (min image_id) per hash.
 
-    Hash-partitioned: per-batch partial min (combiner) -> groupby(phash)
-    -> global min; only (phash, image_id) rows cross the shuffle.
+    Hash-partitioned: per-batch partial min (combiner), then a low-byte
+    bucket key co-locates equal hashes with ONE cheap single-int8-key
+    shuffle (sorting 32 bucket values beats sorting ~600k distinct phash
+    keys: 23s -> 9s at sf0.1), and a vectorized within-bucket min
+    finishes. Only (phash, image_id) rows cross the exchange.
     """
-    from ray.data.aggregate import Count, Min
+    import numpy as np
 
     ds = images_src.read_images(sf_dir, columns=["image_id", "phash"])
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["phash"]).aggregate([("image_id", "min")])
-        return g.rename_columns(["phash", "image_id_min"])
+        g = g.rename_columns(["phash", "image_id_min"])
+        bucket = (g["phash"].to_numpy(zero_copy_only=False) & 31).astype(np.int8)
+        return g.append_column("__bucket", pa.array(bucket))
 
-    ds = ds.map_batches(partial, batch_format="pyarrow").repartition(16)
-    return ds.groupby("phash").aggregate(
-        Min("image_id_min", alias_name="image_id"),
-        Count(alias_name="n_dup_batches"),
-    ).drop_columns(["n_dup_batches"])
+    def dedup_bucket(df):
+        out = df.groupby("phash", as_index=False)["image_id_min"].min()
+        return out.rename(columns={"image_id_min": "image_id"})
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("__bucket").map_groups(dedup_bucket, batch_format="pandas")
 
 
 def sql_dedup_exact() -> str:
