@@ -154,3 +154,27 @@ def test_vector_tile_cutting_partitions_area():
         original = shoelace(coords[0])
         if rid in areas and original > 0:
             assert abs(areas[rid] - original) / original < 1e-9, rid
+
+
+def test_resumable_write_replaces_crashed_partition(ray_session, tmp_path):
+    """A partition with files on disk but NO manifest record (crash
+    mid-write) must be replaced, not appended to, on rerun."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from texel_ray.state.manifest import resumable_write
+
+    ds = ray.data.from_arrow(
+        pa.table({"tm_id": pa.array([4] * 10, pa.int32()), "v": pa.array(range(10))})
+    )
+    out = tmp_path / "tiles"
+    # simulate a crashed partial write: files exist, no manifest
+    part_dir = out / "tm_id=4"
+    part_dir.mkdir(parents=True)
+    pq_.write_table(pa.table({"v": pa.array([999, 998])}), part_dir / "stale.parquet")
+
+    written, skipped = resumable_write(ds, str(out), partition_col="tm_id")
+    assert written == [4]
+    got = pq_.read_table(str(out)).to_pandas()
+    assert len(got) == 10  # stale rows replaced, not appended
+    assert 999 not in set(got["v"])

@@ -89,6 +89,16 @@ def resumable_write(
     if not pending:
         return [], skipped
 
+    # idempotent overwrite: a crash mid-partition leaves files but no
+    # manifest record; clear those partition dirs so the rerun replaces
+    # them instead of appending duplicate part files
+    import shutil
+
+    for k in pending:
+        shutil.rmtree(
+            pathlib.Path(out_dir) / f"{partition_col}={k}", ignore_errors=True
+        )
+
     value_set = pa_value_set(set(pending))
     filtered = ds.map_batches(  # vectorized partition filter
         lambda b: b.filter(pc.is_in(b[partition_col], value_set)),
