@@ -124,7 +124,13 @@ def main(argv=None) -> int:
     ps.add_argument("-z", "--zooms", default="8", help="comma-separated zoom list")
     ps.add_argument("--geom-column", default="geom_wkb")
     ps.add_argument("--keep-points-and-lines", action="store_true")
-    ps.add_argument("--ignore-outside-grid", action="store_true", default=True)
+    ps.add_argument(
+        "--ignore-outside-grid",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="skip+count outside-grid features (default); "
+        "--no-ignore-outside-grid raises instead",
+    )
     ps.add_argument("--reverse-winding-order", action="store_true")
     ps.add_argument("-o", "--overwrite", action="store_true")
     ps.add_argument("--num-cpus", type=int, default=None)

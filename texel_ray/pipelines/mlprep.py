@@ -143,9 +143,17 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     pairs = (
         survivors.groupby(["band_id", "band_hash"])[["doc_id"]]
         .apply(lambda g: bucket_pairs(g, id_col="doc_id"))
-        .reset_index(drop=True)[["id_a", "id_b"]]
-        .drop_duplicates()
+        .reset_index(drop=True)
     )
+    if pairs.empty:  # every hot bucket collapsed to a single doc
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    pairs = pairs[["id_a", "id_b"]].drop_duplicates()
     import ray.data
 
     verified = ray.data.from_pandas(pairs).map_batches(
