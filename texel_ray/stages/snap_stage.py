@@ -76,18 +76,28 @@ class SnapStage:
     def _snap_one(self, kind, coords):
         """-> (rows: {tm_id: wkb}, is_multi, outside) following the
         reference dispatch."""
+        # the kernel is always asked to raise on outside-grid so the stage
+        # can count skips exactly; when the config says don't ignore, the
+        # error propagates and fails the task (the reference's panic).
+        from dataclasses import replace
+
+        raising = replace(self.config, ignore_outside_grid=False)
         if kind == "Polygon":
             try:
-                per_tm = snap_polygon(coords, self.tms, self.tm_ids, self.config)
+                per_tm = snap_polygon(coords, self.tms, self.tm_ids, raising)
             except OutsideGridError:
+                if not self.config.ignore_outside_grid:
+                    raise
                 return {}, False, True
             return {tm: _encode_result_polygons(p) for tm, p in per_tm.items() if p}, False, False
         if kind == "MultiPolygon":
             combined: dict[int, list] = {}
             for poly in coords:
                 try:
-                    per_tm = snap_polygon(poly, self.tms, self.tm_ids, self.config)
+                    per_tm = snap_polygon(poly, self.tms, self.tm_ids, raising)
                 except OutsideGridError:
+                    if not self.config.ignore_outside_grid:
+                        raise
                     return {}, True, True
                 for tm, new_polys in per_tm.items():
                     combined.setdefault(tm, []).extend(new_polys)
