@@ -189,10 +189,13 @@ class TileMatrixSet:
         over the whole axis.
         """
         from . import fixedpoint as fp
+        from .pointindex import VECTOR_TILE_INTERNAL_PIXEL_RESOLUTION
 
         (min_x, min_y), (max_x, max_y) = self.matrix_bounding_box(0)
         root = self.tile_matrices[0]
-        level_diff = int(math.log2(root.tile_width)) + 4  # 16x internal res
+        level_diff = int(math.log2(root.tile_width)) + int(
+            math.log2(VECTOR_TILE_INTERNAL_PIXEL_RESOLUTION)
+        )
         deepest_level = deepest_tm_id + level_diff
         deepest_size = 1 << deepest_level
         int_span = fp.from_ord(max_x) - fp.from_ord(min_x)

@@ -153,6 +153,14 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
                 "jaccard": pd.Series([], dtype="float64"),
             }
         )
+    n_capped = int(pairs["capped"].sum()) if "capped" in pairs else 0
+    if n_capped:
+        # no silent caps: truncated buckets mean missed recall
+        print(
+            f"[minhash_neardup] WARNING: {n_capped} candidate pairs came from "
+            f"capped buckets (>50 docs) — recall is truncated there",
+            flush=True,
+        )
     pairs = pairs[["id_a", "id_b"]].drop_duplicates()
     import ray.data
 

@@ -254,30 +254,25 @@ def q_asof_join(sf_dir: str):
     )
 
     def asof_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # sort + forward-fill of the last purchase so far: identical to the
+        # oracle window (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+        # including same-timestamp ties, unlike a ts-only merge_asof
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["__ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
-        purchases = g[g["event_type"] == "purchase"]
-        if purchases.empty:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        is_purchase = (g["event_type"] == "purchase").to_numpy()
+        if not is_purchase.any():
             return empty
-        right = pd.DataFrame(
-            {
-                "purchase_event_id": purchases["event_id"].to_numpy(),
-                "p_ts_us": purchases["__ts_us"].to_numpy(),
-                "__ts_us": purchases["__ts_us"].to_numpy(),
-            }
-        )
-        merged = pd.merge_asof(
-            g[["event_id", "user_id", "__ts_us"]],
-            right,
-            on="__ts_us",
-            direction="backward",
-        ).dropna(subset=["purchase_event_id"])
+        p_id = pd.Series(np.where(is_purchase, g["event_id"], np.nan)).ffill()
+        p_ts = pd.Series(np.where(is_purchase, ts_us, np.nan)).ffill()
+        keep = p_id.notna().to_numpy()
         return pd.DataFrame(
             {
-                "event_id": merged["event_id"].astype("int64"),
-                "user_id": merged["user_id"].astype("int64"),
-                "purchase_event_id": merged["purchase_event_id"].astype("int64"),
-                "lag_us": (merged["__ts_us"] - merged["p_ts_us"]).astype("int64"),
+                "event_id": g["event_id"].to_numpy()[keep].astype("int64"),
+                "user_id": g["user_id"].to_numpy()[keep].astype("int64"),
+                "purchase_event_id": p_id.to_numpy()[keep].astype("int64"),
+                "lag_us": (ts_us.to_numpy()[keep] - p_ts.to_numpy()[keep]).astype(
+                    "int64"
+                ),
             }
         )
 

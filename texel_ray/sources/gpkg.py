@@ -38,6 +38,7 @@ class GpkgTable:
     geom_column: str
     geom_type: str
     srs_id: int
+    pk_column: str | None = None  # INTEGER PRIMARY KEY column (rowid alias)
 
 
 def gpkg_wkb_to_wkb(blob: bytes) -> bytes | None:
@@ -69,10 +70,17 @@ def list_tables(path: str) -> list[GpkgTable]:
         ).fetchall()
         tables = []
         for table_name, geom_col, geom_type, srs_id in rows:
-            cols = [
-                (r[1], r[2])
-                for r in con.execute(f'PRAGMA table_info("{table_name}")')
-            ]
+            info = list(con.execute(f'PRAGMA table_info("{table_name}")'))
+            cols = [(r[1], r[2]) for r in info]
+            # an INTEGER PRIMARY KEY column aliases sqlite's rowid
+            pk = next(
+                (
+                    r[1]
+                    for r in info
+                    if r[5] == 1 and (r[2] or "").upper().startswith("INT")
+                ),
+                None,
+            )
             tables.append(
                 GpkgTable(
                     name=table_name,
@@ -80,6 +88,7 @@ def list_tables(path: str) -> list[GpkgTable]:
                     geom_column=geom_col,
                     geom_type=geom_type,
                     srs_id=int(srs_id),
+                    pk_column=pk,
                 )
             )
         return tables
@@ -115,14 +124,27 @@ def read_table_arrow(path: str, table: GpkgTable | str, rowid_range=None) -> pa.
     for row in rows:
         for i, v in enumerate(row):
             cols[i].append(v)
-    # an INTEGER PRIMARY KEY column aliases rowid; drop our alias then
-    has_pk_alias = any(cols[i] == cols[0] for i in range(1, len(names)))
+
+    decl = {n: (t or "").upper() for n, t in table.columns}
+
+    def declared_type(col_name: str):
+        t = decl.get(col_name, "")
+        if t.startswith("INT") or t in ("MEDIUMINT", "BIGINT", "TINYINT"):
+            return pa.int64()
+        if t in ("REAL", "DOUBLE", "FLOAT"):
+            return pa.float64()
+        if t == "BLOB":
+            return pa.binary()
+        return pa.string()
+
     arrays = []
     out_names = []
     for i, n in enumerate(names):
         if n == "__rowid__":
-            if has_pk_alias:
-                continue  # an explicit integer pk column carries the id
+            # the INTEGER PRIMARY KEY column (if any) already carries the
+            # id; detect it from PRAGMA metadata, never from values
+            if table.pk_column is not None:
+                continue
             arrays.append(pa.array(cols[i], pa.int64()))
             out_names.append("fid")
         elif n == table.geom_column:
@@ -131,7 +153,9 @@ def read_table_arrow(path: str, table: GpkgTable | str, rowid_range=None) -> pa.
             )
             out_names.append("geom_wkb")
         else:
-            arrays.append(pa.array([_admit(v) for v in cols[i]]))
+            # pin the arrow type from the declared sqlite type so empty
+            # chunks (sparse rowids) keep a consistent schema
+            arrays.append(pa.array([_admit(v) for v in cols[i]], declared_type(n)))
             out_names.append(n)
     return pa.table(arrays, names=out_names)
 

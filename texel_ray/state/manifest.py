@@ -78,6 +78,12 @@ def resumable_write(
     manifest = Manifest(out_dir)
     done = manifest.completed()
 
+    # pin the pipeline output once: the key-count pass and the filtered
+    # write below would otherwise each re-execute the whole upstream
+    # chain (the dominant cost for compute-heavy pipelines like snap).
+    # At larger-than-memory scale, replace with a counters side-channel.
+    ds = ds.materialize()
+
     counts = {
         row[partition_col]: row["n"]
         for row in ds.groupby(partition_col)
