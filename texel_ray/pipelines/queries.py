@@ -240,6 +240,8 @@ QUERIES = {
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
     "tumbling_events": relational.q_tumbling_events,
+    "sliding_events": relational.q_sliding_events,
+    "image_resize": relational.q_image_resize,
     "sessionize": relational.q_sessionize,
     "event_props_extract": relational.q_event_props_extract,
     "asof_join": relational.q_asof_join,
@@ -265,6 +267,7 @@ ORACLE_SQL = {
     "topk_orders": relational.SQL_TOPK_ORDERS,
     "distinct_users": relational.SQL_DISTINCT_USERS,
     "tumbling_events": relational.SQL_TUMBLING_EVENTS,
+    "sliding_events": relational.SQL_SLIDING_EVENTS,
     "sessionize": relational.SQL_SESSIONIZE,
     "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
     "asof_join": relational.SQL_ASOF_JOIN,

@@ -207,6 +207,74 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_events(sf_dir: str):
+    """Sliding 2h windows stepping 1h per event type (each event lands in
+    two windows); deterministic cent sums."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.window import sliding_window_partials
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    partials = ds.map_batches(sliding_window_partials, batch_format="pyarrow")
+    out = partial_sum_groupby(
+        partials, ["event_type", "window_start"], ["n", "value_cents"], coalesce=8
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        ws = batch["window_start"].cast(pa.timestamp("us"))
+        return batch.set_column(
+            batch.column_names.index("window_start"), "window_start", ws
+        )
+
+    return out.map_batches(to_ts, batch_format="pyarrow")
+
+
+SQL_SLIDING_EVENTS = """
+SELECT event_type, window_start,
+       CAST(sum(one) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM (
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           1 AS one, CAST(trunc(value * 100.0) AS BIGINT) AS cents
+    FROM events
+    UNION ALL
+    SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+           1 AS one, CAST(trunc(value * 100.0) AS BIGINT) AS cents
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
+    """Multimodal resize stage as a pipeline: decode -> nearest-neighbor
+    resize -> re-encode; per-format count + total re-encoded bytes
+    (deterministic ints). Rows-only (SQL cannot decode)."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import ImageResizer
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        lens = np.array([len(b) for b in batch["bytes"].to_pylist()], dtype=np.int64)
+        return pa.table({"fmt": batch["fmt"], "out_bytes": pa.array(lens)})
+
+    return partial_sum_groupby(
+        ds.map_batches(sizes, batch_format="pyarrow"),
+        ["fmt"],
+        ["out_bytes"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (sorted-group streaming semantics)."""
     from ..stages.window import session_windows

@@ -75,6 +75,41 @@ def finalize_tumbling(ds, key_col: str = "event_type"):
     return out.map_batches(to_ts, batch_format="pyarrow")
 
 
+def sliding_window_partials(
+    batch: pa.Table,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_us: int = 2 * US_PER_HOUR,
+    step_us: int = US_PER_HOUR,
+) -> pa.Table:
+    """Sliding windows: each event explodes into window_us/step_us window
+    assignments (vectorized repeat), then the same partial-aggregate shape
+    as tumbling. window_start identifies the window's first step bucket."""
+    n_windows = window_us // step_us
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    base = (ts // step_us) * step_us
+    offsets = (np.arange(n_windows, dtype=np.int64) * step_us)[None, :]
+    starts = (base[:, None] - offsets).ravel()
+    keys = np.repeat(
+        np.asarray(batch[key_col].to_pylist(), dtype=object), n_windows
+    )
+    value = np.repeat(batch[value_col].to_numpy(zero_copy_only=False), n_windows)
+    cents = np.trunc(value * 100.0).astype(np.int64)
+    t = pa.table(
+        {
+            key_col: pa.array(keys.tolist(), pa.string()),
+            "window_start": pa.array(starts),
+            "n": pa.array(np.ones(len(starts), dtype=np.int64)),
+            "value_cents": pa.array(cents),
+        }
+    )
+    g = t.group_by([key_col, "window_start"]).aggregate(
+        [("n", "sum"), ("value_cents", "sum")]
+    )
+    return g.rename_columns([key_col, "window_start", "n", "value_cents"])
+
+
 def session_windows(group: pd.DataFrame, gap_us: int = 30 * 60 * 1_000_000):
     """Per-user session splitting: sort by ts, new session when the gap to
     the previous event exceeds `gap_us`. Runs inside
