@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the core kernels."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from texel_ray.core import fixedpoint as fp
+from texel_ray.core import morton
+from texel_ray.core.geom import (
+    shoelace,
+    wkb_decode,
+    wkb_encode_multipolygon,
+    wkb_encode_polygon,
+    winding_of_points,
+)
+from texel_ray.stages.vectorcut import sutherland_hodgman
+
+coord = st.floats(
+    min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, (1 << 32) - 1), st.integers(0, (1 << 32) - 1))
+def test_morton_roundtrip(x, y):
+    assert morton.from_z(morton.to_z(x, y)) == (x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(coord)
+def test_fixedpoint_roundtrip_close(x):
+    # float -> int64 -> float loses at most one fixed-point unit plus the
+    # float ulp of the scaled product (x*1e10 ~ 1e17 has ulp ~ 16)
+    assert abs(fp.to_ord(fp.from_ord(x)) - x) <= 1e-10 + abs(x) * 1e-15
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=12),
+)
+def test_wkb_polygon_roundtrip(ring):
+    # decode strips a closing point equal to the first (LinearRings
+    # semantics), so only unclosed rings round-trip verbatim
+    assume(ring[0] != ring[-1])
+    buf = wkb_encode_polygon([ring])
+    kind, coords = wkb_decode(buf)
+    assert kind == "Polygon"
+    assert coords[0] == ring
+    buf2 = wkb_encode_multipolygon([[ring], [ring]])
+    kind2, coords2 = wkb_decode(buf2)
+    assert kind2 == "MultiPolygon" and len(coords2) == 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=10),
+)
+def test_winding_reverse_flips_sign(ring):
+    w = winding_of_points(ring)
+    w_rev = winding_of_points(list(reversed(ring)))
+    # float cancellation can zero a near-degenerate sum in one direction
+    assume(shoelace(ring) > 1e-3)
+    if w != 0:
+        assert w_rev == -w
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=1, max_value=50, allow_nan=False),
+)
+def test_clip_convex_polygon_partitions_area(cx, cy, r):
+    """Clipping a convex polygon by the 4 quadrant rects around any split
+    point partitions its area."""
+    pts = [
+        (cx + r * math.cos(2 * math.pi * k / 8), cy + r * math.sin(2 * math.pi * k / 8))
+        for k in range(8)
+    ]
+    area = shoelace(pts)
+    big = 1e4
+    rects = [
+        (cx - big, cy - big, cx, cy),
+        (cx, cy - big, cx + big, cy),
+        (cx - big, cy, cx, cy + big),
+        (cx, cy, cx + big, cy + big),
+    ]
+    clipped_total = 0.0
+    for rect in rects:
+        piece = sutherland_hodgman(pts, rect)
+        if len(piece) >= 3:
+            clipped_total += shoelace(piece)
+    assert clipped_total == np.float64(0) if area == 0 else abs(
+        clipped_total - area
+    ) <= 1e-9 * max(1.0, area)
