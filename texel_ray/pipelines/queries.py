@@ -143,10 +143,12 @@ GROUP BY 1
 
 
 def q_pip_join_poly(sf_dir: str):
-    """Full PIP join (rects + hexagons) — general even-odd path.
+    """Full PIP join (rects + hexagons) — the general even-odd path.
 
-    Not ANSI-SQL-expressible (ray-cast PIP); verified by pytest goldens
-    and a rows-only driver check.
+    The engine runs the ray-cast test for arbitrary polygons; the SQL
+    oracle covers it because these particular hexagons are convex, so
+    containment is equivalently six half-plane inequalities (boundary
+    differences are measure-zero for continuous geotags).
     """
     from ray.data.aggregate import Sum
 
@@ -188,6 +190,50 @@ def q_dedup_exact(sf_dir: str):
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
     return ds.groupby("__bucket").map_groups(dedup_bucket, batch_format="pandas")
+
+
+def sql_pip_join_poly() -> str:
+    """Rect part as a bbox join; each (convex) hexagon as explicit
+    half-plane conditions generated from the same deterministic corpus."""
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    regions = generate_regions_table()
+    hex_selects = []
+    for rid, kind, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        ring = rings[0]  # CCW hexagon
+        conds = []
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0"
+            )
+        hex_selects.append(
+            f"SELECT {rid} AS region_id, count(*) AS n FROM {images_sql_source()} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    hex_sql = "\nUNION ALL\n".join(hex_selects)
+    return f"""
+SELECT region_id, CAST(sum(n) AS BIGINT) AS n FROM (
+    SELECT r.region_id AS region_id, count(*) AS n
+    FROM {images_sql_source()} i
+    JOIN {regions_sql_source()} r
+      ON r.kind = 'rect'
+     AND i.lon >= r.minx AND i.lon <= r.maxx
+     AND i.lat >= r.miny AND i.lat <= r.maxy
+    GROUP BY 1
+    UNION ALL
+    {hex_sql}
+) WHERE n > 0
+GROUP BY 1
+"""
 
 
 def sql_dedup_exact() -> str:
@@ -253,6 +299,7 @@ ORACLE_SQL = {
     "tile_assign_z8": sql_tile_assign(8),
     "tile_metrics_z8": sql_tile_metrics(8),
     "pip_join_rect": sql_pip_join_rect(),
+    "pip_join_poly": sql_pip_join_poly(),
     "dedup_exact": sql_dedup_exact(),
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
