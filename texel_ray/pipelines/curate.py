@@ -1,0 +1,109 @@
+"""End-to-end training-data curation pipelines — compositions of the
+engine's stages into the flows a 100 TB data-prep user actually runs.
+
+``curate_documents``: quality filter -> near-dup removal -> split.
+``curate_images``: decode stats filter -> visual near-dup removal ->
+spatial tile assignment of the survivors.
+
+Both stream end-to-end; the only driver-side sets are id blocklists
+(near-dup victims), which are dimension-sized (fraction of corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def curate_documents(sf_dir: str, quality_threshold: float = 0.35):
+    """documents -> TextFeatures quality gate -> MinHash near-dup removal
+    (keep the smaller doc_id of each verified pair) -> deterministic
+    train/test split -> per-(split) counts + kept char volume."""
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.text import TextFeatures
+
+    from .mlprep import q_minhash_neardup
+
+    # near-dup victims (id_b of each verified pair): tiny, collect once
+    pairs = q_minhash_neardup(sf_dir)
+    victims = set(
+        pairs.to_pandas()["id_b"].tolist() if hasattr(pairs, "to_pandas") else pairs["id_b"].tolist()
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    feats = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def gate_and_split(batch: pa.Table) -> pa.Table:
+        q = batch["quality_score"].to_numpy(zero_copy_only=False)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (q >= quality_threshold) & ~np.isin(doc_id, list(victims))
+        kept = batch.filter(pa.array(keep))
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        split = np.where(
+            (ids * np.uint64(2654435761)) % np.uint64(100) < 10, "test", "train"
+        )
+        return pa.table(
+            {
+                "split": pa.array(split.tolist(), pa.string()),
+                "n_chars": kept["n_chars"],
+            }
+        )
+
+    gated = feats.map_batches(gate_and_split, batch_format="pyarrow")
+    return partial_sum_groupby(
+        gated, ["split"], ["n_chars"], count_alias="n_docs", coalesce=4
+    )
+
+
+def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
+    """images -> decode + brightness gate (too dark/bright dropped) ->
+    visual near-dup removal -> tile assignment of survivors at z8 ->
+    per-tile kept counts. Every stage streams; near-dup blocklist is the
+    only collected intermediate."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+    from ..stages.multimodal import ImageStats
+    from ..stages.tiles import encode_tiles
+
+    from .mlprep import q_image_embed_neardup
+
+    dup_counts = q_image_embed_neardup(sf_dir).to_pandas()
+    victims = set(dup_counts["id_a"].tolist())  # arbitrary-but-deterministic side
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
+    stats = ds.map_batches(
+        ImageStats, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+    # re-join brightness verdicts onto geotags via a second pass would
+    # re-read payloads; instead gate inline and carry lon/lat through
+    # one fused stage:
+
+    class GateAndTag:
+        def __init__(self):
+            self.stats = ImageStats()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = self.stats(batch)
+            mean = (
+                s["mean_r"].to_numpy() + s["mean_g"].to_numpy() + s["mean_b"].to_numpy()
+            ) // 3
+            ids = batch["image_id"].to_pylist()
+            keep = (
+                (mean >= min_mean)
+                & (mean <= max_mean)
+                & np.array([i not in victims for i in ids])
+            )
+            kept = batch.filter(pa.array(keep))
+            return encode_tiles(kept, "WebMercatorQuad", (8,), keep_columns=[])
+
+    del stats
+    tiles = ds.map_batches(
+        GateAndTag, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+    return partial_count_groupby(tiles, ["tm_id", "tile_x", "tile_y"], alias="n_kept")

@@ -244,7 +244,7 @@ GROUP BY 1
 """
 
 
-from . import mlprep, relational, spatial  # noqa: E402
+from . import curate, mlprep, relational, spatial  # noqa: E402
 
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
@@ -277,6 +277,9 @@ QUERIES = {
     "token_counts": mlprep.q_token_counts,
     "fingerprint": mlprep.q_fingerprint,
     "langid": mlprep.q_langid,
+    # end-to-end curation compositions
+    "curate_documents": curate.curate_documents,
+    "curate_images": curate.curate_images,
     # relational / windows
     "agg_pricing": relational.q_agg_pricing,
     "join_mktsegment": relational.q_join_mktsegment,
