@@ -181,7 +181,7 @@ def run_headline_only() -> dict:
 
     ensure_images_for_sf_dir(SF_DIR)
     pq.read_table(images_parquet_path(SF_DIR), columns=["image_id"])
-    epochs = int(os.environ.get("BENCH_EPOCHS", "2"))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "3"))
     t0 = time.perf_counter()
     df = full_pipeline_fused(SF_DIR, epochs=epochs).to_pandas()
     dt = time.perf_counter() - t0
