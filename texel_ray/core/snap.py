@@ -122,7 +122,7 @@ def _add_points_and_snap(ix: PointIndex, rings, levels, config: SnapConfig):
         outers, inners = _dedupe_inners_outers(
             new_outers.get(level, []), new_inners.get(level, [])
         )
-        polys = _match_inners_to_polygons([[o] for o in outers], inners, len(rings) > 1)
+        polys = _match_inners_to_polygons([[o] for o in outers], inners)
         if config.reverse_winding_order:
             polys = [[list(reversed(r)) for r in poly] for poly in polys]
         if polys:
@@ -356,7 +356,9 @@ def _find_last_key_with_max_value(m: dict):
     return max_k, max_v, num_winners
 
 
-def _match_inners_to_polygons(polygons, inner_rings, has_inners):
+def _match_inners_to_polygons(polygons, inner_rings):
+    # (the reference threads a has_inners flag here purely for a log line
+    # — snap.go:277-324; not ported)
     if not inner_rings:
         return polygons
 

@@ -28,8 +28,13 @@ def curate_documents(sf_dir: str, quality_threshold: float = 0.35):
 
     # near-dup victims (id_b of each verified pair): tiny, collect once
     pairs = q_minhash_neardup(sf_dir)
-    victims = set(
-        pairs.to_pandas()["id_b"].tolist() if hasattr(pairs, "to_pandas") else pairs["id_b"].tolist()
+    victims = np.unique(
+        np.asarray(
+            pairs.to_pandas()["id_b"].tolist()
+            if hasattr(pairs, "to_pandas")
+            else pairs["id_b"].tolist(),
+            dtype=np.int64,
+        )
     )
 
     ds = ray.data.read_parquet(
@@ -42,7 +47,7 @@ def curate_documents(sf_dir: str, quality_threshold: float = 0.35):
     def gate_and_split(batch: pa.Table) -> pa.Table:
         q = batch["quality_score"].to_numpy(zero_copy_only=False)
         doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = (q >= quality_threshold) & ~np.isin(doc_id, list(victims))
+        keep = (q >= quality_threshold) & ~np.isin(doc_id, victims)
         kept = batch.filter(pa.array(keep))
         ids = kept["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         split = np.where(

@@ -191,7 +191,11 @@ def full_pipeline(sf_dir: str, cut_zoom: int = 13, rollup_zoom: int = 8):
             ["region_id", "region_name"]
         )
 
-    ds = ds.map_batches(dedup_image, batch_format="pyarrow")
+    # per-BLOCK (batch_size=None): PIPJoiner emits one block per input
+    # batch, and an input row's multiple region matches are always
+    # adjacent within that block — re-slicing at a fixed batch_size could
+    # split them across calls and defeat the adjacency dedup
+    ds = ds.map_batches(dedup_image, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(
         TileCutter,
         fn_constructor_kwargs={"zoom": cut_zoom},

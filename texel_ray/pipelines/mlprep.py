@@ -7,10 +7,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from .common import hot_bucket_survivors, read_table as _read
 
 
 # ---- text analysis --------------------------------------------------------
@@ -101,37 +98,15 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
 
-    from ..stages.agg import partial_count_groupby
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
     ).materialize()  # consumed twice (counts + survivors); rows are tiny
     # Candidate generation at scale: almost every (band, hash) bucket is a
-    # singleton. Count buckets vectorized, keep only hot ones (>=2 docs) —
-    # a tiny set — then pair up just the rows in hot buckets.
-    counts = partial_count_groupby(banded, ["band_id", "band_hash"], alias="n", coalesce=8)
-    hot = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    hot_keys = set(
-        zip(hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())
-    )
-
-    def in_hot(batch: pa.Table) -> pa.Table:
-        bid = batch["band_id"].to_numpy()
-        bh = batch["band_hash"].to_numpy()
-        mask = np.fromiter(
-            ((int(a), int(b)) in hot_keys for a, b in zip(bid, bh)),
-            dtype=bool,
-            count=len(bid),
-        )
-        return batch.filter(pa.array(mask))
-
+    # singleton; pair up only rows in hot (>=2 doc) buckets.
     import pandas as pd
 
-    survivors = banded.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    survivors = hot_bucket_survivors(banded, ["band_id", "band_hash"])
     if len(survivors) == 0:
         return pd.DataFrame(
             {
@@ -179,36 +154,19 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
     from ..stages.dedup import SimHasher, hamming64
 
-    from ..stages.agg import partial_count_groupby
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
     ).materialize()  # consumed twice (counts + survivors); rows are tiny
-    # same hot-bucket candidate generation as minhash (see q_minhash_neardup)
-    counts = partial_count_groupby(banded, ["band_id", "band_bits"], alias="n", coalesce=8)
-    hot = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    hot_keys = set(zip(hot["band_id"].to_numpy(), hot["band_bits"].to_numpy()))
-
-    def in_hot(batch: pa.Table) -> pa.Table:
-        bid = batch["band_id"].to_numpy()
-        bb = batch["band_bits"].to_numpy()
-        mask = np.fromiter(
-            ((int(a), int(b)) in hot_keys for a, b in zip(bid, bb)),
-            dtype=bool,
-            count=len(bid),
-        )
-        return batch.filter(pa.array(mask))
-
-    survivors = banded.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    survivors = hot_bucket_survivors(banded, ["band_id", "band_bits"])
     a, b, d = [], [], []
+    n_capped = 0
     for _, group in survivors.groupby(["band_id", "band_bits"]):
         rows = group[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
         ids = rows["doc_id"].to_numpy()
         sh = rows["simhash"].to_numpy()
+        if len(ids) > 51:
+            n_capped += 1  # no silent caps: the 50-neighbor window truncates
         for i in range(len(ids)):
             for j in range(i + 1, min(i + 51, len(ids))):
                 dist = hamming64(int(sh[i]), int(sh[j]))
@@ -216,6 +174,12 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
                     a.append(int(ids[i]))
                     b.append(int(ids[j]))
                     d.append(dist)
+    if n_capped:
+        print(
+            f"[simhash_neardup] WARNING: {n_capped} buckets exceeded the "
+            f"50-neighbor pair window — recall is truncated there",
+            flush=True,
+        )
     return (
         pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
         .drop_duplicates(["id_a", "id_b"])

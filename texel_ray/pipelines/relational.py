@@ -14,10 +14,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    import ray.data
-
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+from .common import read_table as _read
 
 
 def q_agg_pricing(sf_dir: str):

@@ -184,7 +184,7 @@ def read_images(sf_dir: str, columns: list[str] | None = None):
     try:  # pragma: no cover - lance not present in the eval container
         import lance  # noqa: F401
 
-        lance_uri = path.replace(".parquet", ".lance")
+        lance_uri = path + ".lance"  # sibling lance dataset of the shard dir
         if pathlib.Path(lance_uri).exists():
             return ray.data.read_lance(lance_uri, columns=columns)
     except ImportError:

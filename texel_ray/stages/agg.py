@@ -27,7 +27,6 @@ def partial_sum_groupby(
     Returns a Dataset with columns keys + sum_cols (+ count_alias).
     """
     import numpy as np
-    from ray.data.aggregate import Sum
 
     aggs = [(c, "sum") for c in sum_cols]
     out_names = keys + sum_cols
@@ -43,8 +42,6 @@ def partial_sum_groupby(
             )
         g = t.group_by(keys).aggregate(aggs)
         return g.rename_columns(out_names)
-
-    del Sum  # final merge below uses arrow hash-group_by, not the sort agg
 
     sum_names = list(sum_cols) + ([count_alias] if count_alias else [])
 

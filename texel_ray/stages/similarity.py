@@ -20,12 +20,14 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _stack_embeddings(col) -> np.ndarray:
+def _stack_embeddings(col, dim: int | None = None) -> np.ndarray:
     """Arrow list<float> column -> (n, d) float64 matrix, zero-ish copy."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n == 0:
+        return np.zeros((0, dim or 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -56,7 +58,20 @@ class BruteForceTopK:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def _empty(self, ids_dtype=None) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array(np.array([], dtype=self.query_ids.dtype)),
+                self.id_col: pa.array(
+                    np.array([], dtype=ids_dtype) if ids_dtype is not None else []
+                ),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
         m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
         sims = m @ self.q  # (n, nq)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -117,7 +132,7 @@ class IVFIndexer:
         return centroids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
+        m = normalize_rows(_stack_embeddings(batch[self.vec_col], dim=self.centroids.shape[0]))
         lists = np.argmax(m @ self.centroids, axis=1).astype(np.int32)
         return batch.append_column("ivf_list", pa.array(lists))
 
@@ -141,8 +156,10 @@ class IVFTopK(BruteForceTopK):
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
         lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
-        m = normalize_rows(_stack_embeddings(batch[self.vec_col]))
+        m = normalize_rows(_stack_embeddings(batch[self.vec_col], dim=self.q.shape[0]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
         for li in np.unique(lists):
@@ -197,5 +214,7 @@ class LSHBucketer:
         return (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _stack_embeddings(batch[self.vec_col])
-        return batch.append_column("bucket", pa.array(self.bucket_of(m)))
+        m = _stack_embeddings(batch[self.vec_col], dim=self.planes.shape[0])
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(m), pa.uint64())
+        )

@@ -44,7 +44,7 @@ class TextFeatures:
         self.alpha_re = re.compile(_ALPHA_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.text_col].to_pandas().astype(str)
+        text = batch[self.text_col].to_pandas().fillna("").astype(str)
         n_chars = text.str.len().to_numpy(dtype=np.int64)
         stripped = text.str.strip()
         n_tokens = np.where(
