@@ -82,10 +82,12 @@ class CellRingKNN:
                 out_d.append(d2[hit_p, hit_q])
 
         if not out_q:
+            # type the empty result from the actual id dtypes so empty and
+            # non-empty blocks unify under any id type
             return pa.table(
                 {
-                    "query_id": pa.array([], pa.string()),
-                    self.id_col: pa.array([], pa.string()),
+                    "query_id": pa.array(np.empty(0, dtype=self.qid.dtype)),
+                    self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
                     "d2": pa.array([], pa.float64()),
                 }
             )
