@@ -56,6 +56,14 @@ class CellRingKNN:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array(np.empty(0, dtype=self.qid.dtype)),
+                    self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
         gx = np.floor((lon + 180.0) / self.cell).astype(np.int64)
         gy = np.floor((lat + 90.0) / self.cell).astype(np.int64)
 
