@@ -59,8 +59,8 @@ class CellRingKNN:
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "query_id": pa.array(np.empty(0, dtype=self.qid.dtype)),
-                    self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
+                    "query_id": pa.array(self.qid).slice(0, 0),
+                    self.id_col: batch[self.id_col],
                     "d2": pa.array([], pa.float64()),
                 }
             )
@@ -90,12 +90,12 @@ class CellRingKNN:
                 out_d.append(d2[hit_p, hit_q])
 
         if not out_q:
-            # type the empty result from the actual id dtypes so empty and
+            # type the empty result from the actual id columns so empty and
             # non-empty blocks unify under any id type
             return pa.table(
                 {
-                    "query_id": pa.array(np.empty(0, dtype=self.qid.dtype)),
-                    self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
+                    "query_id": pa.array(self.qid).slice(0, 0),
+                    self.id_col: batch[self.id_col].slice(0, 0),
                     "d2": pa.array([], pa.float64()),
                 }
             )
