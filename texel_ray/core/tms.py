@@ -29,11 +29,75 @@ import numpy as np
 
 COORD_PRECISION = 9
 
-# Axis-order authorities where the CRS is lat/lon ordered and coordinates in
-# the TMS JSON (pointOfOrigin) must be swapped to XY. Matches the reference's
-# EPSG axis-order table usage for the grids we ship; custom JSON can override
-# via orderedAxes.
-_LATLON_FIRST_AXES = {("Y", "X"), ("Lat", "Lon"), ("lat", "lon")}
+# ---- CRS axis-order authority ---------------------------------------------
+# EPSG codes whose CRS axis order is lat/lon (or northing/easting): TMS JSON
+# coordinates (pointOfOrigin) for these must be swapped into XY order.
+# Subset of the EPSG database (v10.x) covering every CRS in the shipped OGC
+# registry grids plus common geographic CRSs; mirrors the reference's
+# generated authority table (``tms20/epsg_axis_order.go``, lookup at
+# ``tms20/tms20.go:504-524``). Unknown CRSs fall back to the TMS document's
+# informative ``orderedAxes``.
+EPSG_AXES_ARE_LATLON = {
+    2193: True,   # NZGD2000 / NZTM2000 (N,E)
+    3035: True,   # ETRS89-extended / LAEA Europe (N,E)
+    3395: False,  # WGS 84 / World Mercator
+    3857: False,  # WGS 84 / Pseudo-Mercator
+    3978: False,  # NAD83 / Canada Atlas Lambert
+    4258: True,   # ETRS89 (lat,lon)
+    4277: True,   # OSGB36 (lat,lon)
+    4326: True,   # WGS 84 (lat,lon)
+    4937: True,   # ETRS89 3D (lat,lon)
+    5041: False,  # WGS 84 / UPS North
+    5042: False,  # WGS 84 / UPS South
+    5482: True,   # RSRGD2000 / RSPS2000 (N,E)
+    25831: False,  # ETRS89 / UTM 31N
+    28992: False,  # Amersfoort / RD New
+    32631: False,  # WGS 84 / UTM 31N
+}
+
+
+def crs_is_latlon(crs: str) -> bool | None:
+    """Authority-table axis order for a CRS URI/URN; None when unknown.
+
+    Handles ``http://www.opengis.net/def/crs/EPSG/0/4326``,
+    ``urn:ogc:def:crs:EPSG::2193`` and OGC CRS84 forms, like the
+    reference's ``CRS.Authority()/Code()`` parsing.
+    """
+    if not crs:
+        return None
+    parts = crs.replace("urn:ogc:def:crs:", "").rstrip("/").split(
+        "/def/crs/"
+    )[-1].replace("::", ":").replace("/", ":").split(":")
+    # -> [authority, version, code] or [authority, code]
+    if not parts:
+        return None
+    authority = parts[0].upper()
+    code = parts[-1]
+    if authority == "OGC" and code.upper() == "CRS84":
+        return False  # lon/lat by definition
+    if authority != "EPSG":
+        return None
+    try:
+        return EPSG_AXES_ARE_LATLON.get(int(code))
+    except ValueError:
+        return None
+
+
+def axes_are_latlon(ordered_axes) -> bool | None:
+    """Informative orderedAxes fallback: is the first axis the north/lat
+    one?  (The reference's fallback regexes, ``tms20/tms20.go:38-39``,
+    carry inverted names and are untestable from its fixtures — the only
+    fixture using them has a symmetric (0,0) origin; this implements the
+    OGC-semantic reading: first axis Lat/Y/N means coordinates need the
+    swap into XY order.)"""
+    if not ordered_axes or len(ordered_axes) < 2:
+        return None
+    first = str(ordered_axes[0]).strip().lower()
+    if first.startswith(("lat", "y", "n")):
+        return True
+    if first.startswith(("lon", "x", "e")):
+        return False
+    return None
 
 
 def _round_half_away(f: float, p: int) -> float:
@@ -58,6 +122,18 @@ class TileMatrix:
     tile_height: int = 256
     matrix_width: int = 1
     matrix_height: int = 1
+    # ((coalesce, min_tile_row, max_tile_row), ...): rows where `coalesce`
+    # adjacent columns merge into one tile (polar rows of global geographic
+    # grids). The reference loads but panics on these
+    # (tms20/tms20.go:670-671 "not supported"); here the column snap
+    # tx -> (tx // c) * c implements the OGC TMS 2.0 coalescence rule.
+    variable_matrix_widths: tuple = ()
+
+    def coalesce_for_row(self, ty: int) -> int:
+        for c, lo, hi in self.variable_matrix_widths:
+            if lo <= ty <= hi:
+                return c
+        return 1
 
 
 @dataclass(frozen=True)
@@ -91,6 +167,10 @@ class TileMatrixSet:
         ty = int(fy)
         if ty >= tm.matrix_height:
             return None
+        if tm.variable_matrix_widths:
+            c = tm.coalesce_for_row(ty)
+            if c > 1:
+                tx = (tx // c) * c
         return (tx, ty)
 
     def from_native_np(self, zoom: int, xs: np.ndarray, ys: np.ndarray):

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def read_table(sf_dir: str, table: str, columns=None):
@@ -12,27 +13,55 @@ def read_table(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def hot_bucket_survivors(banded, key_cols: list[str], coalesce: int = 8):
-    """LSH candidate generation: count (band, hash) buckets vectorized,
-    keep only buckets holding >= 2 rows (a tiny set), and return the rows
-    of those hot buckets as a pandas frame. `banded` should be
-    materialized by the caller (it is consumed twice)."""
+def _composite_key(cols: list[np.ndarray]) -> np.ndarray:
+    """Fold multiple int columns into one int64 bucket key (wrapping
+    multiply-add). A collision can only MERGE two buckets — merged buckets
+    yield extra candidate pairs that downstream verification rejects, so
+    correctness is unaffected; no false negatives are possible."""
+    key = cols[0].astype(np.int64, copy=True)
+    for c in cols[1:]:
+        key = key * np.int64(-7046029254386353131) + c.astype(np.int64)
+    return key
+
+
+def hot_bucket_filter(banded, key_cols: list[str], coalesce: int = 8):
+    """LSH candidate generation, stage 1: keep only rows of hot (>= 2 row)
+    buckets, IN-DATASET.
+
+    Bucket counts are pre-aggregated per batch (combiner) so only
+    (key, partial_count) rows shuffle; the hot KEY SET — aggregated,
+    bucket-dimension-sized, tiny for a near-dup workload — is broadcast
+    into a vectorized composite-key ``pc.is_in`` filter over the banded
+    stream. Returns the filtered Dataset with an extra ``__bucket``
+    composite-key column for a cheap single-key groupby. ``banded`` should
+    be materialized by the caller (it is consumed twice).
+    """
     from ..stages.agg import partial_count_groupby
 
     counts = partial_count_groupby(banded, key_cols, alias="n", coalesce=coalesce)
     hot = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater_equal(b["n"], 2)),
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)),
         batch_format="pyarrow",
-    ).to_pandas()
-    hot_keys = set(zip(*(hot[c].to_numpy() for c in key_cols)))
+    ).to_pandas()  # aggregated hot keys only — never per-row data
+    hot_keys = _composite_key([hot[c].to_numpy() for c in key_cols])
+    value_set = pa.array(np.unique(hot_keys)) if len(hot_keys) else pa.array([], pa.int64())
 
-    def in_hot(batch: pa.Table) -> pa.Table:
-        arrays = [batch[c].to_numpy() for c in key_cols]
-        mask = np.fromiter(
-            (tuple(int(a[i]) for a in arrays) in hot_keys for i in range(len(arrays[0]))),
-            dtype=bool,
-            count=len(arrays[0]),
+    def filt(batch: pa.Table) -> pa.Table:
+        key = _composite_key(
+            [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
         )
-        return batch.filter(pa.array(mask))
+        t = batch.append_column("__bucket", pa.array(key))
+        return t.filter(pc.is_in(t["__bucket"], value_set=value_set))
 
-    return banded.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    return banded.map_batches(filt, batch_format="pyarrow")
+
+
+def distinct_pairs(pairs, extra_cols: list[str] = ()):  # noqa: B006
+    """Distinct (id_a, id_b) rows in-dataset (pair stream is
+    candidate-dimension-sized; the groupby shuffle is tiny)."""
+    cols = ["id_a", "id_b", *extra_cols]
+
+    def head1(g):
+        return g.head(1)[cols]
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(head1, batch_format="pandas")

@@ -7,7 +7,7 @@ import numpy as np
 import pyarrow as pa
 
 
-from .common import hot_bucket_survivors, read_table as _read
+from .common import distinct_pairs, hot_bucket_filter, read_table as _read
 
 
 # ---- text analysis --------------------------------------------------------
@@ -58,6 +58,83 @@ def q_langid(sf_dir: str):
     )
 
 
+# 1:1 SQL mirror of stages/text.py LangId._predict: CJK codepoint check,
+# [a-zA-Z]+ word extraction, per-language stopword-profile hit counts, and
+# the first-language-wins tie-break of the Python dict iteration order
+# (en, de, fr, es).
+SQL_LANGID = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, text, len(words) AS nw,
+    len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','for','on','with'))) AS h_en,
+    len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS h_de,
+    len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS h_fr,
+    len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))) AS h_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN nw = 0 THEN 'und'
+       WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1.0
+       WHEN nw = 0 THEN 0.0
+       ELSE CAST(greatest(h_en, h_de, h_fr, h_es) AS DOUBLE) / nw END AS lang_score
+FROM h
+"""
+
+# Polynomial rolling hash h = (h*257 + codepoint) mod 2^61-1 as a recursive
+# CTE (codepoint == utf-8 byte for the ASCII corpus; HUGEINT keeps the
+# intermediate products exact).
+SQL_FINGERPRINT = r"""
+WITH RECURSIVE fp AS (
+  SELECT doc_id, text, 0::HUGEINT AS h, 0 AS i, length(text) AS n FROM documents
+  UNION ALL
+  SELECT doc_id, text,
+         (h * 257 + unicode(substr(text, i + 1, 1))) % (2305843009213693951::HUGEINT),
+         i + 1, n
+  FROM fp WHERE i < n
+)
+SELECT doc_id, CAST(h AS BIGINT) AS fingerprint FROM fp WHERE i = n
+"""
+
+# Exact cosine top-k over the full corpus — the brute-force pipeline must
+# reproduce it rank-for-rank ((sim desc, vec_id asc) tie-break both sides).
+SQL_ANN_TOPK = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), d AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM d
+) WHERE rank <= 10
+"""
+
+# ALL pairs with cosine >= threshold; the LSH-bucketed pipeline must find
+# exactly these (the synthetic corpus has no cross-bucket near-identical
+# pairs at 0.98 — max corpus cosine ~0.51, so both sides are provably
+# empty AND the oracle would catch any false positive).
+SQL_EMB_NEARDUP = r"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+       false AS capped
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.98
+"""
+
+
 def q_token_counts(sf_dir: str, top: int = 50):
     """Corpus vocabulary: top tokens by frequency (partial histograms ->
     one tiny shuffle)."""
@@ -84,51 +161,60 @@ LIMIT 50
 # ---- dedup family ---------------------------------------------------------
 
 
+def _count_capped(pairs) -> int:
+    """Tiny aggregate over the (materialized, candidate-dimension-sized)
+    pair dataset: how many candidate pairs came from capped buckets."""
+    import pyarrow.compute as pc
+
+    agg = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array(
+                    [int(pc.sum(pc.cast(b["capped"], pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    return int(agg or 0)
+
+
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
-    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified — fully
+    in-dataset (nothing corpus-sized ever touches the driver):
 
-    shingle -> minhash -> band explode -> groupby(band) -> candidate pairs
-    -> distinct pair -> verify >= threshold. Rows-only driver check;
-    recall/precision pinned by pytest with planted near-duplicates.
+    shingle -> minhash -> band explode (combiner-style vectorized kernel)
+    -> hot-bucket semi-join filter (broadcast aggregated hot keys)
+    -> groupby(bucket).map_groups candidate pairs -> distinct pairs
+    -> text joined back per side via Dataset.join -> exact-Jaccard verify.
+
+    The DuckDB oracle recomputes ALL pairs with exact 3-gram Jaccard >=
+    threshold; with 128 perms / 32 bands the LSH miss probability at
+    s >= 0.8 is < 5e-8 per pair, so outputs match exactly at test scale.
     """
-    from ..stages.dedup import JaccardVerifier, MinHasher, bucket_pairs
+    import pandas as pd
 
-    import pyarrow.parquet as pq
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    from ..stages.dedup import MinHasher, bucket_pairs, verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
-    ).materialize()  # consumed twice (counts + survivors); rows are tiny
-    # Candidate generation at scale: almost every (band, hash) bucket is a
-    # singleton; pair up only rows in hot (>=2 doc) buckets.
-    import pandas as pd
-
-    survivors = hot_bucket_survivors(banded, ["band_id", "band_hash"])
-    if len(survivors) == 0:
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64"),
-            }
-        )
-    pairs = (
-        survivors.groupby(["band_id", "band_hash"])[["doc_id"]]
-        .apply(lambda g: bucket_pairs(g, id_col="doc_id"))
-        .reset_index(drop=True)
+    ).materialize()  # consumed twice (counts + filter); rows are tiny
+    hot = hot_bucket_filter(banded, ["band_id", "band_hash"])
+    pairs = hot.groupby("__bucket").map_groups(
+        lambda g: bucket_pairs(g, id_col="doc_id"), batch_format="pandas"
+    ).materialize()
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
     )
-    if pairs.empty:  # every hot bucket collapsed to a single doc
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64"),
-            }
-        )
-    n_capped = int(pairs["capped"].sum()) if "capped" in pairs else 0
+    if pairs.count() == 0:
+        return empty
+    n_capped = _count_capped(pairs)
     if n_capped:
         # no silent caps: truncated buckets mean missed recall
         print(
@@ -136,55 +222,95 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
             f"capped buckets (>50 docs) — recall is truncated there",
             flush=True,
         )
-    pairs = pairs[["id_a", "id_b"]].drop_duplicates()
-    import ray.data
-
-    verified = ray.data.from_pandas(pairs).map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_by_id": texts_by_id, "threshold": threshold},
+    cand = distinct_pairs(pairs)
+    # join each side's text back by id (two-sided hash join; at 100 TB the
+    # same shape re-reads text by row-id from the columnar store instead)
+    j = cand.join(
+        ds, join_type="inner", num_partitions=4, on=("id_a",), right_on=("doc_id",)
+    ).map_batches(
+        # Dataset.join folds the right key into the left key column
+        lambda b: b.rename_columns(
+            ["text_a" if c == "text" else c for c in b.column_names]
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
-    return verified
+    j = j.join(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        join_type="inner",
+        num_partitions=4,
+        on=("id_b",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["text_b" if c == "text" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return j.map_batches(
+        lambda b: verify_jaccard_pairs(b, threshold=threshold),
+        batch_format="pyarrow",
+    )
+
+
+# Exact-Jaccard recomputation of ALL >= threshold pairs: the LSH path must
+# find exactly these (miss probability < 5e-8 per pair at s >= 0.8 with
+# 128 perms / 32 bands). Shingle semantics mirror _hash_tokens_ngrams:
+# whitespace split, 3-gram join-by-space, whole text when < 3 tokens,
+# DISTINCT shingles.
+SQL_MINHASH_NEARDUP = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM t
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+"""
 
 
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup: banded exact-match blocking + hamming verify."""
+    """SimHash near-dup: banded exact-match blocking + in-bucket vectorized
+    hamming verification, fully in-dataset (the 64-bit signature travels
+    with the banded row, so verification needs no join-back)."""
     import pandas as pd
 
-    from ..stages.dedup import SimHasher, hamming64
+    from ..stages.dedup import SimHasher, simhash_bucket_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
-    ).materialize()  # consumed twice (counts + survivors); rows are tiny
-    survivors = hot_bucket_survivors(banded, ["band_id", "band_bits"])
-    a, b, d = [], [], []
-    n_capped = 0
-    for _, group in survivors.groupby(["band_id", "band_bits"]):
-        rows = group[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sh = rows["simhash"].to_numpy()
-        if len(ids) > 51:
-            n_capped += 1  # no silent caps: the 50-neighbor window truncates
-        for i in range(len(ids)):
-            for j in range(i + 1, min(i + 51, len(ids))):
-                dist = hamming64(int(sh[i]), int(sh[j]))
-                if dist <= max_hamming:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-                    d.append(dist)
+    ).materialize()  # consumed twice (counts + filter); rows are tiny
+    hot = hot_bucket_filter(banded, ["band_id", "band_bits"])
+    pairs = hot.groupby("__bucket").map_groups(
+        lambda g: simhash_bucket_pairs(g, max_hamming=max_hamming),
+        batch_format="pandas",
+    ).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    n_capped = _count_capped(pairs)
     if n_capped:
         print(
-            f"[simhash_neardup] WARNING: {n_capped} buckets exceeded the "
-            f"50-neighbor pair window — recall is truncated there",
+            f"[simhash_neardup] WARNING: {n_capped} candidate pairs came from "
+            f"capped buckets (>50 docs) — recall is truncated there",
             flush=True,
         )
-    return (
-        pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
-        .drop_duplicates(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
+    return distinct_pairs(pairs, extra_cols=["hamming"])
 
 
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.98):
@@ -201,9 +327,21 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.98):
         concurrency=(1, 4),
     )
     near_dup = EmbeddingNearDup(threshold=threshold)
-    return ds.groupby("bucket").map_groups(
+    out = ds.groupby("bucket").map_groups(
         lambda g: near_dup(g), batch_format="pandas"
-    )
+    ).materialize()
+    if out.count() == 0:  # keep the typed schema even when no pairs exist
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+                "capped": pd.Series([], dtype="bool"),
+            }
+        )
+    return out
 
 
 # ---- similarity search ----------------------------------------------------

@@ -307,6 +307,11 @@ ORACLE_SQL = {
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
+    "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
+    "embedding_neardup": mlprep.SQL_EMB_NEARDUP,
+    "langid": mlprep.SQL_LANGID,
+    "fingerprint": mlprep.SQL_FINGERPRINT,
+    "ann_topk": mlprep.SQL_ANN_TOPK,
     "agg_pricing": relational.SQL_AGG_PRICING,
     "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
     "join_part_brand": relational.SQL_JOIN_PART_BRAND,

@@ -92,25 +92,61 @@ class MinHasher:
         prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MH_PRIME
         return np.min(prod, axis=1)
 
+    def signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, vectorized ACROSS docs.
+
+        Shingle hashes of many docs are concatenated and the permutation
+        products min-reduced per document segment (``np.minimum.reduceat``),
+        in chunks bounded to ~64k shingles so the (num_perm x shingles)
+        product matrix stays small. Bit-identical to ``signature`` per doc.
+        """
+        n = len(texts)
+        num_perm = len(self.a)
+        sh_list = [
+            _hash_tokens_ngrams((t or "").split(), self.ngram) & _MASK32
+            for t in texts
+        ]
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        start = 0
+        while start < n:
+            end, total = start, 0
+            while end < n and (end == start or total + len(sh_list[end]) <= 65536):
+                total += len(sh_list[end])
+                end += 1
+            lens = np.array([len(sh_list[i]) for i in range(start, end)])
+            block = np.full((end - start, num_perm), int(_MH_PRIME), dtype=np.uint64)
+            nz = lens > 0
+            if nz.any():
+                allsh = np.concatenate([s for s in sh_list[start:end] if len(s)])
+                prod = (self.a[:, None] * allsh[None, :] + self.b[:, None]) % _MH_PRIME
+                offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                block[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
+            sigs[start:end] = block
+            start = end
+        return sigs
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) int64 FNV-1a band hashes, vectorized across docs
+        and bands (the inner loop is rows_per_band, typically 4)."""
+        n = sigs.shape[0]
+        s3 = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = np.full((n, self.bands), 1469598103934665603, dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            h = (h ^ s3[:, :, r]) * np.uint64(0x100000001B3)
+        return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        band_ids, band_hashes, doc_ids = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = np.uint64(1469598103934665603)
-                for v in chunk:
-                    h = np.uint64((int(h) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                band_ids.append(band)
-                band_hashes.append(int(h) & 0x7FFFFFFFFFFFFFFF)
-                doc_ids.append(doc_id)
+        n = len(texts)
+        bh = self.band_hashes(self.signatures(texts))  # (n, bands)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                self.id_col: pa.array(doc_ids),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
+                self.id_col: batch[self.id_col].take(take),
             }
         )
 
@@ -130,6 +166,33 @@ def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
             a.append(ids[i])
             b.append(ids[j])
     return pd.DataFrame({"id_a": a, "id_b": b, "capped": [capped] * len(a)})
+
+
+def verify_jaccard_pairs(
+    batch: pa.Table, threshold: float = 0.8, ngram: int = 3
+) -> pa.Table:
+    """Exact n-gram Jaccard verification over joined candidate pairs.
+
+    Input rows carry BOTH texts (``text_a``/``text_b`` joined back by id in
+    the dataset — no driver-held corpus dict); emits only pairs with
+    jaccard >= threshold. The per-pair set math is Python, but the pair
+    stream is candidate-dimension-sized, not corpus-sized."""
+    a = batch["id_a"].to_pylist()
+    b = batch["id_b"].to_pylist()
+    ta = batch["text_a"].to_pylist()
+    tb = batch["text_b"].to_pylist()
+    sims = [
+        jaccard(shingle_set(x or "", ngram), shingle_set(y or "", ngram))
+        for x, y in zip(ta, tb)
+    ]
+    keep = [i for i, s in enumerate(sims) if s >= threshold]
+    return pa.table(
+        {
+            "id_a": pa.array([a[i] for i in keep], batch.schema.field("id_a").type),
+            "id_b": pa.array([b[i] for i in keep], batch.schema.field("id_b").type),
+            "jaccard": pa.array([sims[i] for i in keep], pa.float64()),
+        }
+    )
 
 
 class JaccardVerifier:
@@ -172,6 +235,39 @@ def simhash64(tokens: list[str]) -> int:
     return int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
 
 
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized simhash64 across documents: token hashes of all docs are
+    concatenated, the per-bit +/-1 votes reduced per doc segment
+    (``np.add.reduceat``), chunked to bound the (tokens x 64) bit matrix.
+    Bit-identical to ``simhash64`` per doc."""
+    n = len(texts)
+    tok_list = [_hash_tokens_ngrams((t or "").split(), 1) for t in texts]
+    out = np.zeros(n, dtype=np.uint64)
+    weights = 1 << np.arange(64, dtype=np.uint64)
+    start = 0
+    while start < n:
+        end, total = start, 0
+        while end < n and (end == start or total + len(tok_list[end]) <= 65536):
+            total += len(tok_list[end])
+            end += 1
+        lens = np.array([len(tok_list[i]) for i in range(start, end)])
+        nz = lens > 0
+        if nz.any():
+            alltok = np.concatenate([t for t in tok_list[start:end] if len(t)])
+            bits = (
+                (alltok[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int64)
+            votes = 2 * bits - 1
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            acc = np.add.reduceat(votes, offsets, axis=0)  # (n_nz, 64)
+            vals = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+            seg = np.zeros(end - start, dtype=np.uint64)
+            seg[nz] = vals
+            out[start:end] = seg
+        start = end
+    return out
+
+
 class SimHasher:
     """Emit (band, band_bits, id, simhash) rows: 4 x 16-bit bands; two docs
     within hamming distance 3 share at least one exact band."""
@@ -181,28 +277,67 @@ class SimHasher:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        band_id, band_bits, out_ids, sims = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = simhash64((text or "").split())
-            for band in range(4):
-                band_id.append(band)
-                band_bits.append((sh >> (band * 16)) & 0xFFFF)
-                out_ids.append(doc_id)
-                sims.append(sh - (1 << 63))  # store as int64
+        n = len(texts)
+        sh = simhash64_batch(texts)  # (n,) uint64
+        bands = np.arange(4, dtype=np.uint64)
+        band_bits = ((sh[:, None] >> (bands[None, :] * np.uint64(16)))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+        sims = (sh - np.uint64(1 << 63)).astype(np.int64)  # store as int64
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
-                "band_bits": pa.array(band_bits, pa.int64()),
-                self.id_col: pa.array(out_ids),
-                "simhash": pa.array(sims, pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_bits": pa.array(band_bits.reshape(-1)),
+                self.id_col: batch[self.id_col].take(take),
+                "simhash": pa.array(np.repeat(sims, 4)),
             }
         )
 
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def popcount64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit tricks; numpy<2 lacks
+    ``bitwise_count``)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_bucket_pairs(
+    group: pd.DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    cap: int = 50,
+) -> pd.DataFrame:
+    """Candidate pairs + hamming verification inside one SimHash band
+    bucket (map_groups stage; the signature travels with the row, so no
+    join-back is needed). Vectorized XOR+popcount over the pair triangle;
+    buckets beyond `cap` distinct docs are truncated WITH a `capped` flag
+    (no silent caps)."""
+    rows = group[[id_col, "simhash"]].drop_duplicates(id_col).sort_values(id_col)
+    capped = len(rows) > cap
+    rows = rows.head(cap)
+    ids = rows[id_col].to_numpy()
+    sh = rows["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    dist = popcount64_np(sh[ia] ^ sh[ib])
+    keep = dist <= max_hamming
+    return pd.DataFrame(
+        {
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "hamming": dist[keep],
+            "capped": np.full(int(keep.sum()), capped),
+        }
+    )
 
 
 class EmbeddingNearDup:
@@ -216,6 +351,7 @@ class EmbeddingNearDup:
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         from .similarity import normalize_rows
 
+        capped = len(group) > self.cap  # no silent caps: flag truncation
         group = group.sort_values(self.id_col).head(self.cap)
         ids = group[self.id_col].to_numpy()
         m = normalize_rows(np.stack(group["embedding"].to_numpy()))
@@ -232,5 +368,6 @@ class EmbeddingNearDup:
                 "id_a": id_a,
                 "id_b": id_b,
                 "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
+                "capped": np.full(len(id_a), capped),
             }
         )

@@ -7,10 +7,13 @@ Usage: python tools/check_correctness.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def to_pandas(result) -> pd.DataFrame:
