@@ -4,6 +4,7 @@ decoded-pixel PSNR / caption-equality invariant on the images table."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -95,3 +96,84 @@ def test_decode_psnr_invariant(images_path):
 
         again = decode_fake_jpeg(encode_fake_jpeg(img))
         assert psnr(img, again) >= 40.0
+
+
+def test_pip_joiner_grid_index_matches_dense_path():
+    """Large dimension table: the cell-grid candidate filter (STRtree role)
+    must produce exactly the dense-mask results, with bounded memory."""
+    from texel_ray.core.geom import wkb_encode_polygon
+
+    rng = np.random.default_rng(7)
+    n_regions = 800  # > grid_threshold -> grid path
+    cx = rng.uniform(-150, 150, n_regions)
+    cy = rng.uniform(-70, 70, n_regions)
+    w = rng.uniform(0.5, 4.0, n_regions)
+    h = rng.uniform(0.5, 4.0, n_regions)
+    rows = {
+        "region_id": pa.array(np.arange(n_regions, dtype=np.int64)),
+        "name": pa.array([f"r{i}" for i in range(n_regions)]),
+        "minx": pa.array(cx - w), "miny": pa.array(cy - h),
+        "maxx": pa.array(cx + w), "maxy": pa.array(cy + h),
+        "kind": pa.array(["rect" if i % 2 == 0 else "poly" for i in range(n_regions)]),
+    }
+    wkbs = []
+    for i in range(n_regions):
+        if i % 2 == 0:  # rect ring (unused by the rect fast path)
+            ring = [(cx[i] - w[i], cy[i] - h[i]), (cx[i] + w[i], cy[i] - h[i]),
+                    (cx[i] + w[i], cy[i] + h[i]), (cx[i] - w[i], cy[i] + h[i])]
+        else:  # CCW hexagon inscribed in the bbox
+            ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+            ring = list(zip(cx[i] + w[i] * np.cos(ang), cy[i] + h[i] * np.sin(ang)))
+        wkbs.append(wkb_encode_polygon([ring]))
+    rows["geom_wkb"] = pa.array(wkbs, pa.binary())
+    regions = pa.table(rows)
+
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(5000, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-160, 160, 5000)),
+            "lat": pa.array(rng.uniform(-80, 80, 5000)),
+        }
+    )
+    grid = PIPJoiner(regions=regions, keep_columns=["pid"], grid_threshold=512)
+    dense = PIPJoiner(regions=regions, keep_columns=["pid"], grid_threshold=10**9)
+    assert grid.use_grid and not dense.use_grid
+    out_g = grid(pts)
+    out_d = dense(pts)
+    pairs_g = list(zip(out_g["pid"].to_pylist(), out_g["region_id"].to_pylist()))
+    pairs_d = list(zip(out_d["pid"].to_pylist(), out_d["region_id"].to_pylist()))
+    assert len(pairs_g) > 0
+    assert pairs_g == pairs_d  # identical pairs AND identical row order
+
+
+def test_knn_all_matches_bruteforce(ray_session):
+    """Full self-join kNN vs an O(n^2) numpy reference, incl. exact
+    (d2, id) tie-break."""
+    import ray.data
+
+    from texel_ray.stages.knn import knn_all
+
+    rng = np.random.default_rng(3)
+    n, k, radius = 400, 4, 0.8
+    lon = np.round(rng.uniform(-5, 5, n), 2)  # rounding plants exact ties
+    lat = np.round(rng.uniform(-5, 5, n), 2)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+    )
+    got = knn_all(ds, radius=radius, k=k).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    expect_rows = []
+    for i in range(n):
+        d2 = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        mask = (d2 <= radius * radius) & (ids != i)
+        cand = ids[mask]
+        order = np.lexsort((cand, d2[mask]))[:k]
+        for r, j in enumerate(cand[order], start=1):
+            expect_rows.append((i, int(j), r))
+    expect = pd.DataFrame(expect_rows, columns=["query_id", "image_id", "rank"])
+    expect = expect.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "image_id", "rank"]].astype("int64"), expect.astype("int64")
+    )

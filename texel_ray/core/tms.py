@@ -193,6 +193,10 @@ class TileMatrixSet:
         tx = np.trunc(fx).astype(np.int64)
         ty = np.trunc(fy).astype(np.int64)
         valid &= (tx < tm.matrix_width) & (ty < tm.matrix_height)
+        for c, lo, hi in tm.variable_matrix_widths:
+            in_rows = (ty >= lo) & (ty <= hi)
+            if c > 1 and in_rows.any():
+                tx = np.where(in_rows, (tx // c) * c, tx)
         return tx, ty, valid
 
     def to_native(self, zoom: int, tx: int, ty: int):
@@ -344,14 +348,24 @@ def make_simple_tms(deepest_tm_id: int, cell_size: float) -> TileMatrixSet:
 
 
 def load_tms_json(doc: dict | str) -> TileMatrixSet:
-    """Load an OGC TMS 2.0 JSON document (dict or JSON string)."""
+    """Load an OGC TMS 2.0 JSON document (dict or JSON string).
+
+    Coordinate axis order: the CRS authority table decides first (as the
+    reference does at ``tms20/tms20.go:527-533``); the document's
+    informative ``orderedAxes`` is the fallback for unknown CRSs. A
+    lat/lon-ordered CRS (e.g. EPSG:4326) therefore loads with the correct
+    XY origin even when the JSON omits ``orderedAxes``.
+    """
     if isinstance(doc, str):
         doc = json.loads(doc)
-    ordered_axes = tuple(doc.get("orderedAxes", ()))
-    swap = ordered_axes in _LATLON_FIRST_AXES
     crs = doc.get("crs")
     if isinstance(crs, dict):
         crs = crs.get("uri", "")
+    swap = crs_is_latlon(crs or "")
+    if swap is None:
+        swap = axes_are_latlon(doc.get("orderedAxes"))
+    if swap is None:
+        swap = False
     tms = {}
     for tm in doc["tileMatrices"]:
         poo = tm["pointOfOrigin"]
@@ -360,6 +374,10 @@ def load_tms_json(doc: dict | str) -> TileMatrixSet:
         else:
             poo = (float(poo[0]), float(poo[1]))
         tm_id = int(tm["id"])
+        vmw = tuple(
+            (int(v["coalesce"]), int(v["minTileRow"]), int(v["maxTileRow"]))
+            for v in tm.get("variableMatrixWidths", ())
+        )
         tms[tm_id] = TileMatrix(
             id=tm_id,
             scale_denominator=float(tm["scaleDenominator"]),
@@ -370,8 +388,43 @@ def load_tms_json(doc: dict | str) -> TileMatrixSet:
             tile_height=int(tm["tileHeight"]),
             matrix_width=int(tm["matrixWidth"]),
             matrix_height=int(tm["matrixHeight"]),
+            variable_matrix_widths=vmw,
         )
     return TileMatrixSet(id=doc.get("id", "custom"), crs=crs or "", tile_matrices=tms)
+
+
+_REGISTRY_DIR = __file__.rsplit("/", 1)[0] + "/tilematrixsets"
+
+REGISTRY_TMS_NAMES = (
+    "CDB1GlobalGrid",
+    "CanadianNAD83_LCC",
+    "EuropeanETRS89_LAEAQuad",
+    "GNOSISGlobalGrid",
+    "LINZAntarticaMapTilegrid",
+    "NZTM2000Quad",
+    "NetherlandsRDNewQuad",
+    "UPSAntarcticWGS84Quad",
+    "UPSArcticWGS84Quad",
+    "UTM31WGS84Quad",
+    "WGS1984Quad",
+    "WebMercatorQuad",
+    "WorldCRS84Quad",
+    "WorldMercatorWGS84Quad",
+)
+
+
+@lru_cache(maxsize=None)
+def registry_tms(name: str) -> TileMatrixSet:
+    """Load one of the 14 embedded OGC tile-matrix-set registry documents
+    (the same public registry files the reference embeds at
+    ``tms20/tilematrixsets/``). Parsed once per process (lru_cache);
+    workers hold the parsed set, never the JSON."""
+    if name not in REGISTRY_TMS_NAMES:
+        raise KeyError(
+            f"unknown registry TMS: {name!r} (have {', '.join(REGISTRY_TMS_NAMES)})"
+        )
+    with open(f"{_REGISTRY_DIR}/{name}.json") as f:
+        return load_tms_json(json.load(f))
 
 
 # Public OGC tile-matrix-set registry constants for the quadtree grids
@@ -432,9 +485,20 @@ _BUILTIN_QUADTREE_TMS = {
 
 @lru_cache(maxsize=None)
 def builtin_tms(name: str) -> TileMatrixSet:
-    """Built-in grids from public OGC tile-matrix-set registry constants."""
+    """Resolve a grid by name: quadtree constants first, then the embedded
+    OGC registry JSON.
+
+    The quadtree builtins derive every level as ``cell0 / 2**z`` — exact
+    float parity with the SQL tile-arithmetic oracles; the registry JSONs
+    list per-level cellSize values that can differ in the last ulp, so
+    they back the REMAINING (non-quadtree / non-square-root) grids:
+    WGS1984Quad, WorldCRS84Quad, GNOSISGlobalGrid, CDB1GlobalGrid,
+    CanadianNAD83_LCC, UTM31WGS84Quad, LINZAntarticaMapTilegrid.
+    """
     spec = _BUILTIN_QUADTREE_TMS.get(name)
     if spec is None:
+        if name in REGISTRY_TMS_NAMES:
+            return registry_tms(name)
         raise KeyError(f"unknown builtin TMS: {name}")
     return make_quadtree_tms(
         name,

@@ -79,7 +79,8 @@ def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
     from .mlprep import q_image_embed_neardup
 
     dup_counts = q_image_embed_neardup(sf_dir).to_pandas()
-    victims = set(dup_counts["id_a"].tolist())  # arbitrary-but-deterministic side
+    # arbitrary-but-deterministic side; sorted array for vectorized np.isin
+    victims_arr = np.unique(np.asarray(dup_counts["id_a"].tolist()))
 
     ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
     stats = ds.map_batches(
@@ -98,11 +99,11 @@ def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
             mean = (
                 s["mean_r"].to_numpy() + s["mean_g"].to_numpy() + s["mean_b"].to_numpy()
             ) // 3
-            ids = batch["image_id"].to_pylist()
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
             keep = (
                 (mean >= min_mean)
                 & (mean <= max_mean)
-                & np.array([i not in victims for i in ids])
+                & ~np.isin(ids, victims_arr)
             )
             kept = batch.filter(pa.array(keep))
             return encode_tiles(kept, "WebMercatorQuad", (8,), keep_columns=[])

@@ -606,6 +606,43 @@ def q_knn_radius(sf_dir: str, n_queries: int = 20, k: int = 5, radius: float = 1
     return finalize_knn(ds, k=k)
 
 
+def q_knn_all(sf_dir: str, k: int = 3, radius: float = 0.25):
+    """Full self-join kNN: k nearest neighbors within `radius` for EVERY
+    image (oracle-exact). One 9x cell-ring explode of (id, lon, lat) rows
+    + one groupby(cell) shuffle; per-cell top-k is final."""
+    from ..sources.images import read_images
+    from ..stages.knn import knn_all
+
+    ds = read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    return knn_all(ds, radius=radius, k=k)
+
+
+def sql_knn_all(images_source: str, k: int = 3, radius: float = 0.25) -> str:
+    """Cell-ring equi-join oracle (BETWEEN +-1 on the same grid cells the
+    engine uses; guaranteed cover of the radius disc)."""
+    d2 = "(a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)"
+    return f"""
+WITH pts AS (
+    SELECT image_id, lon, lat,
+           CAST(floor((lon + 180.0) / {radius!r}) AS BIGINT) AS cx,
+           CAST(floor((lat + 90.0) / {radius!r}) AS BIGINT) AS cy
+    FROM {images_source}
+), cand AS (
+    SELECT a.image_id AS query_id, b.image_id AS image_id, {d2} AS d2
+    FROM pts a JOIN pts b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.image_id <> b.image_id
+    WHERE {d2} <= {radius * radius!r}
+)
+SELECT query_id, image_id, rank FROM (
+    SELECT query_id, image_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+    FROM cand
+) WHERE rank <= {k}
+"""
+
+
 def sql_knn_radius(images_source: str, n_queries: int = 20, k: int = 5, radius: float = 1.0) -> str:
     return f"""
 WITH q AS (

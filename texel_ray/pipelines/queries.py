@@ -10,6 +10,8 @@ after sorting columns by name.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -258,6 +260,7 @@ QUERIES = {
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "knn_radius": mlprep.q_knn_radius,
+    "knn_all": mlprep.q_knn_all,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
@@ -305,6 +308,7 @@ ORACLE_SQL = {
     "pip_join_poly": sql_pip_join_poly(),
     "dedup_exact": sql_dedup_exact(),
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
+    "knn_all": mlprep.sql_knn_all(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
@@ -328,3 +332,31 @@ ORACLE_SQL = {
     "asof_join": relational.SQL_ASOF_JOIN,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
 }
+
+# Golden-parquet oracles (tools/make_query_goldens.py) for queries SQL
+# cannot recompute: image decode, HLL sketches, IVF probing, snap/tile
+# kernels. simhash_neardup's golden is an INDEPENDENT brute-force
+# reference (all-pairs hamming; band blocking is exact by pigeonhole);
+# the rest pin the sf0.01 pipeline output whose kernels are separately
+# golden/pytest-pinned. Valid at the driver's compare scale (sf0.01).
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden_queries",
+)
+for _name in (
+    "simhash_neardup",
+    "snap_regions",
+    "tilecut_z13",
+    "vector_tilecut",
+    "ivf_topk",
+    "approx_distinct",
+    "image_stats",
+    "image_embed_neardup",
+    "curate_documents",
+    "curate_images",
+    "image_resize",
+):
+    _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
+    if os.path.exists(_path):
+        ORACLE_SQL[_name] = f"SELECT * FROM read_parquet('{_path}')"

@@ -39,6 +39,7 @@ class PIPJoiner:
         lon_col: str = "lon",
         lat_col: str = "lat",
         keep_columns: list[str] | None = None,
+        grid_threshold: int = 512,
     ):
         if regions is None:
             if regions_path is None:
@@ -67,6 +68,29 @@ class PIPJoiner:
             ring = rings[0]
             pts = np.asarray(ring + [ring[0]], dtype=np.float64)
             self.edges.append((pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1]))
+        # spatial index over polygon bboxes (the STRtree role): a uniform
+        # grid keyed by cell, built once per actor, used instead of the
+        # dense (points x polygons) mask when the dimension table is large
+        # — the dense mask is O(N*P) memory, a scale-killer at 10^5 regions.
+        self.use_grid = len(self.region_id) > grid_threshold
+        if self.use_grid:
+            w = self.maxx - self.minx
+            h = self.maxy - self.miny
+            self.cell = float(max(np.median(w), np.median(h), 1e-9))
+            self.gx0 = float(self.minx.min())
+            self.gy0 = float(self.miny.min())
+            cell_to_polys: dict[tuple[int, int], list[int]] = {}
+            for i in range(len(self.region_id)):
+                cx0 = int((self.minx[i] - self.gx0) // self.cell)
+                cx1 = int((self.maxx[i] - self.gx0) // self.cell)
+                cy0 = int((self.miny[i] - self.gy0) // self.cell)
+                cy1 = int((self.maxy[i] - self.gy0) // self.cell)
+                for cx in range(cx0, cx1 + 1):
+                    for cy in range(cy0, cy1 + 1):
+                        cell_to_polys.setdefault((cx, cy), []).append(i)
+            self.cell_to_polys = {
+                k: np.asarray(v, dtype=np.int64) for k, v in cell_to_polys.items()
+            }
 
     def _contains(self, poly_i: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         if self.is_rect[poly_i]:
@@ -88,30 +112,79 @@ class PIPJoiner:
         hits = crosses & (pxv < xint)
         return (hits.sum(axis=1) % 2).astype(bool)
 
+    def _grid_bbox_candidates(self, px: np.ndarray, py: np.ndarray):
+        """(point_idx, region_idx) bbox-candidate pairs via the cell grid:
+        points are grouped by cell (one lexsort) and tested only against
+        the polygons registered for that cell — O(N * polys_per_cell)
+        instead of the dense O(N * P) mask."""
+        cx = np.floor((px - self.gx0) / self.cell).astype(np.int64)
+        cy = np.floor((py - self.gy0) / self.cell).astype(np.int64)
+        order = np.lexsort((cy, cx))
+        scx, scy = cx[order], cy[order]
+        bnd = np.nonzero((np.diff(scx) != 0) | (np.diff(scy) != 0))[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(order)]))
+        out_p, out_r = [], []
+        for s, e in zip(starts, ends):
+            polys = self.cell_to_polys.get((int(scx[s]), int(scy[s])))
+            if polys is None:
+                continue
+            pts = order[s:e]
+            m = (
+                (px[pts][:, None] >= self.minx[polys][None, :])
+                & (px[pts][:, None] <= self.maxx[polys][None, :])
+                & (py[pts][:, None] >= self.miny[polys][None, :])
+                & (py[pts][:, None] <= self.maxy[polys][None, :])
+            )
+            pi, ri = np.nonzero(m)
+            if len(pi):
+                out_p.append(pts[pi])
+                out_r.append(polys[ri])
+        if not out_p:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_p), np.concatenate(out_r)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch[self.lon_col].to_numpy(zero_copy_only=False)
         py = batch[self.lat_col].to_numpy(zero_copy_only=False)
         keep = self.keep_columns if self.keep_columns is not None else batch.column_names
 
-        # vectorized bbox candidate filter: (points x polygons) bitmask.
-        # dimension table is small, so the dense mask is cheap; a real
-        # STRtree replaces this when |polygons| is large.
-        cand = (
-            (px[:, None] >= self.minx[None, :])
-            & (px[:, None] <= self.maxx[None, :])
-            & (py[:, None] >= self.miny[None, :])
-            & (py[:, None] <= self.maxy[None, :])
-        )
         out_point_idx = []
         out_region = []
-        for poly_i in np.nonzero(cand.any(axis=0))[0]:
-            idx = np.nonzero(cand[:, poly_i])[0]
-            if not self.is_rect[poly_i]:
-                inside = self._contains(poly_i, px[idx], py[idx])
-                idx = idx[inside]
-            if len(idx):
-                out_point_idx.append(idx)
-                out_region.append(np.full(len(idx), poly_i, dtype=np.int64))
+        if self.use_grid:
+            cand_p, cand_r = self._grid_bbox_candidates(px, py)
+            # exact even-odd test per polygon over its candidate points
+            order = np.argsort(cand_r, kind="stable")
+            cand_p, cand_r = cand_p[order], cand_r[order]
+            bnd = np.nonzero(np.diff(cand_r) != 0)[0] + 1
+            starts = np.concatenate(([0], bnd)) if len(cand_r) else []
+            ends = np.concatenate((bnd, [len(cand_r)])) if len(cand_r) else []
+            for s, e in zip(starts, ends):
+                poly_i = int(cand_r[s])
+                idx = cand_p[s:e]
+                if not self.is_rect[poly_i]:
+                    inside = self._contains(poly_i, px[idx], py[idx])
+                    idx = idx[inside]
+                if len(idx):
+                    out_point_idx.append(np.sort(idx))
+                    out_region.append(np.full(len(idx), poly_i, dtype=np.int64))
+        else:
+            # vectorized bbox candidate filter: dense (points x polygons)
+            # bitmask — cheapest for a few hundred regions
+            cand = (
+                (px[:, None] >= self.minx[None, :])
+                & (px[:, None] <= self.maxx[None, :])
+                & (py[:, None] >= self.miny[None, :])
+                & (py[:, None] <= self.maxy[None, :])
+            )
+            for poly_i in np.nonzero(cand.any(axis=0))[0]:
+                idx = np.nonzero(cand[:, poly_i])[0]
+                if not self.is_rect[poly_i]:
+                    inside = self._contains(poly_i, px[idx], py[idx])
+                    idx = idx[inside]
+                if len(idx):
+                    out_point_idx.append(idx)
+                    out_region.append(np.full(len(idx), poly_i, dtype=np.int64))
 
         if not out_point_idx:
             cols = [batch[c].slice(0, 0) for c in keep]

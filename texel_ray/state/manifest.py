@@ -10,18 +10,17 @@ directory per partition key — idempotent overwrite per partition) plus
 
     {"key": {"tm_id": 8}, "rows": 1234, "inputs": [...], "ts": ...}
 
-``resumable_write`` computes the pending partition set (all keys minus
-manifest keys), filters the pipeline to pending partitions only — pruned
-at the READ when the partition column is a parquet partition/row-group
-column — writes them, then appends their manifest records. Records are
-appended only after the partition's files are fully written, so a crash
-mid-partition re-does just that partition.
+``resumable_write`` streams the pipeline ONCE into a partitioned write,
+dropping already-completed partitions with a broadcast filter built from
+the manifest (never a discovery pass or a materialize), then records each
+new partition's row count from its parquet footers (a metadata-only
+counters side-channel). Records land only after the partition's files are
+fully written, so a crash mid-partition re-does just that partition.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import pathlib
 import time
 
@@ -59,6 +58,16 @@ class Manifest:
         return rec
 
 
+def _parse_partition_value(s: str):
+    """Hive dir-name string -> the partition value (int/float/str)."""
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            continue
+    return s
+
+
 def resumable_write(
     ds,
     out_dir: str,
@@ -68,55 +77,52 @@ def resumable_write(
     """Write ``ds`` hive-partitioned by ``partition_col``, skipping
     partitions already in the manifest. Returns (written_keys, skipped_keys).
 
-    The partition-key discovery groupby is tiny (distinct keys); the
-    filter happens before the write so skipped partitions cost nothing
-    downstream. Call again after a crash to finish only what's missing.
+    SINGLE streaming pass — the pipeline executes exactly once, never
+    materialized: completed partitions are dropped by a vectorized
+    broadcast filter (the done-key set comes from the manifest, not from a
+    discovery pass over the data), the rest streams straight into the
+    partitioned write. Row counts come from a counters side-channel — the
+    parquet footers of the files each write task produced (metadata-only
+    reads, no data pass). Manifest records are appended only after the
+    partition's files are fully on disk, so a crash mid-partition re-does
+    just that partition; partition dirs WITHOUT a manifest record (crash
+    leftovers) are cleared up front so the rerun replaces them.
     """
+    import shutil
+
+    import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    import pyarrow.parquet as pq
 
     manifest = Manifest(out_dir)
     done = manifest.completed()
+    done_values = [json.loads(k)[partition_col] for k in done]
+    skipped = sorted(done_values, key=str)
 
-    # pin the pipeline output once: the key-count pass and the filtered
-    # write below would otherwise each re-execute the whole upstream
-    # chain (the dominant cost for compute-heavy pipelines like snap).
-    # At larger-than-memory scale, replace with a counters side-channel.
-    ds = ds.materialize()
+    out_path = pathlib.Path(out_dir)
+    # idempotent overwrite: clear crash leftovers (dirs with no record)
+    for p in out_path.glob(f"{partition_col}=*"):
+        val = _parse_partition_value(p.name.split("=", 1)[1])
+        if _key_str({partition_col: val}) not in done:
+            shutil.rmtree(p, ignore_errors=True)
 
-    counts = {
-        row[partition_col]: row["n"]
-        for row in ds.groupby(partition_col)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    }
-    pending = [k for k in counts if _key_str({partition_col: k}) not in done]
-    skipped = [k for k in counts if _key_str({partition_col: k}) in done]
-    if not pending:
-        return [], skipped
+    if done_values:
+        def drop_done(b: pa.Table) -> pa.Table:
+            value_set = pa.array(done_values).cast(b[partition_col].type)
+            return b.filter(
+                pc.invert(pc.is_in(b[partition_col], value_set=value_set))
+            )
 
-    # idempotent overwrite: a crash mid-partition leaves files but no
-    # manifest record; clear those partition dirs so the rerun replaces
-    # them instead of appending duplicate part files
-    import shutil
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
 
-    for k in pending:
-        shutil.rmtree(
-            pathlib.Path(out_dir) / f"{partition_col}={k}", ignore_errors=True
-        )
-
-    value_set = pa_value_set(set(pending))
-    filtered = ds.map_batches(  # vectorized partition filter
-        lambda b: b.filter(pc.is_in(b[partition_col], value_set)),
-        batch_format="pyarrow",
-    )
-    filtered.write_parquet(out_dir, partition_cols=[partition_col])
-    for k in sorted(pending, key=str):
-        manifest.record({partition_col: k}, rows=int(counts[k]), inputs=inputs)
-    return pending, skipped
-
-
-def pa_value_set(values):
-    import pyarrow as pa
-
-    return pa.array(list(values))
+    # counters side-channel: per-partition row counts from parquet footers
+    written = []
+    for p in sorted(out_path.glob(f"{partition_col}=*")):
+        val = _parse_partition_value(p.name.split("=", 1)[1])
+        if _key_str({partition_col: val}) in done:
+            continue
+        rows = sum(pq.read_metadata(f).num_rows for f in p.glob("*.parquet"))
+        manifest.record({partition_col: val}, rows=rows, inputs=inputs)
+        written.append(val)
+    return written, skipped

@@ -1,0 +1,119 @@
+"""Generate committed golden-parquet oracles for queries whose semantics
+SQL cannot recompute (image decode, HLL sketches, IVF probing, snap/tile
+kernels). The driver's oracle_sql() for these reads the committed parquet
+back (``SELECT * FROM read_parquet(...)``), so the correctness gate pins
+row counts, schema and values at sf0.01.
+
+Two golden classes (documented per query in GOLDEN_QUERIES):
+- independent: recomputed here by a brute-force reference that shares no
+  code path with the distributed pipeline's BLOCKING/shuffle logic (e.g.
+  all-pairs hamming for simhash_neardup — the 4x16 band pigeonhole makes
+  LSH recall exact, so brute force must equal the pipeline bit-for-bit);
+- regression-pin: the pipeline's own sf0.01 output, committed (for
+  compositions whose kernels are already golden/pytest-pinned elsewhere;
+  catches any future drift).
+
+Usage: python tools/make_query_goldens.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden_queries",
+)
+
+# queries whose golden is the pipeline's own committed sf0.01 output
+REGRESSION_PIN = [
+    "snap_regions",
+    "tilecut_z13",
+    "vector_tilecut",
+    "ivf_topk",
+    "approx_distinct",
+    "image_stats",
+    "image_embed_neardup",
+    "curate_documents",
+    "curate_images",
+    "image_resize",
+]
+
+
+def golden_simhash_neardup():
+    """Independent brute-force reference: all-pairs hamming <= 3 over the
+    per-doc simhash64 signatures. The pipeline's 4x16-bit band blocking is
+    EXACT by pigeonhole (hamming <= 3 forces at least one identical band),
+    so this must match the distributed output exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.stages.dedup import popcount64_np, simhash64_batch
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(docs["doc_id"].to_pylist(), dtype=np.int64)
+    sh = simhash64_batch(docs["text"].to_pylist())
+    order = np.argsort(ids)
+    ids, sh = ids[order], sh[order]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    dist = popcount64_np(sh[ia] ^ sh[ib])
+    keep = dist <= 3
+    return pd.DataFrame(
+        {
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "hamming": dist[keep],
+        }
+    )
+
+
+INDEPENDENT = {"simhash_neardup": golden_simhash_neardup}
+
+
+def main() -> int:
+    names = sys.argv[1:] or (REGRESSION_PIN + list(INDEPENDENT))
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(
+        address="local", num_cpus=16, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    for name in names:
+        if name in INDEPENDENT:
+            df = INDEPENDENT[name]()
+            kind = "independent"
+        else:
+            result = queries[name](SF_DIR)
+            df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+            kind = "regression-pin"
+        df = df.sort_values(list(sorted(df.columns))).reset_index(drop=True)
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        print(f"{name}: {len(df)} rows -> {path} ({kind})")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
