@@ -216,3 +216,25 @@ def test_line_intersects_goldens():
         line = (tuple(case["line"][0]), tuple(case["line"][1]))
         ext = tuple(case["extent"])
         assert line_intersects(line, ext) == case["want"], case["name"]
+
+
+def test_wkt_debug_encode_and_fixedpoint_print():
+    """WKT debug encode (geomhelp/geomhelp.go:110-158 semantics: degenerate
+    1/2-vertex rings become POINT/LINESTRING) + intgeom decimal
+    pretty-print (intgeom/intgeom.go:63-74)."""
+    from texel_ray.core import fixedpoint as fp
+    from texel_ray.core.geom import wkt_encode
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    assert wkt_encode("Polygon", [ring]) == "POLYGON ((0 0,4 0,4 4,0 4))"
+    # degenerate rings split out after the polygon, reference-style
+    s = wkt_encode("Polygon", [ring, [(9.0, 9.0)], [(1.0, 1.0), (2.0, 2.0)]])
+    assert s == "POLYGON ((0 0,4 0,4 4,0 4))LINESTRING (1 1,2 2)POINT (9 9)"
+    assert wkt_encode("Point", (1.5, -2.0)) == "POINT (1.5 -2)"
+    long = wkt_encode("Polygon", [ring], max_len=12)
+    assert long.endswith("...") and len(long) == 12
+
+    assert fp.print_with_decimals(fp.from_ord(1.25), 2) == "1.25"
+    assert fp.print_with_decimals(fp.from_ord(1.25), 12) == "1.250000000000"
+    assert fp.print_with_decimals(fp.from_ord(-3.5), 1) == "-3.5"
+    assert fp.print_with_decimals(123, 10) == "0.0000000123"

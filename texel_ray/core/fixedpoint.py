@@ -50,3 +50,14 @@ def from_point(pt) -> tuple[int, int]:
 
 def to_point(ipt) -> tuple[float, float]:
     return (to_ord(ipt[0]), to_ord(ipt[1]))
+
+
+def print_with_decimals(o: int, n: int) -> str:
+    """Fixed-point int64 -> decimal string with n fraction digits
+    (truncated below PRECISION, zero-padded above) — the debug
+    pretty-print of the reference (``intgeom/intgeom.go:63-74``)."""
+    sign = "-" if o < 0 else ""
+    s = str(abs(int(o))).rjust(PRECISION + 1, "0")
+    whole, frac = s[:-PRECISION], s[-PRECISION:]
+    frac = frac[:n] if n < PRECISION else frac + "0" * (n - PRECISION)
+    return f"{sign}{whole}.{frac}"

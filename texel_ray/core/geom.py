@@ -229,3 +229,55 @@ class _WKBReader:
 def wkb_decode(buf: bytes):
     """-> (kind, coords); Polygon coords = rings WITHOUT closing points."""
     return _WKBReader(bytes(buf)).geometry()
+
+
+# ---- WKT debug encoding ----------------------------------------------------
+# Mirrors the reference's error-row pretty-printer
+# (``geomhelp/geomhelp.go:110-158``): degenerate polygon "rings" of 1 or 2
+# vertices are pulled out and rendered as POINT / LINESTRING after the
+# remaining polygon; output is truncated to max_len with a "..." tail.
+
+
+def _wkt_ring(ring) -> str:
+    return "(" + ",".join(f"{x:g} {y:g}" for x, y in ring) + ")"
+
+
+def _wkt_truncate(s: str, max_len: int) -> str:
+    if max_len and len(s) > max_len:
+        return s[: max(0, max_len - 3)] + "..."
+    return s
+
+
+def wkt_encode(kind: str, coords, max_len: int = 0) -> str:
+    """WKT for Point/LineString/Polygon/MultiPolygon debug output."""
+    if kind == "Point":
+        return _wkt_truncate(f"POINT ({coords[0]:g} {coords[1]:g})", max_len)
+    if kind == "LineString":
+        return _wkt_truncate("LINESTRING " + _wkt_ring(coords), max_len)
+    if kind == "Polygon":
+        points, lines, rings = [], [], []
+        for ring in coords:
+            if len(ring) == 1:
+                points.append(ring[0])
+            elif len(ring) == 2:
+                lines.append(ring)
+            else:
+                rings.append(ring)
+        s = ""
+        if rings:
+            s = _wkt_truncate(
+                "POLYGON (" + ",".join(_wkt_ring(r) for r in rings) + ")", max_len
+            )
+        for ln in lines:
+            s += _wkt_truncate("LINESTRING " + _wkt_ring(ln), max_len)
+        for pt in points:
+            s += _wkt_truncate(f"POINT ({pt[0]:g} {pt[1]:g})", max_len)
+        return s
+    if kind == "MultiPolygon":
+        return _wkt_truncate(
+            "MULTIPOLYGON ("
+            + ",".join("(" + ",".join(_wkt_ring(r) for r in poly) + ")" for poly in coords)
+            + ")",
+            max_len,
+        )
+    raise ValueError(f"wkt_encode: unsupported kind {kind!r}")

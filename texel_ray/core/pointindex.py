@@ -259,26 +259,19 @@ class PointIndex:
         if not level_set or not line_intersects(iline, self.int_extent):
             return {}
         per_level = {}
-        root = (self.int_extent, self.int_centroid, 0)  # ext, centroid, z
-        parents = [root]
+        parents = [(self.int_extent, self.int_centroid, 0)]  # ext, centroid, z
         if 0 in level_set:
             per_level[0] = [(self.int_extent, self.int_centroid)]
+        ip1, ip2 = iline
         for level in range(1, self.deepest_level + 1):
-            level_quadrants = self.quadrants.get(level, {})
+            get = self.quadrants.get(level, {}).get
             intersected = []
             for parent_ext, parent_centroid, parent_z in parents:
                 # child quadrant q of parent z has key (z << 2) | q
-                base = parent_z << 2
-                with_points = {}
-                for q in range(4):
-                    z = base | q
-                    quad = level_quadrants.get(z)
-                    if quad is not None:
-                        with_points[q] = (quad[0], quad[1], z)
-                for q in _find_intersecting_quadrants(
-                    iline, with_points, parent_ext, parent_centroid
-                ):
-                    intersected.append(with_points[q])
+                _descend(
+                    iline, ip1, ip2, get, parent_z << 2,
+                    parent_ext, parent_centroid, intersected,
+                )
             parents = intersected
             if level in level_set:
                 per_level[level] = [(ext, cen) for ext, cen, _ in intersected]
@@ -288,56 +281,56 @@ class PointIndex:
         return self.hit_multiple.get(level, {})
 
 
-def _find_intersecting_quadrants(iline, quadrants, parent_ext, parent_centroid):
-    q1 = _infinite_quadrant(iline[0], parent_centroid)
-    in1 = _contains_point(iline[0], parent_ext)
-    q2 = _infinite_quadrant(iline[1], parent_centroid)
-    in2 = _contains_point(iline[1], parent_ext)
+def _descend(iline, ip1, ip2, get, base, parent_ext, parent_centroid, out):
+    """Append the (ext, centroid, z) of the parent's child quadrants the
+    line intersects, in the reference's traversal order. Hot inner loop of
+    the snap kernel: quadrant math inlined, children looked up lazily
+    (only the candidates, not all four)."""
+    cx, cy = parent_centroid
+    e0, e1, e2, e3 = parent_ext
+    x1, y1 = ip1
+    x2, y2 = ip2
+    q1 = (1 if x1 >= cx else 0) | ((1 if y1 >= cy else 0) << 1)
+    q2 = (1 if x2 >= cx else 0) | ((1 if y2 >= cy else 0) << 1)
+    in1 = e0 <= x1 < e2 and e1 <= y1 < e3
+    in2 = e0 <= x2 < e2 and e1 <= y2 < e3
 
     # (quadrant index, certain, mutex)
     if q1 == q2:
         if in1 and in2:
-            to_check = [(q1, True, False)]
-        else:
-            to_check = [(q1, False, False)]
-    elif _quadrants_adjacent(q1, q2):
-        if in1 and in2:
-            to_check = [(q1, True, False), (q2, True, False)]
-        else:
-            to_check = [(q1, False, False), (q2, False, False)]
+            quad = get(base | q1)
+            if quad is not None:
+                out.append((quad[0], quad[1], base | q1))
+            return
+        to_check = ((q1, False, False),)
+    elif (q1 ^ q2) in (0b01, 0b10):  # adjacent quadrants
+        certain = in1 and in2
+        to_check = ((q1, certain, False), (q2, certain, False))
     else:
         if in1:
-            to_check = [
+            to_check = (
                 (q1, True, False),
                 (q1 ^ 0b01, False, True),
                 (q1 ^ 0b10, False, True),
                 (q2, in2, False),
-            ]
-        elif in2:
-            to_check = [
-                (q1, False, False),
-                (q1 ^ 0b01, False, True),
-                (q1 ^ 0b10, False, True),
-                (q2, True, False),
-            ]
+            )
         else:
-            to_check = [
+            to_check = (
                 (q1, False, False),
                 (q1 ^ 0b01, False, True),
                 (q1 ^ 0b10, False, True),
-                (q2, False, False),
-            ]
-
-    found = []
+                (q2, in2, False),
+            )
     mutexed = False
     for qi, certain, mutex in to_check:
         if mutex and mutexed:
             continue
-        quad = quadrants.get(qi)
+        quad = get(base | qi)
         if quad is None:
             continue
         if certain or line_intersects(iline, quad[0]):
-            found.append(qi)
+            out.append((quad[0], quad[1], base | qi))
             if mutex:
                 mutexed = True
-    return found
+
+
