@@ -162,3 +162,36 @@ def test_session_windows():
     out = session_windows(g)
     assert out["n_sessions"].iloc[0] == 2
     assert out["n_events"].iloc[0] == 4
+
+
+def test_fingerprint_batch_matches_scalar():
+    from texel_ray.stages.text import fingerprint64, fingerprint64_batch
+
+    rng = np.random.default_rng(11)
+    texts = ["", "a", "abc", "the quick brown fox", "你好 world", "x" * 600]
+    texts += ["".join(chr(rng.integers(32, 1000)) for _ in range(rng.integers(0, 80))) for _ in range(50)]
+    got = fingerprint64_batch(texts)
+    expect = np.array([fingerprint64(t) for t in texts], dtype=np.int64)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_langid_batch_matches_scalar_predict():
+    from texel_ray.stages.text import LangId
+
+    texts = [
+        "the cat and the hat is on the mat",
+        "der hund und die katze ist ein tier",
+        "le chat est un animal et la maison",
+        "el perro es un animal y la casa",
+        "中文文本 with some english",
+        "",
+        "zzz qqq www",  # words but no profile hits -> und
+        "de la le und the",  # cross-language tie fodder
+    ]
+    stage = LangId()
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = stage(t)
+    for i, txt in enumerate(texts):
+        lang, score = stage._predict(txt)
+        assert out["lang_pred"][i].as_py() == lang, (i, txt)
+        assert out["lang_score"][i].as_py() == score, (i, txt)

@@ -86,6 +86,49 @@ def fingerprint64(s: str) -> int:
     return h
 
 
+_M61 = np.uint64(_FP_MOD)
+
+
+def _mul257_mod61(h: np.ndarray) -> np.ndarray:
+    """Vectorized h*257 mod 2^61-1 for h < 2^61 + small slack, exact.
+
+    Splits h at bit 33 so every partial product fits uint64, and folds the
+    2^33 shift with the Mersenne identity 2^61 ≡ 1 (mod 2^61-1)."""
+    h_hi = h >> np.uint64(33)  # < 2^28 (+ slack)
+    h_lo = h & np.uint64((1 << 33) - 1)
+    t = h_hi * np.uint64(257)  # < 2^37
+    folded = ((t & np.uint64((1 << 28) - 1)) << np.uint64(33)) + (
+        t >> np.uint64(28)
+    )  # == t * 2^33 mod p, < 2^61 + 2^9
+    res = folded + h_lo * np.uint64(257)  # < 2^62
+    res = (res & _M61) + (res >> np.uint64(61))
+    return res  # < 2^61 + 1 (reduced enough for the next round's split)
+
+
+def fingerprint64_batch(texts: list) -> np.ndarray:
+    """Vectorized fingerprint64 across documents, bit-identical.
+
+    Documents are right-aligned into one (n_docs, max_len) byte matrix —
+    base-257 leading zero bytes don't change the polynomial value — and
+    the Horner recurrence runs max_len vectorized rounds over the whole
+    batch (Mersenne-61 folding keeps every intermediate inside uint64)."""
+    n = len(texts)
+    bufs = [(t or "").encode("utf-8") for t in texts]
+    max_len = max((len(b) for b in bufs), default=0)
+    if max_len == 0:
+        return np.zeros(n, dtype=np.int64)
+    mat = np.zeros((n, max_len), dtype=np.uint64)
+    for i, b in enumerate(bufs):
+        if b:
+            mat[i, max_len - len(b):] = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(max_len):
+        h = _mul257_mod61(h) + mat[:, j]  # < 2^61 + 2^9, split-safe
+    h = (h & _M61) + (h >> np.uint64(61))
+    h = np.where(h >= _M61, h - _M61, h)
+    return h.astype(np.int64)
+
+
 class Fingerprinter:
     """Rolling-hash document fingerprint (dedup pre-key / lineage id)."""
 
@@ -94,10 +137,7 @@ class Fingerprinter:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        fps = np.fromiter(
-            (fingerprint64(t or "") for t in texts), dtype=np.int64, count=len(texts)
-        )
+        fps = fingerprint64_batch(batch[self.text_col].to_pylist())
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": pa.array(fps)})
 
 
@@ -126,16 +166,36 @@ class LangId:
         return best_lang, best / len(words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            lang, score = self._predict(t or "")
-            preds.append(lang)
-            scores.append(score)
+        """Vectorized batch kernel: pandas str ops + one explode/isin pass
+        per language profile; identical to ``_predict`` per row."""
+        s = pd.Series(batch[self.text_col].to_pylist()).fillna("")
+        n = len(s)
+        cjk = s.str.contains(self.cjk_re).to_numpy()
+        words = s.str.findall(self.word_re)
+        nw = words.str.len().to_numpy(dtype=np.int64)
+        exploded = words.explode().str.lower()
+        langs = [lang for lang, prof in _LANG_PROFILES.items() if prof]
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        valid = exploded.notna()
+        ev = exploded[valid]
+        for li, lang in enumerate(langs):
+            h = ev.isin(_LANG_PROFILES[lang]).groupby(level=0).sum()
+            hits[h.index.to_numpy(), li] = h.to_numpy()
+        best = hits.max(axis=1)
+        # argmax returns the FIRST maximal column — the same tie-break as
+        # the scalar loop's strict-> update over dict order (en,de,fr,es)
+        best_li = hits.argmax(axis=1)
+        lang_arr = np.array(langs)[best_li]
+        preds = np.where(best > 0, lang_arr, "und")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(nw > 0, best / np.maximum(nw, 1), 0.0)
+        preds = np.where(nw == 0, "und", preds)
+        preds = np.where(cjk, "zh", preds)
+        scores = np.where(cjk, 1.0, scores)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
                 "lang_score": pa.array(scores, pa.float64()),
             }
         )
