@@ -88,6 +88,8 @@ def run_benchmarks() -> dict:
     timed("snap_regions", lambda: spatial.q_snap_regions(SF_DIR))
     timed("snap_throughput_x40", lambda: spatial.snap_throughput(SF_DIR))
     timed("minhash_neardup", lambda: mlprep.q_minhash_neardup(SF_DIR))
+    timed("simhash_neardup", lambda: mlprep.q_simhash_neardup(SF_DIR))
+    timed("knn_all", lambda: mlprep.q_knn_all(SF_DIR))
     timed("ann_topk", lambda: mlprep.q_ann_topk(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))

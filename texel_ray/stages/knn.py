@@ -182,13 +182,20 @@ def _knn_cell(hid, hlon, hlat, cid, clon, clat, k, r2, out, home_chunk=512):
 
 
 def knn_all_bucket(
-    group: pd.DataFrame, k: int = 5, radius: float = 0.5, id_col: str = "image_id"
+    group: pd.DataFrame,
+    k: int = 5,
+    radius: float = 0.5,
+    id_col: str = "image_id",
+    pair_chunk: int = 4_000_000,
 ) -> pd.DataFrame:
-    """One hash-bucket of cells (map_groups stage): rows are lexsorted by
-    (cell_x, cell_y) once, then each cell runs the vectorized numpy kNN
-    kernel — the per-cell Python loop does only slicing, all math is
-    vectorized, and Ray sees just ~dozens of groups instead of one per
-    cell (per-group overhead dominated the naive groupby(cell))."""
+    """One hash-bucket of cells (map_groups stage), FULLY vectorized across
+    cells: rows are lexsorted by (cell, id) once, every home point's
+    candidate set is its own cell's contiguous slice, and (home,
+    candidate) pair indices are built with repeat/arange segment tricks —
+    no per-cell Python loop (a world-sized grid has ~10^6 occupied cells;
+    looping them dominated wall time). Distances, the radius filter and
+    the per-home (d2 asc, id asc) top-k all run as single numpy passes,
+    chunked so the pair arrays stay under ``pair_chunk`` rows."""
     r2 = radius * radius
     cx = group["cell_x"].to_numpy()
     cy = group["cell_y"].to_numpy()
@@ -196,24 +203,8 @@ def knn_all_bucket(
     lon = group["lon"].to_numpy()
     lat = group["lat"].to_numpy()
     home = group["home"].to_numpy()
-    # candidate id-order WITHIN cell: sort by (cell, id) in one lexsort
-    order = np.lexsort((ids, cy, cx))
-    cx, cy, ids, lon, lat, home = (
-        a[order] for a in (cx, cy, ids, lon, lat, home)
-    )
-    bnd = np.nonzero((np.diff(cx) != 0) | (np.diff(cy) != 0))[0] + 1
-    starts = np.concatenate(([0], bnd))
-    ends = np.concatenate((bnd, [len(cx)]))
-    out: tuple[list, list, list] = ([], [], [])
-    for s, e in zip(starts, ends):
-        h = home[s:e]
-        if not h.any():
-            continue
-        _knn_cell(
-            ids[s:e][h], lon[s:e][h], lat[s:e][h],
-            ids[s:e], lon[s:e], lat[s:e], k, r2, out,
-        )
-    if not out[0]:
+
+    def _empty():
         return pd.DataFrame(
             {
                 "query_id": pd.Series([], dtype=group[id_col].dtype),
@@ -221,11 +212,129 @@ def knn_all_bucket(
                 "rank": pd.Series([], dtype="int64"),
             }
         )
+
+    if len(cx) == 0 or not home.any():
+        return _empty()
+    # sort rows by (cell, id): candidates of one cell form one contiguous
+    # run, already in the id order the tie-break needs
+    order = np.lexsort((ids, cy, cx))
+    cx, cy, ids, lon, lat, home = (a[order] for a in (cx, cy, ids, lon, lat, home))
+    run = np.nonzero((np.diff(cx) != 0) | (np.diff(cy) != 0))[0] + 1
+    starts = np.concatenate(([0], run))
+    ends = np.concatenate((run, [len(cx)]))
+    # map every row to its cell run index (scatter + cumsum)
+    row_run = np.zeros(len(cx), dtype=np.int64)
+    row_run[run] = 1
+    row_run = np.cumsum(row_run)
+
+    h_idx = np.nonzero(home)[0]  # row index of each home point
+    h_run = row_run[h_idx]
+    h_cnt = (ends - starts)[h_run]  # candidates per home = its cell size
+    out_q, out_i, out_r = [], [], []
+
+    # DENSE cells (urban clusters): the radius filter prunes almost
+    # nothing there, so the pair path would lexsort millions of rows.
+    # Instead: per-cell (homes x candidates) distance matrix in chunks,
+    # np.partition for the exact k-th distance per home, then keep only
+    # candidates <= that value (all boundary ties included) — the tiny
+    # survivor set gets the exact (d2, id) lexsort. ~10x the pair path on
+    # a 3000-member cell.
+    dense = 64
+    dense_runs = np.nonzero((ends - starts) >= dense)[0]
+    for r in dense_runs:
+        s, e = starts[r], ends[r]
+        hm = h_idx[(h_run == r)]
+        if not len(hm):
+            continue
+        clon, clat = lon[s:e], lat[s:e]
+        c = e - s
+        kk = min(k, c - 1)
+        if kk <= 0:
+            continue
+        for hs in range(0, len(hm), 256):
+            hrows = hm[hs : hs + 256]
+            D = (lon[hrows, None] - clon[None, :]) ** 2 + (
+                lat[hrows, None] - clat[None, :]
+            ) ** 2
+            D[D > r2] = np.inf
+            D[np.arange(len(hrows)), hrows - s] = np.inf  # self
+            kth = np.partition(D, kk - 1, axis=1)[:, kk - 1]
+            # isfinite guard: when a home has < k in-radius neighbours the
+            # k-th "distance" is inf and D <= inf would readmit the self
+            # and out-of-radius entries
+            hi, ci = np.nonzero((D <= kth[:, None]) & np.isfinite(D))
+            pd2 = D[hi, ci]
+            o = np.lexsort((pd2, hi))  # stable: ties keep id (pos) order
+            hi, ci = hi[o], ci[o]
+            seg = np.nonzero(np.diff(hi) != 0)[0] + 1
+            seg_start = np.concatenate(([0], seg))
+            rank = np.arange(len(hi)) - np.repeat(
+                seg_start, np.diff(np.concatenate((seg_start, [len(hi)])))
+            ) + 1
+            top = rank <= k
+            out_q.append(ids[hrows[hi[top]]])
+            out_i.append(ids[s + ci[top]])
+            out_r.append(rank[top].astype(np.int64))
+    # drop dense-cell homes from the pair path
+    sparse_mask = (ends - starts)[h_run] < dense
+    h_idx = h_idx[sparse_mask]
+    h_run = h_run[sparse_mask]
+    h_cnt = h_cnt[sparse_mask]
+    if not len(h_idx):
+        if not out_q:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "rank": np.concatenate(out_r),
+            }
+        )
+    # chunk home points so sum(candidates) per chunk <= pair_chunk
+    csum = np.cumsum(h_cnt)
+    chunk_of_home = (csum - 1) // pair_chunk
+    for c in range(int(chunk_of_home[-1]) + 1 if len(h_cnt) else 0):
+        sel = np.nonzero(chunk_of_home == c)[0]
+        if not len(sel):
+            continue
+        lens = h_cnt[sel]
+        total = int(lens.sum())
+        # pair arrays: home replicated by its candidate count; candidate
+        # row index = cell start + position within the segment
+        seg_ends = np.cumsum(lens)
+        seg_starts = seg_ends - lens
+        pos = np.arange(total) - np.repeat(seg_starts, lens)
+        pair_home = np.repeat(h_idx[sel], lens)
+        pair_cand = np.repeat(starts[h_run[sel]], lens) + pos
+        dlon = lon[pair_home] - lon[pair_cand]
+        dlat = lat[pair_home] - lat[pair_cand]
+        d2 = dlon * dlon + dlat * dlat
+        # self-pair == same physical row (each point has exactly ONE
+        # replica in its own cell); integer compare, never string ids
+        keep = (d2 <= r2) & (pair_home != pair_cand)
+        if not keep.any():
+            continue
+        ph, pc, pd2 = pair_home[keep], pair_cand[keep], d2[keep]
+        # per-home (d2 asc, id asc) order: candidates are already id-sorted
+        # within a cell and lexsort is stable, so ties keep the id order
+        o = np.lexsort((pd2, ph))
+        ph, pc = ph[o], pc[o]
+        seg = np.nonzero(np.diff(ph) != 0)[0] + 1
+        seg_start = np.concatenate(([0], seg))
+        rank = np.arange(len(ph)) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(ph)])))
+        ) + 1
+        top = rank <= k
+        out_q.append(ids[ph[top]])
+        out_i.append(ids[pc[top]])
+        out_r.append(rank[top].astype(np.int64))
+    if not out_q:
+        return _empty()
     return pd.DataFrame(
         {
-            "query_id": np.concatenate(out[0]),
-            id_col: np.concatenate(out[1]),
-            "rank": np.concatenate(out[2]),
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "rank": np.concatenate(out_r),
         }
     )
 
@@ -235,7 +344,7 @@ def knn_all(
     radius: float = 0.5,
     k: int = 5,
     id_col: str = "image_id",
-    n_buckets: int = 32,
+    n_buckets: int = 128,
 ):
     """k nearest neighbors within `radius` for EVERY row (full self-join
     kNN): 9x cell-ring explode -> ONE groupby(cell-hash bucket) shuffle ->
@@ -255,9 +364,14 @@ def knn_all(
         cx = b["cell_x"].to_numpy()
         cy = b["cell_y"].to_numpy()
         h = (cx * np.int64(-7046029254386353131) + cy) % np.int64(n_buckets)
-        return b.append_column("__bucket", pa.array(np.abs(h).astype(np.int8)))
+        return b.append_column("__bucket", pa.array(np.abs(h).astype(np.int16)))
 
     exploded = exploded.map_batches(add_bucket, batch_format="pyarrow")
+    # sort-shuffle output block count == input block count, and map_groups
+    # parallelism == output block count: spread the skinny replica rows
+    # over enough blocks that the per-bucket kNN kernels actually run in
+    # parallel (a handful of fat blocks serializes the reduce stage)
+    exploded = exploded.repartition(64)
     return exploded.groupby("__bucket").map_groups(
         lambda g: knn_all_bucket(g, k=k, radius=radius, id_col=id_col),
         batch_format="pandas",
