@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from texel_ray.stages.sketch import HyperLogLog, hll_merge_estimate, hll_partials
@@ -85,3 +86,51 @@ def test_ivf_recall_vs_bruteforce():
         recall_total += len(truth & got) / k
     # nprobe=4 of 8 lists: high but not perfect recall expected
     assert recall_total / 5 >= 0.6
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpr():
+    from texel_ray.stages.sketch import BloomFilter
+
+    rng = np.random.default_rng(21)
+    keys = rng.integers(0, 1 << 62, 20_000, dtype=np.int64)
+    bloom = BloomFilter(len(keys), fpr=0.01)
+    bloom.add_int64(keys)
+    # zero false negatives
+    assert bloom.might_contain(keys).all()
+    # false-positive rate near the design point
+    probe = rng.integers(0, 1 << 62, 50_000, dtype=np.int64)
+    probe = probe[~np.isin(probe, keys)]
+    fpr = bloom.might_contain(probe).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_tdigest_quantiles_accuracy_and_merge():
+    from texel_ray.stages.sketch import TDigest
+
+    rng = np.random.default_rng(22)
+    values = rng.normal(10.0, 3.0, 50_000)
+    d = TDigest.of(values)
+    assert len(d.means) < 600  # actually compressed
+    for q in (0.01, 0.5, 0.9, 0.99):
+        exact = np.quantile(values, q)
+        got = d.quantile(q)
+        # rank error: the estimated quantile's true rank stays within 1%
+        rank = (values <= got).mean()
+        assert abs(rank - q) < 0.01, (q, exact, got, rank)
+    # merging chunked digests ~ digest of the whole
+    parts = [TDigest.of(c) for c in np.array_split(values, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    for q in (0.5, 0.99):
+        rank = (values <= merged.quantile(q)).mean()
+        assert abs(rank - q) < 0.015, (q, rank)
+
+
+def test_bloom_anti_join_equals_exact(ray_session):
+    from texel_ray.pipelines.relational import q_anti_join_bloom, q_anti_join_lineitem
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_anti_join_lineitem(sf).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    bloom = q_anti_join_bloom(sf).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloom)

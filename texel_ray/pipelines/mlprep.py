@@ -473,9 +473,16 @@ def q_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10, nprobe: int = 4):
     head = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    sample = _stack_embeddings(head["embedding"].slice(0, 256))
+    # deterministic hash-spread training sample (NOT the head slice — a
+    # sorted/clustered table would bias centroids; at cluster scale this
+    # is ds.random_sample pushed into the read)
+    vid = head["vec_id"].to_numpy().astype(np.uint64)
+    pick = (vid * np.uint64(0x9E3779B1)) % np.uint64(1024) < np.uint64(
+        max(1, min(1024, (256 * 1024) // max(1, len(vid))))
+    )
+    sample = _stack_embeddings(head.filter(pa.array(pick))["embedding"])
     centroids = IVFIndexer.train(sample, k=8)
-    q = _stack_embeddings(head["embedding"]. slice(0, n_queries))
+    q = _stack_embeddings(head["embedding"].slice(0, n_queries))
     qids = head["vec_id"].to_numpy()[:n_queries]
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -659,3 +666,65 @@ SELECT query_id, image_id, rank FROM (
     FROM d WHERE d2 <= {radius * radius!r}
 ) WHERE rank <= {k}
 """
+
+
+def q_quantiles_quality(sf_dir: str):
+    """Approximate per-language quality-score quantiles (p50/p90/p99) via
+    mergeable t-digest sketches: per-batch per-group digest partials (a
+    few KB each) -> tiny associative merge — no sort shuffle of the raw
+    values, unlike exact quantiles. Accuracy bound pinned by pytest;
+    driver check via committed golden (deterministic partial layout at a
+    fixed batch size)."""
+    import pandas as pd
+
+    from ..stages.text import TextFeatures
+    from ..stages.sketch import tdigest_merge_quantiles, tdigest_partials
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class FeaturesWithLang:
+        def __init__(self):
+            self.feats = TextFeatures()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = self.feats(batch)
+            return out.append_column("lang", batch["lang"])
+
+    feats = ds.map_batches(
+        FeaturesWithLang, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    # partial digests over DATA-KEYED chunks (doc_id // 4096), not batch
+    # boundaries — batching varies with read parallelism and a t-digest is
+    # batching-sensitive; data-keyed partials make the estimate
+    # deterministic (and the merge order below is sorted)
+    def add_chunk(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("chunk", pa.array((doc_id // 4096).astype(np.int64)))
+
+    partials = (
+        feats.map_batches(add_chunk, batch_format="pyarrow")
+        .groupby(["chunk", "lang"])
+        .map_groups(
+            lambda g: tdigest_partials(
+                pa.Table.from_pandas(g, preserve_index=False),
+                "quality_score",
+                "lang",
+            ).to_pandas(),
+            batch_format="pandas",
+        )
+    )
+    rows = sorted(
+        ((r["group"], tuple(r["means"]), tuple(r["weights"])) for r in partials.take_all()),
+        key=lambda r: (str(r[0]), r[1][:1]),
+    )
+    est = tdigest_merge_quantiles(rows, quantiles=(0.5, 0.9, 0.99))
+    langs = sorted(est)
+    return pd.DataFrame(
+        {
+            "lang": langs,
+            "p50": [est[g][0] for g in langs],
+            "p90": [est[g][1] for g in langs],
+            "p99": [est[g][2] for g in langs],
+        }
+    )

@@ -298,6 +298,8 @@ QUERIES = {
     "event_props_extract": relational.q_event_props_extract,
     "asof_join": relational.q_asof_join,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
+    "anti_join_bloom": relational.q_anti_join_bloom,
+    "quantiles_quality": mlprep.q_quantiles_quality,
 }
 
 ORACLE_SQL = {
@@ -331,6 +333,8 @@ ORACLE_SQL = {
     "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
     "asof_join": relational.SQL_ASOF_JOIN,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
+    # Bloom prefilter preserves exact anti-join semantics -> same oracle
+    "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,
 }
 
 # Golden-parquet oracles (tools/make_query_goldens.py) for queries SQL
@@ -356,6 +360,7 @@ for _name in (
     "curate_documents",
     "curate_images",
     "image_resize",
+    "quantiles_quality",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -558,3 +558,37 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def q_anti_join_bloom(sf_dir: str):
+    """Anti join with a Bloom-filter prefilter — the billions-of-keys
+    scale path for q_anti_join_lineitem. The broadcast side is the Bloom
+    bits (~10 bits/key) instead of the raw key array; rows the filter
+    definitely excludes pass immediately, `maybe` rows get the exact
+    confirm (np.isin here; a partitioned semi-join at cluster scale).
+    False positives only route rows to the confirm step, so results are
+    EXACT — the oracle is the same SQL as the exact anti join."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import partial_count_groupby
+    from ..stages.sketch import BloomFilter
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    rich = supp.filter(pa.compute.greater(supp["s_acctbal"], 5000.0))[
+        "s_suppkey"
+    ].to_numpy()
+    bloom = BloomFilter(len(rich), fpr=0.01)
+    bloom.add_int64(rich)
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        maybe = bloom.might_contain(keys)
+        in_set = np.zeros(len(keys), dtype=bool)
+        if maybe.any():
+            in_set[maybe] = np.isin(keys[maybe], rich)
+        return batch.filter(pa.array(~in_set)).select(["l_returnflag"])
+
+    ds = ds.map_batches(anti, batch_format="pyarrow")
+    return partial_count_groupby(ds, ["l_returnflag"], alias="n", coalesce=4)

@@ -42,6 +42,7 @@ REGRESSION_PIN = [
     "curate_documents",
     "curate_images",
     "image_resize",
+    "quantiles_quality",
 ]
 
 
