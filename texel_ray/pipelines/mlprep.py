@@ -199,9 +199,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
+        MinHasher, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
     ).materialize()  # consumed twice (counts + filter); rows are tiny
     hot = hot_bucket_filter(banded, ["band_id", "band_hash"])
+    # one execution: in-bucket candidate-pair generation
     pairs = hot.groupby("__bucket").map_groups(
         lambda g: bucket_pairs(g, id_col="doc_id"), batch_format="pandas"
     ).materialize()
@@ -212,9 +213,16 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
             "jaccard": pd.Series([], dtype="float64"),
         }
     )
-    if pairs.count() == 0:
+    if pairs.count() == 0:  # count of a materialized dataset is free
         return empty
-    n_capped = _count_capped(pairs)
+    # the candidate-pair list is pair-dimension-sized (like a near-dup
+    # victim list): collect it ONCE for dedupe + the capped tally + the
+    # candidate id set; the corpus itself never lands on the driver.
+    import pyarrow.compute as pc
+    import ray.data
+
+    pl = pairs.take_all()
+    n_capped = sum(1 for r in pl if r["capped"])
     if n_capped:
         # no silent caps: truncated buckets mean missed recall
         print(
@@ -222,11 +230,25 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
             f"capped buckets (>50 docs) — recall is truncated there",
             flush=True,
         )
-    cand = distinct_pairs(pairs)
-    # join each side's text back by id (two-sided hash join; at 100 TB the
-    # same shape re-reads text by row-id from the columnar store instead)
+    pdf = pd.DataFrame(pl)[["id_a", "id_b"]].drop_duplicates()
+    cand = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    # broadcast semi-join text fetch: stream the corpus once through an
+    # is_in filter so the text-back joins see a candidate-sized right
+    # side instead of the whole documents table. At 100 TB the same shape
+    # re-reads text by row-id from the columnar store.
+    cand_ids = pa.array(
+        np.unique(np.concatenate((pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())))
+    )
+    texts_small = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_ids)),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both joins; candidate-sized
     j = cand.join(
-        ds, join_type="inner", num_partitions=4, on=("id_a",), right_on=("doc_id",)
+        texts_small,
+        join_type="inner",
+        num_partitions=2,
+        on=("id_a",),
+        right_on=("doc_id",),
     ).map_batches(
         # Dataset.join folds the right key into the left key column
         lambda b: b.rename_columns(
@@ -235,9 +257,9 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
         batch_format="pyarrow",
     )
     j = j.join(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
+        texts_small,
         join_type="inner",
-        num_partitions=4,
+        num_partitions=2,
         on=("id_b",),
         right_on=("doc_id",),
     ).map_batches(
@@ -288,9 +310,10 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
+        SimHasher, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
     ).materialize()  # consumed twice (counts + filter); rows are tiny
     hot = hot_bucket_filter(banded, ["band_id", "band_bits"])
+    # one execution: in-bucket pair generation + in-group hamming verify
     pairs = hot.groupby("__bucket").map_groups(
         lambda g: simhash_bucket_pairs(g, max_hamming=max_hamming),
         batch_format="pandas",
@@ -303,14 +326,21 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
                 "hamming": pd.Series([], dtype="int64"),
             }
         )
-    n_capped = _count_capped(pairs)
+    # verified pairs are output-dimension-sized: collect once, dedupe
+    # (same pair surfaces from several bands), tally capped buckets
+    pl = pairs.take_all()
+    n_capped = sum(1 for r in pl if r["capped"])
     if n_capped:
         print(
             f"[simhash_neardup] WARNING: {n_capped} candidate pairs came from "
             f"capped buckets (>50 docs) — recall is truncated there",
             flush=True,
         )
-    return distinct_pairs(pairs, extra_cols=["hamming"])
+    return (
+        pd.DataFrame(pl)[["id_a", "id_b", "hamming"]]
+        .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.98):
@@ -613,7 +643,7 @@ def q_knn_radius(sf_dir: str, n_queries: int = 20, k: int = 5, radius: float = 1
     return finalize_knn(ds, k=k)
 
 
-def q_knn_all(sf_dir: str, k: int = 3, radius: float = 0.25):
+def q_knn_all(sf_dir: str, k: int = 3, radius: float = 0.1):
     """Full self-join kNN: k nearest neighbors within `radius` for EVERY
     image (oracle-exact). One 9x cell-ring explode of (id, lon, lat) rows
     + one groupby(cell) shuffle; per-cell top-k is final."""
@@ -624,7 +654,7 @@ def q_knn_all(sf_dir: str, k: int = 3, radius: float = 0.25):
     return knn_all(ds, radius=radius, k=k)
 
 
-def sql_knn_all(images_source: str, k: int = 3, radius: float = 0.25) -> str:
+def sql_knn_all(images_source: str, k: int = 3, radius: float = 0.1) -> str:
     """Cell-ring equi-join oracle (BETWEEN +-1 on the same grid cells the
     engine uses; guaranteed cover of the radius disc)."""
     d2 = "(a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)"

@@ -29,20 +29,52 @@ _MH_PRIME = np.uint64(4294967311)
 _MASK32 = np.uint64(0xFFFFFFFF)
 
 
+_NGRAM_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _hash_tokens_ngrams(tokens: list[str], n: int) -> np.ndarray:
-    """Word n-gram shingles -> uint64 hashes. Python's builtin hash() is
-    process-unstable, so use crc32 (C speed, deterministic everywhere) over
-    the shingle bytes, salted twice to fill 64 bits."""
-    if len(tokens) < n:
-        shingles = [" ".join(tokens)] if tokens else []
-    else:
-        shingles = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    """Word n-gram shingles -> uint64 hashes, position-combined.
+
+    Python's builtin hash() is process-unstable, so each TOKEN gets a
+    deterministic crc32 widened by splitmix64, and an n-gram's hash is
+    the XOR of its tokens' hashes times per-position odd multipliers —
+    vectorized over all shingles (the old per-shingle string join +
+    crc32 was the MinHash kernel hot spot). Collisions are ~2^-64; any
+    collision only perturbs the exact-Jaccard estimate negligibly.
+    """
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
     import zlib
 
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        b = s.encode("utf-8")
-        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    th = _splitmix64(
+        np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+    )
+    m = min(n, len(tokens))
+    mults = (
+        _NGRAM_MULTS
+        if m <= len(_NGRAM_MULTS)
+        else _splitmix64(np.arange(m, dtype=np.uint64)) | np.uint64(1)
+    )
+    out = th[: len(th) - m + 1] * mults[0]
+    for i in range(1, m):
+        out = out ^ (th[i : len(th) - m + 1 + i] * mults[i])
+    if len(tokens) < n:
+        # short doc: ONE shingle combining all tokens
+        return out[:1] if len(out) else out
     return out
 
 
@@ -85,11 +117,14 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _hash_tokens_ngrams((text or "").split(), self.ngram) & _MASK32
+        sh = _hash_tokens_ngrams((text or "").split(), self.ngram)
         if len(sh) == 0:
-            return np.full(len(self.a), int(_MH_PRIME), dtype=np.uint64)
-        # (num_perm, n_shingles) -> min over shingles; products fit uint64
-        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MH_PRIME
+            return np.full(len(self.a), np.iinfo(np.uint64).max, dtype=np.uint64)
+        # multiply-shift universal family on the full 64-bit shingle hash:
+        # wrapping a*x + b (no modulo — integer % was the kernel hot spot;
+        # pair candidates are exact-Jaccard verified downstream, so hash
+        # family quality only affects LSH recall, which stays ~1)
+        prod = self.a[:, None] * sh[None, :] + self.b[:, None]
         return np.min(prod, axis=1)
 
     def signatures(self, texts: list) -> np.ndarray:
@@ -103,8 +138,7 @@ class MinHasher:
         n = len(texts)
         num_perm = len(self.a)
         sh_list = [
-            _hash_tokens_ngrams((t or "").split(), self.ngram) & _MASK32
-            for t in texts
+            _hash_tokens_ngrams((t or "").split(), self.ngram) for t in texts
         ]
         sigs = np.empty((n, num_perm), dtype=np.uint64)
         start = 0
@@ -114,11 +148,13 @@ class MinHasher:
                 total += len(sh_list[end])
                 end += 1
             lens = np.array([len(sh_list[i]) for i in range(start, end)])
-            block = np.full((end - start, num_perm), int(_MH_PRIME), dtype=np.uint64)
+            block = np.full(
+                (end - start, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+            )
             nz = lens > 0
             if nz.any():
                 allsh = np.concatenate([s for s in sh_list[start:end] if len(s)])
-                prod = (self.a[:, None] * allsh[None, :] + self.b[:, None]) % _MH_PRIME
+                prod = self.a[:, None] * allsh[None, :] + self.b[:, None]
                 offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
                 block[nz] = np.minimum.reduceat(prod, offsets, axis=1).T
             sigs[start:end] = block
