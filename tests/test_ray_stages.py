@@ -177,3 +177,105 @@ def test_knn_all_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[["query_id", "image_id", "rank"]].astype("int64"), expect.astype("int64")
     )
+
+
+def test_wav_decode_roundtrip_and_audio_features():
+    """Pure-numpy PCM WAV codec: encode -> decode roundtrip + the
+    AudioDecode feature stage (the audio contract is now real for PCM;
+    compressed codecs stay out of scope in this container)."""
+    from texel_ray.stages.multimodal import AudioDecode, decode_wav, encode_wav_pcm16
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate  # 1 second
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    buf = encode_wav_pcm16(tone, rate)
+    samples, got_rate = decode_wav(buf)
+    assert got_rate == rate and samples.shape == (rate, 1)
+    assert np.abs(samples[:, 0] - tone).max() < 1e-3  # 16-bit quantization
+
+    batch = pa.table(
+        {
+            "audio_id": pa.array([1, 2], pa.int64()),
+            "bytes": pa.array([buf, encode_wav_pcm16(np.zeros(400), 400)], pa.binary()),
+        }
+    )
+    out = AudioDecode()(batch)
+    assert out["duration_s"].to_pylist() == [1.0, 1.0]
+    assert out["sample_rate"].to_pylist() == [8000, 400]
+    assert abs(out["rms"][0].as_py() - 0.5 / np.sqrt(2)) < 1e-3
+    assert out["rms"][1].as_py() == 0.0
+
+
+def test_pack_sequences_matches_window_cumsum(ray_session):
+    """Distributed prefix-sum packing == single-process window cumsum."""
+    import duckdb
+
+    from texel_ray.pipelines.mlprep import SQL_PACK_SEQUENCES, q_pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_pack_sequences(sf)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(SQL_PACK_SEQUENCES).fetchdf().sort_values("chunk_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # every chunk except possibly the last holds > 0 docs and the doc
+    # stream is exhausted exactly once
+    assert got["n_docs"].sum() == 500
+
+
+def test_knn_all_dense_cluster_matches_bruteforce(ray_session):
+    """Clustered data exercises the dense-cell sub-grid ring pass + the
+    matrix fallback; exact vs O(n^2) reference incl. planted duplicate
+    coordinates (d2 ties)."""
+    import ray.data
+
+    from texel_ray.stages.knn import knn_all
+
+    rng = np.random.default_rng(8)
+    k, radius = 3, 0.5
+    # one tight cluster (smaller than the cell), one loose field
+    cluster = rng.normal(0.0, 0.01, (1500, 2))
+    cluster[100:110] = cluster[90:100]  # exact duplicate coordinates
+    field = rng.uniform(-3, 3, (500, 2))
+    pts = np.vstack([cluster, field])
+    ids = np.arange(len(pts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(ids),
+                "lon": pa.array(pts[:, 0]),
+                "lat": pa.array(pts[:, 1]),
+            }
+        )
+    )
+    got = (
+        knn_all(ds, radius=radius, k=k)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    expect_rows = []
+    for i in range(len(pts)):
+        d2 = ((pts - pts[i]) ** 2).sum(axis=1)
+        mask = (d2 <= radius * radius) & (ids != i)
+        cand = ids[mask]
+        order = np.lexsort((cand, d2[mask]))[:k]
+        for r, j in enumerate(cand[order], start=1):
+            expect_rows.append((i, int(j), r))
+    expect = (
+        pd.DataFrame(expect_rows, columns=["query_id", "image_id", "rank"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "image_id", "rank"]].astype("int64"), expect.astype("int64")
+    )

@@ -758,3 +758,87 @@ def q_quantiles_quality(sf_dir: str):
             "p99": [est[g][2] for g in langs],
         }
     )
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 2048, part_size: int = 4096):
+    """LLM sequence packing: assign docs (in doc_id order) to fixed
+    token-budget chunks via a DISTRIBUTED PREFIX SUM — the scan primitive:
+
+    pass 1: per-partition token sums (partition = doc_id // part_size,
+            data-keyed, so no global sort) -> driver computes the
+            exclusive prefix over the partition sums (partition-count
+            rows, never per-doc data);
+    pass 2: each partition adds its broadcast offset to its local
+            exclusive cumsum -> chunk_id = cum_excl // budget -> per-chunk
+            rollup (combiner + tiny groupby).
+
+    Oracle: the same assignment as one SQL window cumsum.
+    """
+    import pandas as pd
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch["text"].to_pandas().fillna("").astype(str)
+        stripped = text.str.strip()
+        n_tok = np.where(
+            stripped.str.len() == 0, 0, stripped.str.split().str.len()
+        ).astype(np.int64)
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "part": pa.array((doc_id // part_size).astype(np.int64)),
+                "n_tok": pa.array(n_tok),
+            }
+        )
+
+    t = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+    sums = (
+        partial_sum_groupby(t, ["part"], ["n_tok"], coalesce=4)
+        .to_pandas()
+        .sort_values("part")  # partition-dimension rows only
+    )
+    offsets = dict(
+        zip(sums["part"], np.concatenate(([0], np.cumsum(sums["n_tok"])[:-1])))
+    )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        base = offsets[int(g["part"].iloc[0])]
+        cum_excl = base + g["n_tok"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {
+                "chunk_id": (cum_excl // budget).astype(np.int64),
+                "n_tok": g["n_tok"].to_numpy(),
+            }
+        )
+
+    packed = t.groupby("part").map_groups(assign, batch_format="pandas")
+    return partial_sum_groupby(
+        packed, ["chunk_id"], ["n_tok"], count_alias="n_docs", coalesce=4
+    ).map_batches(
+        lambda b: b.rename_columns(["chunk_id", "n_tokens", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT CAST(cum_excl // 2048 AS BIGINT) AS chunk_id,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_docs
+FROM c GROUP BY 1
+"""

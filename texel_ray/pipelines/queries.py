@@ -300,6 +300,7 @@ QUERIES = {
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
     "quantiles_quality": mlprep.q_quantiles_quality,
+    "pack_sequences": mlprep.q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -335,6 +336,7 @@ ORACLE_SQL = {
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,
+    "pack_sequences": mlprep.SQL_PACK_SEQUENCES,
 }
 
 # Golden-parquet oracles (tools/make_query_goldens.py) for queries SQL

@@ -181,6 +181,135 @@ def _knn_cell(hid, hlon, hlat, cid, clon, clat, k, r2, out, home_chunk=512):
             out[2].append(rank_idx.astype(np.int64) + 1)
 
 
+def _matrix_knn(lon, lat, ids, s, e, hrows, k, r2, out_q, out_i, out_r):
+    """Chunked (homes x all-cell-candidates) exact kNN: np.partition for
+    the exact k-th distance, ties-inclusive survivor mask, tiny lexsort."""
+    clon, clat = lon[s:e], lat[s:e]
+    c = e - s
+    kk = min(k, c - 1)
+    if kk <= 0:
+        return
+    for hs in range(0, len(hrows), 256):
+        hr = hrows[hs : hs + 256]
+        D = (lon[hr, None] - clon[None, :]) ** 2 + (lat[hr, None] - clat[None, :]) ** 2
+        D[D > r2] = np.inf
+        D[np.arange(len(hr)), hr - s] = np.inf  # self
+        kth = np.partition(D, kk - 1, axis=1)[:, kk - 1]
+        # isfinite guard: with < k in-radius neighbours the k-th
+        # "distance" is inf and D <= inf would readmit everything
+        hi, ci = np.nonzero((D <= kth[:, None]) & np.isfinite(D))
+        pd2 = D[hi, ci]
+        o = np.lexsort((pd2, hi))  # stable: ties keep id (pos) order
+        hi, ci = hi[o], ci[o]
+        seg = np.nonzero(np.diff(hi) != 0)[0] + 1
+        seg_start = np.concatenate(([0], seg))
+        rank = np.arange(len(hi)) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(hi)])))
+        ) + 1
+        top = rank <= k
+        out_q.append(ids[hr[hi[top]]])
+        out_i.append(ids[s + ci[top]])
+        out_r.append(rank[top].astype(np.int64))
+
+
+def _dense_cell_knn(
+    lon, lat, ids, s, e, hrows, k, r2, out_q, out_i, out_r, sub_target: int = 32
+):
+    """Exact kNN inside ONE dense cell via a sub-grid ring pass.
+
+    Members are bucketed on a g x g sub-grid (~sub_target per sub-cell);
+    each home gathers candidates from its 3x3 sub-cell ring (the same
+    repeat/arange pair tricks as the sparse path, 9 vectorized offset
+    passes). Geometry guarantee: any point OUTSIDE a home's ring is
+    STRICTLY farther than the sub-cell size t, so a home whose k-th ring
+    distance^2 <= t^2 (shrunk by 1e-9 for assignment rounding) is exact
+    and final. The few unfinished homes (sparse cluster edges, < k ring
+    neighbours) fall back to the full-cell matrix kernel. Turns the 900M
+    pair volume of a 30k-point cluster into ~homes x 9 x sub_target.
+    """
+    m = e - s
+    clon, clat = lon[s:e], lat[s:e]
+    hloc = hrows - s
+    x0, y0 = clon.min(), clat.min()
+    span = max(clon.max() - x0, clat.max() - y0)
+    g = max(2, int(np.ceil(np.sqrt(m / sub_target))))
+    if span <= 0.0:  # fully degenerate cluster (all identical points)
+        _matrix_knn(lon, lat, ids, s, e, hrows, k, r2, out_q, out_i, out_r)
+        return
+    t = span / g
+    sx = np.minimum((np.maximum(clon - x0, 0.0) / t).astype(np.int64), g - 1)
+    sy = np.minimum((np.maximum(clat - y0, 0.0) / t).astype(np.int64), g - 1)
+    skey = sx * g + sy
+    order = np.argsort(skey, kind="stable")  # stable keeps id order in runs
+    sk_sorted = skey[order]
+    bnd = np.nonzero(np.diff(sk_sorted))[0] + 1
+    run_starts = np.concatenate(([0], bnd))
+    run_ends = np.concatenate((bnd, [m]))
+    run_keys = sk_sorted[run_starts]
+
+    # iterate occupied sub-cells that contain homes: every home of one
+    # sub-cell shares the SAME 3x3 ring candidate set, so each sub-cell
+    # is one small (homes x ring) matrix kernel — no giant pair lexsort
+    t2_safe = (t * t) * (1.0 - 1e-9)
+    kk = min(k, m - 1)
+    hkey = skey[hloc]
+    horder = np.argsort(hkey, kind="stable")
+    hl_sorted = hloc[horder]
+    hk_sorted = hkey[horder]
+    hbnd = np.nonzero(np.diff(hk_sorted))[0] + 1
+    hseg_starts = np.concatenate(([0], hbnd))
+    hseg_ends = np.concatenate((hbnd, [len(hl_sorted)]))
+    finished_mask = np.zeros(m, dtype=bool)  # indexed by local home pos
+    nrk = len(run_keys)
+    for hs, he in zip(hseg_starts, hseg_ends):
+        key = int(hk_sorted[hs])
+        kx, ky = key // g, key % g
+        cand_parts = []
+        for dx in (-1, 0, 1):
+            nx = kx + dx
+            if nx < 0 or nx >= g:
+                continue
+            for dy in (-1, 0, 1):
+                ny = ky + dy
+                if ny < 0 or ny >= g:
+                    continue
+                nkey = nx * g + ny
+                ri = np.searchsorted(run_keys, nkey)
+                if ri < nrk and run_keys[ri] == nkey:
+                    cand_parts.append(order[run_starts[ri] : run_ends[ri]])
+        cand = np.sort(np.concatenate(cand_parts))  # id (position) order
+        homes = hl_sorted[hs:he]
+        if len(cand) - 1 < kk:
+            continue  # not enough ring candidates: all unfinished
+        D = (clon[homes, None] - clon[cand][None, :]) ** 2 + (
+            clat[homes, None] - clat[cand][None, :]
+        ) ** 2
+        D[D > r2] = np.inf
+        D[cand[None, :] == homes[:, None]] = np.inf  # self
+        kth = np.partition(D, kk - 1, axis=1)[:, kk - 1]
+        fin = kth <= t2_safe  # exact by the strict outside-ring bound
+        if not fin.any():
+            continue
+        finished_mask[homes[fin]] = True
+        Df = D[fin]
+        hi, ci = np.nonzero((Df <= kth[fin, None]) & np.isfinite(Df))
+        pd2 = Df[hi, ci]
+        o = np.lexsort((pd2, hi))  # stable: ties keep id (pos) order
+        hi, ci = hi[o], ci[o]
+        seg = np.nonzero(np.diff(hi) != 0)[0] + 1
+        seg_start = np.concatenate(([0], seg))
+        rank = np.arange(len(hi)) - np.repeat(
+            seg_start, np.diff(np.concatenate((seg_start, [len(hi)])))
+        ) + 1
+        top = rank <= k
+        out_q.append(ids[s + homes[fin][hi[top]]])
+        out_i.append(ids[s + cand[ci[top]]])
+        out_r.append(rank[top].astype(np.int64))
+    unfinished = hrows[~finished_mask[hloc]]
+    if len(unfinished):
+        _matrix_knn(lon, lat, ids, s, e, unfinished, k, r2, out_q, out_i, out_r)
+
+
 def knn_all_bucket(
     group: pd.DataFrame,
     k: int = 5,
@@ -233,12 +362,11 @@ def knn_all_bucket(
     out_q, out_i, out_r = [], [], []
 
     # DENSE cells (urban clusters): the radius filter prunes almost
-    # nothing there, so the pair path would lexsort millions of rows.
-    # Instead: per-cell (homes x candidates) distance matrix in chunks,
-    # np.partition for the exact k-th distance per home, then keep only
-    # candidates <= that value (all boundary ties included) — the tiny
-    # survivor set gets the exact (d2, id) lexsort. ~10x the pair path on
-    # a 3000-member cell.
+    # nothing there — a 30k-member cell is 900M pairs, a quadratic wall no
+    # grid size fixes (the cluster is smaller than any radius-covering
+    # cell). _dense_cell_knn runs a SUB-GRID ring pass with an exactness
+    # guarantee and falls back to the chunked matrix kernel only for the
+    # homes the guarantee can't finish.
     dense = 64
     dense_runs = np.nonzero((ends - starts) >= dense)[0]
     for r in dense_runs:
@@ -246,35 +374,7 @@ def knn_all_bucket(
         hm = h_idx[(h_run == r)]
         if not len(hm):
             continue
-        clon, clat = lon[s:e], lat[s:e]
-        c = e - s
-        kk = min(k, c - 1)
-        if kk <= 0:
-            continue
-        for hs in range(0, len(hm), 256):
-            hrows = hm[hs : hs + 256]
-            D = (lon[hrows, None] - clon[None, :]) ** 2 + (
-                lat[hrows, None] - clat[None, :]
-            ) ** 2
-            D[D > r2] = np.inf
-            D[np.arange(len(hrows)), hrows - s] = np.inf  # self
-            kth = np.partition(D, kk - 1, axis=1)[:, kk - 1]
-            # isfinite guard: when a home has < k in-radius neighbours the
-            # k-th "distance" is inf and D <= inf would readmit the self
-            # and out-of-radius entries
-            hi, ci = np.nonzero((D <= kth[:, None]) & np.isfinite(D))
-            pd2 = D[hi, ci]
-            o = np.lexsort((pd2, hi))  # stable: ties keep id (pos) order
-            hi, ci = hi[o], ci[o]
-            seg = np.nonzero(np.diff(hi) != 0)[0] + 1
-            seg_start = np.concatenate(([0], seg))
-            rank = np.arange(len(hi)) - np.repeat(
-                seg_start, np.diff(np.concatenate((seg_start, [len(hi)])))
-            ) + 1
-            top = rank <= k
-            out_q.append(ids[hrows[hi[top]]])
-            out_i.append(ids[s + ci[top]])
-            out_r.append(rank[top].astype(np.int64))
+        _dense_cell_knn(lon, lat, ids, int(s), int(e), hm, k, r2, out_q, out_i, out_r)
     # drop dense-cell homes from the pair path
     sparse_mask = (ends - starts)[h_run] < dense
     h_idx = h_idx[sparse_mask]

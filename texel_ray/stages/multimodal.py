@@ -110,16 +110,92 @@ class ImageEmbedder:
         )
 
 
+def decode_wav(buf: bytes):
+    """Pure-numpy RIFF/WAVE PCM decoder (8/16/32-bit int + 32-bit float).
+
+    Returns (samples float32 (n, channels) in [-1, 1], sample_rate).
+    No external codec needed — WAV is a length-prefixed chunk container.
+    """
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 1 and bits == 8:  # unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}bit")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), rate
+
+
 class AudioDecode:
-    """STUB: no audio codec ships in this container. The stage contract
-    (binary in, float32 PCM list + sample_rate out) is what a real codec
-    implements."""
+    """Audio decode + feature extraction actor stage.
+
+    PCM WAV decodes for real (pure numpy, see ``decode_wav``); compressed
+    codecs (mp3/ogg/flac) would need an external library not present in
+    this container and raise a clear error. Emits per-clip features:
+    duration_s, sample_rate, channels, rms, peak."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "audio_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decoding requires an audio codec (e.g. soundfile/ffmpeg); "
-            "not available in this environment"
+        ids = batch[self.id_col]
+        out = {"duration_s": [], "sample_rate": [], "channels": [], "rms": [], "peak": []}
+        for buf in batch[self.bytes_col].to_pylist():
+            samples, rate = decode_wav(buf)
+            mono = samples.mean(axis=1)
+            out["duration_s"].append(len(mono) / rate if rate else 0.0)
+            out["sample_rate"].append(rate)
+            out["channels"].append(samples.shape[1])
+            out["rms"].append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+            out["peak"].append(float(np.abs(mono).max()) if len(mono) else 0.0)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "duration_s": pa.array(out["duration_s"], pa.float64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "channels": pa.array(out["channels"], pa.int32()),
+                "rms": pa.array(out["rms"], pa.float64()),
+                "peak": pa.array(out["peak"], pa.float64()),
+            }
         )
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono/multi-channel float [-1,1] -> 16-bit PCM WAV bytes (for tests
+    and synthetic audio columns)."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    channels = samples.shape[1]
+    byte_rate = rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
 
 
 class VideoFrameSample:
