@@ -654,6 +654,88 @@ def q_knn_all(sf_dir: str, k: int = 3, radius: float = 0.1):
     return knn_all(ds, radius=radius, k=k)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio modality: decode every PCM WAV clip (actor pool, pure-numpy
+    RIFF parser) and aggregate per sample rate. Float features are
+    truncated to integer micro-units before the sum so the aggregate is
+    order-independent (same convention as the cent-truncated money sums).
+    Golden oracle (decode is not SQL-expressible)."""
+    from ..sources.audio import read_audio
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import AudioDecode
+
+    ds = read_audio(sf_dir, columns=["audio_id", "bytes"])
+    feats = ds.map_batches(
+        AudioDecode, batch_format="pyarrow", batch_size=256, concurrency=(2, 8)
+    )
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sample_rate": batch["sample_rate"],
+                "ms": pa.array(
+                    np.trunc(
+                        batch["duration_s"].to_numpy() * 1000.0
+                    ).astype(np.int64)
+                ),
+                "rms_ppm": pa.array(
+                    np.trunc(batch["rms"].to_numpy() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return partial_sum_groupby(
+        feats.map_batches(to_ints, batch_format="pyarrow"),
+        ["sample_rate"],
+        ["ms", "rms_ppm"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def q_knn_nearest(sf_dir: str, n_queries: int = 500, k: int = 5):
+    """UNBOUNDED k nearest neighbors (no radius) for a broadcast query
+    set via cell-RING EXPANSION: bounded scans at radius r, doubling r
+    only for queries that haven't proven their k-th neighbor <= r yet
+    (see stages/knn.knn_nearest). Self is excluded."""
+    import pyarrow.parquet as pq
+
+    from ..sources.images import ensure_images_for_sf_dir, read_images
+    from ..stages.knn import knn_nearest
+
+    path = ensure_images_for_sf_dir(sf_dir)
+    head = pq.read_table(path, columns=["image_id", "lon", "lat"])
+    order = pa.compute.sort_indices(head["image_id"])
+    head = head.take(order[:n_queries])
+
+    return knn_nearest(
+        lambda: read_images(sf_dir, columns=["image_id", "lon", "lat"]),
+        head["image_id"].to_pylist(),
+        head["lon"].to_numpy(),
+        head["lat"].to_numpy(),
+        k=k,
+    )
+
+
+def sql_knn_nearest(images_source: str, n_queries: int = 500, k: int = 5) -> str:
+    d2 = "(i.lon - q.qlon) * (i.lon - q.qlon) + (i.lat - q.qlat) * (i.lat - q.qlat)"
+    return f"""
+WITH q AS (
+    SELECT image_id AS query_id, lon AS qlon, lat AS qlat
+    FROM {images_source} ORDER BY image_id LIMIT {n_queries}
+), d AS (
+    SELECT q.query_id, i.image_id, {d2} AS d2
+    FROM {images_source} i CROSS JOIN q
+    WHERE i.image_id <> q.query_id
+)
+SELECT query_id, image_id, rank FROM (
+    SELECT query_id, image_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, image_id ASC) AS rank
+    FROM d
+) WHERE rank <= {k}
+"""
+
+
 def sql_knn_all(images_source: str, k: int = 3, radius: float = 0.1) -> str:
     """Cell-ring equi-join oracle (BETWEEN +-1 on the same grid cells the
     engine uses; guaranteed cover of the radius disc)."""

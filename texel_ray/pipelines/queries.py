@@ -261,6 +261,7 @@ QUERIES = {
     "pip_join_poly": q_pip_join_poly,
     "knn_radius": mlprep.q_knn_radius,
     "knn_all": mlprep.q_knn_all,
+    "knn_nearest": mlprep.q_knn_nearest,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
@@ -275,6 +276,7 @@ QUERIES = {
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
+    "audio_features": mlprep.q_audio_features,
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
@@ -312,6 +314,7 @@ ORACLE_SQL = {
     "dedup_exact": sql_dedup_exact(),
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "knn_all": mlprep.sql_knn_all(images_sql_source()),
+    "knn_nearest": mlprep.sql_knn_nearest(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
@@ -363,6 +366,7 @@ for _name in (
     "curate_images",
     "image_resize",
     "quantiles_quality",
+    "audio_features",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -486,3 +486,75 @@ def finalize_knn(ds, k: int = 5, id_col: str = "image_id"):
         return g[["query_id", id_col, "rank"]]
 
     return ds.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def knn_nearest(
+    ds_factory,
+    query_ids,
+    query_lon,
+    query_lat,
+    k: int = 5,
+    r0: float = 0.1,
+    max_rounds: int = 8,
+    id_col: str = "image_id",
+):
+    """UNBOUNDED k nearest neighbors via cell-RING EXPANSION: run the
+    bounded cell-ring cover at radius r, keep the queries that found k
+    neighbors with kth distance <= r (exact: every unexamined point is
+    farther than r), DOUBLE r for the rest and rescan. Each round streams
+    the dataset once with only the unresolved queries broadcast; dense
+    areas resolve in round one, remote queries pay only their own extra
+    rounds.
+
+    ``ds_factory()`` must return a fresh Dataset of (id, lon, lat) rows
+    (a Dataset can't be consumed twice).
+    """
+    import pandas as pd
+
+    qids = np.asarray(query_ids)
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    resolved = []
+    active = np.arange(len(qids))
+    r = r0
+    for _ in range(max_rounds):
+        if not len(active):
+            break
+        cand = ds_factory().map_batches(
+            CellRingKNN,
+            fn_constructor_kwargs={
+                "query_ids": qids[active],
+                "query_lon": qlon[active],
+                "query_lat": qlat[active],
+                "radius": r,
+                "id_col": id_col,
+            },
+            batch_format="pyarrow",
+            batch_size=16384,
+            concurrency=(1, 8),
+        )
+        # exact top-k per query among in-radius candidates (self excluded)
+        def topk(group: pd.DataFrame) -> pd.DataFrame:
+            g = group[group[id_col] != group["query_id"]]
+            g = g.sort_values(["d2", id_col], ascending=[True, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g[["query_id", id_col, "d2", "rank"]]
+
+        got = cand.groupby("query_id").map_groups(topk, batch_format="pandas")
+        got = got.to_pandas()  # query-dimension-sized (<= n_queries x k)
+        # a query is DONE iff it has k hits and the kth is within r
+        counts = got.groupby("query_id")["rank"].max()
+        kth = got.groupby("query_id")["d2"].max()
+        done_ids = set(counts[(counts >= k) & (kth <= r * r)].index)
+        resolved.append(got[got["query_id"].isin(done_ids)])
+        qid_active = qids[active]
+        still = np.array([q not in done_ids for q in qid_active])
+        active = active[still]
+        r *= 2.0
+    out = (
+        pd.concat(resolved, ignore_index=True)
+        if resolved
+        else pd.DataFrame({"query_id": [], id_col: [], "d2": [], "rank": []})
+    )
+    return out[["query_id", id_col, "rank"]].reset_index(drop=True)

@@ -43,6 +43,7 @@ REGRESSION_PIN = [
     "curate_images",
     "image_resize",
     "quantiles_quality",
+    "audio_features",
 ]
 
 
