@@ -238,3 +238,39 @@ def test_wkt_debug_encode_and_fixedpoint_print():
     assert fp.print_with_decimals(fp.from_ord(1.25), 12) == "1.250000000000"
     assert fp.print_with_decimals(fp.from_ord(-3.5), 1) == "-3.5"
     assert fp.print_with_decimals(123, 10) == "0.0000000123"
+
+
+def test_s2_cell_ids():
+    """S2 construction: face/i/j <-> cell id roundtrip is exact, the
+    known (0,0) leaf id matches s2geometry (0x1000000000000001), levels
+    and containment behave, and cube faces map correctly."""
+    import numpy as np
+
+    from texel_ray.core import s2
+
+    rng = np.random.default_rng(0)
+    face = rng.integers(0, 6, 2000).astype(np.int64)
+    i = rng.integers(0, 1 << 30, 2000).astype(np.int64)
+    j = rng.integers(0, 1 << 30, 2000).astype(np.int64)
+    ids = s2.cell_id_from_face_ij(face, i, j)
+    f2, i2, j2 = s2.face_ij_from_cell_id(ids)
+    assert np.array_equal(face, f2) and np.array_equal(i, i2) and np.array_equal(j, j2)
+
+    assert int(s2.cell_id_from_lonlat([0.0], [0.0], 30)[0]) == 0x1000000000000001
+
+    x, y, z = s2.lonlat_to_xyz(
+        np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0]),
+        np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0]),
+    )
+    f, _, _ = s2.xyz_to_face_uv(x, y, z)
+    assert f.tolist() == [0, 1, 2, 3, 4, 5]
+
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-89, 89, 1000)
+    l10 = s2.cell_id_from_lonlat(lon, lat, 10)
+    assert set(s2.level_of(l10).tolist()) == {10}
+    leaf = s2.cell_id_from_lonlat(lon, lat, 30)
+    lo, hi = s2.cell_range(l10)
+    assert bool(np.all((lo <= leaf) & (leaf <= hi)))
+    # every leaf is distinct for distinct random points
+    assert len(np.unique(leaf)) == len(leaf)

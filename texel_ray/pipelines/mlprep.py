@@ -924,3 +924,22 @@ SELECT CAST(cum_excl // 2048 AS BIGINT) AS chunk_id,
        COUNT(*) AS n_docs
 FROM c GROUP BY 1
 """
+
+
+def q_s2_cells(sf_dir: str, level: int = 8):
+    """Per-S2-cell image counts at one level (the H3/S2 cell-encode role
+    of the north rule; core/s2.py implements the published cube-face +
+    quadratic + Hilbert construction from scratch). Golden oracle —
+    Hilbert ids are not SQL-expressible; the encode itself is pinned by
+    roundtrip/known-vector pytest."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import encode_s2
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_s2(b, level=level, keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    return partial_count_groupby(ds, ["s2_cell"], alias="n")

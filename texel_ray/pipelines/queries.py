@@ -254,6 +254,7 @@ QUERIES = {
     "tilecut_z13": spatial.q_tilecut,
     "vector_tilecut": spatial.q_vector_tilecut,
     # spatial: tiling + joins + kNN
+    "s2_cells": mlprep.q_s2_cells,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -367,6 +368,7 @@ for _name in (
     "image_resize",
     "quantiles_quality",
     "audio_features",
+    "s2_cells",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

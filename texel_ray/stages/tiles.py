@@ -115,3 +115,22 @@ def tile_metrics(
             "outside_grid": pa.array([n - inside], pa.int64()),
         }
     )
+
+
+def encode_s2(batch, level: int = 8, keep_columns=None):
+    """S2 cell encoding over geotag columns: one vectorized pass of
+    lon/lat -> cube face -> quadratic (s,t) -> Hilbert cell id at `level`
+    (core/s2.py, from the published s2geometry algorithm). The Hilbert id
+    is range-partitionable: a cell's children occupy one contiguous id
+    range, so range shuffles keep spatial neighbors together."""
+    import pyarrow as pa
+
+    from ..core import s2
+
+    keep = keep_columns if keep_columns is not None else batch.column_names
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    ids = s2.cell_id_from_lonlat(lon, lat, level=level)
+    cols = [batch[c] for c in keep]
+    cols.append(pa.array(ids.view(np.int64)))  # store as int64 (bit view)
+    return pa.table(cols, names=[*keep, "s2_cell"])

@@ -44,6 +44,7 @@ REGRESSION_PIN = [
     "image_resize",
     "quantiles_quality",
     "audio_features",
+    "s2_cells",
 ]
 
 
