@@ -279,3 +279,24 @@ def test_knn_all_dense_cluster_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[["query_id", "image_id", "rank"]].astype("int64"), expect.astype("int64")
     )
+
+
+def test_hex_bin_properties():
+    """Hex binning: cube-coordinate invariant holds and nearby points
+    share a cell while far points don't."""
+    from texel_ray.stages.tiles import hex_bin
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-170, 170, 4000)
+    lat = rng.uniform(-80, 80, 4000)
+    t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    out = hex_bin(t, size_m=250_000.0)
+    assert out.num_rows == 4000
+    # two points 1km apart share a 250km hex; 2000km apart never do
+    near = hex_bin(pa.table({"lon": pa.array([10.0, 10.009]), "lat": pa.array([45.0, 45.0])}))
+    assert (near["hex_q"][0], near["hex_r"][0]) == (near["hex_q"][1], near["hex_r"][1])
+    far = hex_bin(pa.table({"lon": pa.array([10.0, 30.0]), "lat": pa.array([45.0, 45.0])}))
+    assert (far["hex_q"][0], far["hex_r"][0]) != (far["hex_q"][1], far["hex_r"][1])
+    # out-of-domain latitudes (nan mercator y) are dropped, not crashed
+    pole = hex_bin(pa.table({"lon": pa.array([0.0]), "lat": pa.array([91.0])}))
+    assert pole.num_rows == 0

@@ -943,3 +943,48 @@ def q_s2_cells(sf_dir: str, level: int = 8):
         batch_size=16384,
     )
     return partial_count_groupby(ds, ["s2_cell"], alias="n")
+
+
+def q_hex_cells(sf_dir: str, size_m: float = 250_000.0):
+    """Per-hex-cell image counts (axial hex binning on WebMercator — the
+    H3-grid role; exact SQL oracle mirrors the cube rounding 1:1)."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import hex_bin
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: hex_bin(b, size_m=size_m, keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    return partial_count_groupby(ds, ["hex_q", "hex_r"], alias="n")
+
+
+def sql_hex_cells(images_source: str, size_m: float = 250_000.0) -> str:
+    mx = "(lon * (pi() / 180.0) * 6378137.0)"
+    my = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    return f"""
+WITH a AS (
+  SELECT ({mx} * (sqrt(3.0) / 3.0) - {my} * (1.0 / 3.0)) / {size_m!r} AS q,
+         ({my} * (2.0 / 3.0)) / {size_m!r} AS r
+  FROM {images_source}
+  WHERE isfinite({my})
+), c AS (
+  SELECT q AS cx, r AS cz, -q - r AS cy,
+         floor(q + 0.5) AS rx0, floor(-q - r + 0.5) AS ry0, floor(r + 0.5) AS rz0
+  FROM a
+), f AS (
+  SELECT cx, cy, cz, rx0, ry0, rz0,
+         abs(rx0 - cx) AS dx, abs(ry0 - cy) AS dy, abs(rz0 - cz) AS dz
+  FROM c
+)
+SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS hex_q,
+       -- the fix branches are mutually exclusive, so only the z-fix
+       -- changes hex_r and it sees the ORIGINAL rx0/ry0
+       CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                 THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS hex_r,
+       count(*) AS n
+FROM f
+GROUP BY 1, 2
+"""

@@ -255,6 +255,7 @@ QUERIES = {
     "vector_tilecut": spatial.q_vector_tilecut,
     # spatial: tiling + joins + kNN
     "s2_cells": mlprep.q_s2_cells,
+    "hex_cells": mlprep.q_hex_cells,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -316,6 +317,7 @@ ORACLE_SQL = {
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "knn_all": mlprep.sql_knn_all(images_sql_source()),
     "knn_nearest": mlprep.sql_knn_nearest(images_sql_source()),
+    "hex_cells": mlprep.sql_hex_cells(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,

@@ -134,3 +134,43 @@ def encode_s2(batch, level: int = 8, keep_columns=None):
     cols = [batch[c] for c in keep]
     cols.append(pa.array(ids.view(np.int64)))  # store as int64 (bit view)
     return pa.table(cols, names=[*keep, "s2_cell"])
+
+
+def hex_bin(batch, size_m: float = 250_000.0, keep_columns=None):
+    """Hexagonal binning of geotags on the WebMercator plane (the H3-grid
+    ROLE — flat-top axial hex cells with exact cube rounding; a faithful
+    H3 needs the icosahedral projection, out of scope and documented).
+
+    Axial coords q = (sqrt(3)/3*x - y/3)/size, r = (2y/3)/size; cube
+    rounding with floor(x+0.5) (half-away-up, mirrored exactly in the SQL
+    oracle). Points outside the Mercator domain are dropped.
+    """
+    import pyarrow as pa
+
+    from ..core.tms import lonlat_to_webmercator_np
+
+    keep = keep_columns if keep_columns is not None else batch.column_names
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    x, y = lonlat_to_webmercator_np(lon, lat)
+    valid = np.isfinite(x) & np.isfinite(y)
+    x, y = x[valid], y[valid]
+    q = (x * (np.sqrt(3.0) / 3.0) - y * (1.0 / 3.0)) / size_m
+    r = (y * (2.0 / 3.0)) / size_m
+    cx, cz = q, r
+    cy = -cx - cz
+    rx = np.floor(cx + 0.5)
+    ry = np.floor(cy + 0.5)
+    rz = np.floor(cz + 0.5)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    fix_z = ~fix_x & ~fix_y
+    rx = np.where(fix_x, -ry - rz, rx)
+    ry = np.where(fix_y, -rx - rz, ry)
+    rz = np.where(fix_z, -rx - ry, rz)
+    t = batch.filter(pa.array(valid))
+    cols = [t[c] for c in keep]
+    cols.append(pa.array(rx.astype(np.int64)))
+    cols.append(pa.array(rz.astype(np.int64)))
+    return pa.table(cols, names=[*keep, "hex_q", "hex_r"])
