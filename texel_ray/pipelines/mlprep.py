@@ -161,25 +161,6 @@ LIMIT 50
 # ---- dedup family ---------------------------------------------------------
 
 
-def _count_capped(pairs) -> int:
-    """Tiny aggregate over the (materialized, candidate-dimension-sized)
-    pair dataset: how many candidate pairs came from capped buckets."""
-    import pyarrow.compute as pc
-
-    agg = pairs.map_batches(
-        lambda b: pa.table(
-            {
-                "n": pa.array(
-                    [int(pc.sum(pc.cast(b["capped"], pa.int64())).as_py() or 0)],
-                    pa.int64(),
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    ).sum("n")
-    return int(agg or 0)
-
-
 def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified — fully
     in-dataset (nothing corpus-sized ever touches the driver):

@@ -24,9 +24,6 @@ import pandas as pd
 import pyarrow as pa
 
 _PRIME = (1 << 61) - 1
-# minhash permutation prime: > 2^32 so (a*x + b) with a,x < 2^32 fits uint64
-_MH_PRIME = np.uint64(4294967311)
-_MASK32 = np.uint64(0xFFFFFFFF)
 
 
 _NGRAM_MULTS = np.array(
