@@ -91,6 +91,12 @@ def run_benchmarks() -> dict:
     timed("simhash_neardup", lambda: mlprep.q_simhash_neardup(SF_DIR))
     timed("knn_all", lambda: mlprep.q_knn_all(SF_DIR))
     timed("ann_topk", lambda: mlprep.q_ann_topk(SF_DIR))
+    timed("s2_cells", lambda: mlprep.q_s2_cells(SF_DIR))
+    timed("hex_cells", lambda: mlprep.q_hex_cells(SF_DIR))
+    timed("knn_nearest", lambda: mlprep.q_knn_nearest(SF_DIR))
+    timed("pack_sequences", lambda: mlprep.q_pack_sequences(SF_DIR))
+    timed("quantiles_quality", lambda: mlprep.q_quantiles_quality(SF_DIR))
+    timed("audio_features", lambda: mlprep.q_audio_features(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
 

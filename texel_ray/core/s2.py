@@ -205,3 +205,26 @@ def cell_range(cell_id):
     cell_id = np.asarray(cell_id, dtype=np.uint64)
     lsb = cell_id & (~cell_id + np.uint64(1))
     return cell_id - (lsb - np.uint64(1)), cell_id + (lsb - np.uint64(1))
+
+
+def cell_token(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Compact GROUPING token for same-level cell ids: ``face|pos`` with
+    the sentinel+zero tail shifted out, so all key entropy sits in the
+    LOW ``2*level + 3`` bits.
+
+    Why this exists: canonical ids at level L share their low
+    ``2*(30-L)+1`` bits (sentinel then zeros). Hash aggregators that
+    derive the bucket index from the key's low bits — pyarrow's
+    ``Table.group_by`` does — then put EVERY key in one bucket and probe
+    quadratically: grouping 600k level-8 ids measured 96s vs 0.06s on
+    tokens. Group on the token, restore ids with ``token_to_cell_id``.
+    """
+    cell_id = np.asarray(cell_id, dtype=np.uint64)
+    return cell_id >> np.uint64(2 * (MAX_LEVEL - level) + 1)
+
+
+def token_to_cell_id(tok: np.ndarray, level: int) -> np.ndarray:
+    """Inverse of ``cell_token``: re-append sentinel + zero tail."""
+    tok = np.asarray(tok, dtype=np.uint64)
+    shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
+    return (tok << shift) | (np.uint64(1) << (shift - np.uint64(1)))

@@ -167,8 +167,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
 
     shingle -> minhash -> band explode (combiner-style vectorized kernel)
     -> hot-bucket semi-join filter (broadcast aggregated hot keys)
-    -> groupby(bucket).map_groups candidate pairs -> distinct pairs
-    -> text joined back per side via Dataset.join -> exact-Jaccard verify.
+    -> groupby(bucket).map_groups candidate pairs (collected ONCE —
+    pair-dimension-sized, like a victim list — for dedupe/capped tally)
+    -> candidate-filtered text joined back per side via Dataset.join
+    -> exact-Jaccard verify.
 
     The DuckDB oracle recomputes ALL pairs with exact 3-gram Jaccard >=
     threshold; with 128 perms / 32 bands the LSH miss probability at
@@ -912,18 +914,37 @@ def q_s2_cells(sf_dir: str, level: int = 8):
     of the north rule; core/s2.py implements the published cube-face +
     quadratic + Hilbert construction from scratch). Golden oracle —
     Hilbert ids are not SQL-expressible; the encode itself is pinned by
-    roundtrip/known-vector pytest."""
+    roundtrip/known-vector pytest.
+
+    Grouping runs on the compact token, not the canonical id: canonical
+    same-level ids differ only in their HIGH bits, which degrades
+    pyarrow's hash grouper to quadratic probing (measured 96s -> 0.06s
+    on 600k rows — core/s2.cell_token). Canonical ids are restored after
+    the aggregate, so the output schema/values are unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core import s2
     from ..sources.images import read_images
     from ..stages.agg import partial_count_groupby
     from ..stages.tiles import encode_s2
 
     ds = read_images(sf_dir, columns=["lon", "lat"])
     ds = ds.map_batches(
-        lambda b: encode_s2(b, level=level, keep_columns=[]),
+        lambda b: encode_s2(b, level=level, keep_columns=[], as_token=True),
         batch_format="pyarrow",
         batch_size=16384,
     )
-    return partial_count_groupby(ds, ["s2_cell"], alias="n")
+    agg = partial_count_groupby(ds, ["s2_tok"], alias="n")
+
+    def restore(batch: pa.Table) -> pa.Table:
+        tok = batch["s2_tok"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = s2.token_to_cell_id(tok, level)
+        return pa.table(
+            {"s2_cell": pa.array(ids.view(np.int64)), "n": batch["n"]}
+        )
+
+    return agg.map_batches(restore, batch_format="pyarrow")
 
 
 def q_hex_cells(sf_dir: str, size_m: float = 250_000.0):

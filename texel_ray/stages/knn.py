@@ -15,9 +15,10 @@ stream is filtered by a grid-cell cover BEFORE any distance math:
 - a tiny groupby(query_id) finishes with an exact top-k
   (d2 asc, image_id asc tie-break).
 
-Ring EXPANSION (grow the ring until k found, unbounded radius) reuses the
-same machinery with increasing R; the bounded form is the deterministic,
-oracle-checkable core.
+Ring EXPANSION (``knn_nearest``: unbounded k nearest) reuses the bounded
+machinery with doubling R, rescanning only unresolved queries; ``knn_all``
+is the full self-join form (every row a query) with a dense-cluster
+sub-grid kernel. All three are oracle-checked.
 """
 
 from __future__ import annotations

@@ -117,12 +117,18 @@ def tile_metrics(
     )
 
 
-def encode_s2(batch, level: int = 8, keep_columns=None):
+def encode_s2(batch, level: int = 8, keep_columns=None, as_token: bool = False):
     """S2 cell encoding over geotag columns: one vectorized pass of
     lon/lat -> cube face -> quadratic (s,t) -> Hilbert cell id at `level`
     (core/s2.py, from the published s2geometry algorithm). The Hilbert id
     is range-partitionable: a cell's children occupy one contiguous id
-    range, so range shuffles keep spatial neighbors together."""
+    range, so range shuffles keep spatial neighbors together.
+
+    ``as_token=True`` emits the compact grouping token instead (column
+    ``s2_tok``): canonical ids share their low sentinel+zero bits, which
+    collapses pyarrow's low-bit-indexed hash grouper to quadratic probing
+    (96s vs 0.06s per 600k rows at level 8 — see core/s2.cell_token).
+    Group on the token; restore ids with ``s2.token_to_cell_id``."""
     import pyarrow as pa
 
     from ..core import s2
@@ -132,6 +138,9 @@ def encode_s2(batch, level: int = 8, keep_columns=None):
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     ids = s2.cell_id_from_lonlat(lon, lat, level=level)
     cols = [batch[c] for c in keep]
+    if as_token:
+        cols.append(pa.array(s2.cell_token(ids, level).view(np.int64)))
+        return pa.table(cols, names=[*keep, "s2_tok"])
     cols.append(pa.array(ids.view(np.int64)))  # store as int64 (bit view)
     return pa.table(cols, names=[*keep, "s2_cell"])
 
