@@ -204,8 +204,10 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     import pyarrow.compute as pc
     import ray.data
 
-    pl = pairs.take_all()
-    n_capped = sum(1 for r in pl if r["capped"])
+    # to_pandas (block-level arrow fetch), NOT take_all: take_all converts
+    # row-by-row through Python dicts (~1ms/row — 6.5s for 7k pair rows)
+    pdf_all = pairs.to_pandas()
+    n_capped = int(pdf_all["capped"].sum())
     if n_capped:
         # no silent caps: truncated buckets mean missed recall
         print(
@@ -213,7 +215,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
             f"capped buckets (>50 docs) — recall is truncated there",
             flush=True,
         )
-    pdf = pd.DataFrame(pl)[["id_a", "id_b"]].drop_duplicates()
+    pdf = pdf_all[["id_a", "id_b"]].drop_duplicates()
     cand = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
     # broadcast semi-join text fetch: stream the corpus once through an
     # is_in filter so the text-back joins see a candidate-sized right
@@ -311,8 +313,8 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
         )
     # verified pairs are output-dimension-sized: collect once, dedupe
     # (same pair surfaces from several bands), tally capped buckets
-    pl = pairs.take_all()
-    n_capped = sum(1 for r in pl if r["capped"])
+    pdf_all = pairs.to_pandas()  # block-level fetch; take_all is ~1ms/row
+    n_capped = int(pdf_all["capped"].sum())
     if n_capped:
         print(
             f"[simhash_neardup] WARNING: {n_capped} candidate pairs came from "
@@ -320,7 +322,7 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
             flush=True,
         )
     return (
-        pd.DataFrame(pl)[["id_a", "id_b", "hamming"]]
+        pdf_all[["id_a", "id_b", "hamming"]]
         .drop_duplicates(["id_a", "id_b"])
         .reset_index(drop=True)
     )
