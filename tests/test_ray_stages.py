@@ -300,3 +300,43 @@ def test_hex_bin_properties():
     # out-of-domain latitudes (nan mercator y) are dropped, not crashed
     pole = hex_bin(pa.table({"lon": pa.array([0.0]), "lat": pa.array([91.0])}))
     assert pole.num_rows == 0
+
+
+def test_knn_nearest_paths_agree_and_match_bruteforce(ray_session):
+    """Unbounded kNN: the two-phase plan (cell-ring rounds + BruteKNN
+    tail), the pure-brute path, and an O(n*q) numpy reference all agree
+    exactly, including (d2, id) tie-breaks (rounded coords plant ties)."""
+    import ray.data
+
+    from texel_ray.stages.knn import knn_nearest
+
+    rng = np.random.default_rng(11)
+    n, q, k = 600, 250, 4
+    lon = np.round(rng.uniform(-5, 5, n), 2)
+    lat = np.round(rng.uniform(-5, 5, n), 2)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"image_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)}
+    )
+    factory = lambda: ray.data.from_arrow(tbl).repartition(4)  # noqa: E731
+    qsel = np.arange(q)
+    args = (factory, ids[qsel], lon[qsel], lat[qsel])
+    # q > small_q forces ring rounds; the sparse tail finishes in BruteKNN
+    two_phase = knn_nearest(*args, k=k, r0=0.3, small_q=32)
+    brute = knn_nearest(*args, k=k, small_q=10**6)
+    sa = two_phase.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    sb = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)
+
+    expect_rows = []
+    for i in qsel:
+        d2 = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        mask = ids != i
+        cand, cd2 = ids[mask], d2[mask]
+        order = np.lexsort((cand, cd2))[:k]
+        for r, j in enumerate(cand[order], start=1):
+            expect_rows.append((i, int(j), r))
+    expect = pd.DataFrame(expect_rows, columns=["query_id", "image_id", "rank"])
+    pd.testing.assert_frame_equal(
+        sa.astype({"query_id": "int64", "image_id": "int64"}), expect
+    )

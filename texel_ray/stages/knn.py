@@ -36,6 +36,7 @@ class CellRingKNN:
         query_lat,
         radius: float = 1.0,
         id_col: str = "image_id",
+        local_topk: int | None = None,
     ):
         self.qid = np.asarray(query_ids)
         self.qlon = np.asarray(query_lon, dtype=np.float64)
@@ -43,6 +44,11 @@ class CellRingKNN:
         self.r2 = radius * radius
         self.cell = radius  # grid cell size >= radius -> 3x3 ring covers
         self.id_col = id_col
+        # ties-inclusive per-batch top-k reduction (see BruteKNN): bounds
+        # each batch's output at Q x (k + ties) rows however dense the
+        # radius, so the caller can finish on collected candidates
+        # without a shuffle
+        self.local_topk = local_topk
         self.cell_to_queries: dict[tuple[int, int], list[int]] = {}
         gx = np.floor((self.qlon + 180.0) / self.cell).astype(np.int64)
         gy = np.floor((self.qlat + 90.0) / self.cell).astype(np.int64)
@@ -86,8 +92,8 @@ class CellRingKNN:
             d2 = dlon * dlon + dlat * dlat
             hit_p, hit_q = np.nonzero(d2 <= self.r2)
             if len(hit_p):
-                out_q.append(self.qid[np.asarray(qidx)[hit_q]])
-                out_i.append(ids[pts[hit_p]])
+                out_q.append(np.asarray(qidx)[hit_q])  # query INDEX
+                out_i.append(pts[hit_p])  # point row index
                 out_d.append(d2[hit_p, hit_q])
 
         if not out_q:
@@ -100,6 +106,18 @@ class CellRingKNN:
                     "d2": pa.array([], pa.float64()),
                 }
             )
+        qi = np.concatenate(out_q)
+        pi = np.concatenate(out_i)
+        dd = np.concatenate(out_d)
+        if self.local_topk is not None and len(qi):
+            # self-exclusion must happen BEFORE the top-k reduction or a
+            # query's own row (d2 = 0) eats a slot; the plain (no
+            # local_topk) path keeps self and lets the caller filter, as
+            # knn_radius's oracle-checked finish does
+            notself = ids[pi] != self.qid[qi]
+            qi, pi, dd = qi[notself], pi[notself], dd[notself]
+            if len(qi):
+                qi, pi, dd = _ties_inclusive_topk(qi, pi, dd, self.local_topk)
         # cast both id outputs to the exact source Arrow types so empty and
         # non-empty blocks unify (numpy round-trips would e.g. turn
         # large_string into string)
@@ -107,9 +125,9 @@ class CellRingKNN:
         id_type = batch.schema.field(self.id_col).type
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)).cast(qid_type),
-                self.id_col: pa.array(np.concatenate(out_i)).cast(id_type),
-                "d2": pa.array(np.concatenate(out_d)),
+                "query_id": pa.array(self.qid[qi]).cast(qid_type),
+                self.id_col: pa.array(ids[pi]).cast(id_type),
+                "d2": pa.array(dd),
             }
         )
 
@@ -489,6 +507,101 @@ def finalize_knn(ds, k: int = 5, id_col: str = "image_id"):
     return ds.groupby("query_id").map_groups(topk, batch_format="pandas")
 
 
+def _ties_inclusive_topk(qi, pi, dd, k):
+    """Per-query ties-inclusive top-k over flat (query-index, point-index,
+    d2) candidate arrays: keep every row with d2 <= the query's k-th
+    smallest d2. The survivor set contains the true global (d2 asc, id
+    asc) top-k members whatever the local row order, so a later exact
+    sort finishes correctly."""
+    o = np.lexsort((dd, qi))
+    qi, pi, dd = qi[o], pi[o], dd[o]
+    seg = np.nonzero(np.diff(qi) != 0)[0] + 1
+    starts = np.concatenate(([0], seg))
+    ends = np.concatenate((seg, [len(qi)]))
+    kth_pos = np.minimum(starts + k - 1, ends - 1)
+    kth_of_row = np.repeat(dd[kth_pos], ends - starts)
+    keep = dd <= kth_of_row
+    return qi[keep], pi[keep], dd[keep]
+
+
+class BruteKNN:
+    """Single-pass exact kNN combiner for a SMALL broadcast query set:
+    each batch computes the (rows x Q) squared-distance matrix and emits,
+    per query, the TIES-INCLUSIVE local top-k (every row with d2 <= the
+    exact k-th smallest, found with np.partition). That survivor set
+    provably contains the query's true global top-k members from this
+    batch whatever the row order, so a final (d2 asc, id asc) sort over
+    the collected candidates (<= blocks x Q x k + ties rows,
+    query-dimension-sized) finishes exactly — one streaming pass, no
+    shuffle, no rounds. Use when Q x batch_size x 8B fits a worker;
+    cell-ring expansion (CellRingKNN rounds) is the big-Q path."""
+
+    def __init__(self, query_ids, query_lon, query_lat, k=5, id_col="image_id"):
+        self.qid = np.asarray(query_ids)
+        self.qlon = np.asarray(query_lon, dtype=np.float64)
+        self.qlat = np.asarray(query_lat, dtype=np.float64)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qid_type = pa.array(self.qid).slice(0, 0).type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([]).cast(qid_type),
+                    self.id_col: batch[self.id_col],
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        # difference form (NOT the expanded |p|^2+|q|^2-2pq GEMM): d2 must
+        # be bit-identical to the oracle's (a-b)*(a-b) sum for exact
+        # tie-breaks; in-place ops avoid ~256MB/batch of temporaries
+        D = lon[:, None] - self.qlon[None, :]
+        np.multiply(D, D, out=D)
+        T = lat[:, None] - self.qlat[None, :]
+        np.multiply(T, T, out=T)
+        D += T
+        D[ids[:, None] == self.qid[None, :]] = np.inf  # self-exclusion
+        kk = min(self.k, D.shape[0])
+        kth = np.partition(D, kk - 1, axis=0)[kk - 1, :]
+        # isfinite guard: a batch smaller than k (after self-exclusion)
+        # has an inf k-th "distance" and would readmit everything
+        keep_r, keep_q = np.nonzero((D <= kth[None, :]) & np.isfinite(D))
+        id_type = batch.schema.field(self.id_col).type
+        return pa.table(
+            {
+                "query_id": pa.array(self.qid[keep_q]).cast(qid_type),
+                self.id_col: pa.array(ids[keep_r]).cast(id_type),
+                "d2": pa.array(D[keep_r, keep_q]),
+            }
+        )
+
+
+def _knn_nearest_brute(ds_factory, qids, qlon, qlat, k, id_col):
+    import pandas as pd
+
+    n_q = max(len(qids), 1)
+    # size the batch so the (batch x Q) float64 matrix stays ~64 MB
+    bs = int(np.clip(8_000_000 // n_q, 1024, 16384))
+    # driver-built instance shipped to TASKS (not an actor pool): the
+    # per-task state is just the broadcast query arrays, and a task pool
+    # skips the ~1.5s/round actor spin-up
+    probe = BruteKNN(qids, qlon, qlat, k=k, id_col=id_col)
+    cand = ds_factory().map_batches(
+        lambda b, probe=probe: probe(b),
+        batch_format="pyarrow",
+        batch_size=bs,
+    )
+    got = cand.to_pandas()  # query-dimension-sized (see BruteKNN)
+    got = got.sort_values(["query_id", "d2", id_col], kind="stable")
+    got["rank"] = got.groupby("query_id").cumcount() + 1
+    out = got[got["rank"] <= k]
+    return out[["query_id", id_col, "rank"]].reset_index(drop=True)
+
+
 def knn_nearest(
     ds_factory,
     query_ids,
@@ -498,6 +611,7 @@ def knn_nearest(
     r0: float = 0.1,
     max_rounds: int = 8,
     id_col: str = "image_id",
+    small_q: int = 128,
 ):
     """UNBOUNDED k nearest neighbors via cell-RING EXPANSION: run the
     bounded cell-ring cover at radius r, keep the queries that found k
@@ -509,6 +623,16 @@ def knn_nearest(
 
     ``ds_factory()`` must return a fresh Dataset of (id, lon, lat) rows
     (a Dataset can't be consumed twice).
+
+    Two-phase plan: each bounded round uses ties-inclusive per-batch
+    top-k (``local_topk``) and finishes on the driver over the collected
+    query-dimension-sized candidates — NO per-round shuffle. As soon as
+    the unresolved set shrinks to <= ``small_q`` queries (including
+    before round one for tiny query sets) a single unbounded BruteKNN
+    pass finishes them exactly, so every query resolves even past
+    ``max_rounds``. Ring rounds earn their keep only while the active
+    set is large enough that a (batch x active) brute matrix would cost
+    more than a pruned cell scan (~20ms/query vs ~1s/scan measured).
     """
     import pandas as pd
 
@@ -519,31 +643,29 @@ def knn_nearest(
     active = np.arange(len(qids))
     r = r0
     for _ in range(max_rounds):
-        if not len(active):
+        if len(active) == 0 or len(active) <= small_q:
             break
+        # driver-built probe shipped to TASKS: the cell index for a few
+        # hundred queries costs microseconds to build, so an actor pool's
+        # per-round spin-up (~1.5s, the dominant round cost) buys nothing
+        probe = CellRingKNN(
+            qids[active],
+            qlon[active],
+            qlat[active],
+            radius=r,
+            id_col=id_col,
+            local_topk=k,
+        )
         cand = ds_factory().map_batches(
-            CellRingKNN,
-            fn_constructor_kwargs={
-                "query_ids": qids[active],
-                "query_lon": qlon[active],
-                "query_lat": qlat[active],
-                "radius": r,
-                "id_col": id_col,
-            },
+            lambda b, probe=probe: probe(b),
             batch_format="pyarrow",
             batch_size=16384,
-            concurrency=(1, 8),
         )
-        # exact top-k per query among in-radius candidates (self excluded)
-        def topk(group: pd.DataFrame) -> pd.DataFrame:
-            g = group[group[id_col] != group["query_id"]]
-            g = g.sort_values(["d2", id_col], ascending=[True, True]).head(k)
-            g = g.reset_index(drop=True)
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            return g[["query_id", id_col, "d2", "rank"]]
-
-        got = cand.groupby("query_id").map_groups(topk, batch_format="pandas")
-        got = got.to_pandas()  # query-dimension-sized (<= n_queries x k)
+        # driver finish: candidates are <= blocks x active x (k + ties)
+        got = cand.to_pandas()
+        got = got.sort_values(["query_id", "d2", id_col], kind="stable")
+        got["rank"] = got.groupby("query_id").cumcount() + 1
+        got = got[got["rank"] <= k]
         # a query is DONE iff it has k hits and the kth is within r
         counts = got.groupby("query_id")["rank"].max()
         kth = got.groupby("query_id")["d2"].max()
@@ -552,10 +674,19 @@ def knn_nearest(
         qid_active = qids[active]
         still = np.array([q not in done_ids for q in qid_active])
         active = active[still]
-        r *= 2.0
+        # x4 schedule: each scan's cost is round overhead, not kernel
+        # work, so fewer/larger jumps beat gentle doubling (a too-large r
+        # only costs extra in-kernel pairs, never correctness)
+        r *= 4.0
+    if len(active):
+        resolved.append(
+            _knn_nearest_brute(
+                ds_factory, qids[active], qlon[active], qlat[active], k, id_col
+            )
+        )
     out = (
         pd.concat(resolved, ignore_index=True)
         if resolved
-        else pd.DataFrame({"query_id": [], id_col: [], "d2": [], "rank": []})
+        else pd.DataFrame({"query_id": [], id_col: [], "rank": []})
     )
     return out[["query_id", id_col, "rank"]].reset_index(drop=True)
