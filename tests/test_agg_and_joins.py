@@ -77,3 +77,32 @@ def test_asof_join_reference(ray_session):
     # every purchase event matches itself with lag 0
     selfm = df[df["event_id"] == df["purchase_event_id"]]
     assert (selfm["lag_us"] == 0).all() and len(selfm) > 0
+
+
+def test_interval_joiner_matches_bruteforce():
+    """Range-join kernel vs an O(rows x intervals) reference: random
+    overlapping/nested/zero-width intervals, boundary values included."""
+    import pyarrow as pa
+
+    from texel_ray.stages.interval import IntervalJoiner
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        n_iv = int(rng.integers(1, 40))
+        lo = np.round(rng.uniform(0, 100, n_iv), 1)
+        hi = lo + np.round(rng.uniform(0, 30, n_iv), 1)  # 0-width allowed
+        ids = np.arange(n_iv)
+        v = np.round(rng.uniform(-10, 140, 300), 1)  # incl. out-of-range
+        j = IntervalJoiner(lo, hi, ids, "v", keep_columns=["row"])
+        out = j(pa.table({"row": pa.array(np.arange(300)), "v": pa.array(v)}))
+        got = set(zip(out["row"].to_pylist(), out["interval_id"].to_pylist()))
+        exp = {
+            (r, k)
+            for r in range(300)
+            for k in range(n_iv)
+            if lo[k] <= v[r] < hi[k]
+        }
+        assert got == exp
+    # empty batch keeps schema
+    empty = j(pa.table({"row": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+    assert empty.column_names == ["row", "interval_id"] and empty.num_rows == 0

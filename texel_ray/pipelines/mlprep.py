@@ -992,3 +992,52 @@ SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT
 FROM f
 GROUP BY 1, 2
 """
+
+
+def q_tfidf(sf_dir: str, top: int = 50):
+    """Corpus TF-IDF vocabulary scoring: top tokens by total_tf * (N/df)
+    (rational idf — exactly SQL-reproducible, unlike ln(N/df) whose libm
+    rounding may differ across engines; pass a log to the score map for
+    the classic form). Per-batch (tf, df) partials -> one skinny
+    token groupby -> score -> top-k. At cluster scale the final sort is
+    a per-block top-k merge; at test scale Dataset.sort on the
+    vocab-sized aggregate is fine."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.text import tfidf_partial
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata count
+    ds = _read(sf_dir, "documents", ["text"])
+    parts = ds.map_batches(tfidf_partial, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["token"], ["tf_partial", "df_partial"])
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf_partial"].to_numpy(zero_copy_only=False)
+        df = b["df_partial"].to_numpy(zero_copy_only=False)
+        s = tf * (np.float64(n_docs) / df)  # same op order as the oracle
+        return pa.table(
+            {
+                "token": b["token"],
+                "df": pa.array(df),
+                "total_tf": pa.array(tf),
+                "score": pa.array(s),
+            }
+        )
+
+    out = agg.map_batches(score, batch_format="pyarrow")
+    return out.sort(["score", "token"], descending=[True, False]).limit(top)
+
+
+SQL_TFIDF = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT token, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS df
+  FROM t GROUP BY 1
+)
+SELECT token, df, total_tf,
+       total_tf * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df) AS score
+FROM c
+ORDER BY score DESC, token ASC
+LIMIT 50
+"""

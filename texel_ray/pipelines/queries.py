@@ -282,6 +282,7 @@ QUERIES = {
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
+    "tfidf": mlprep.q_tfidf,
     "fingerprint": mlprep.q_fingerprint,
     "langid": mlprep.q_langid,
     # end-to-end curation compositions
@@ -301,6 +302,7 @@ QUERIES = {
     "sessionize": relational.q_sessionize,
     "event_props_extract": relational.q_event_props_extract,
     "asof_join": relational.q_asof_join,
+    "range_join": relational.q_range_join,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
     "quantiles_quality": mlprep.q_quantiles_quality,
@@ -320,6 +322,7 @@ ORACLE_SQL = {
     "hex_cells": mlprep.sql_hex_cells(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
+    "tfidf": mlprep.SQL_TFIDF,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "embedding_neardup": mlprep.SQL_EMB_NEARDUP,
     "langid": mlprep.SQL_LANGID,
@@ -339,6 +342,7 @@ ORACLE_SQL = {
     "sessionize": relational.SQL_SESSIONIZE,
     "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
     "asof_join": relational.SQL_ASOF_JOIN,
+    "range_join": relational.SQL_RANGE_JOIN,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,

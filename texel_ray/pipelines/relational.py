@@ -592,3 +592,37 @@ def q_anti_join_bloom(sf_dir: str):
 
     ds = ds.map_batches(anti, batch_format="pyarrow")
     return partial_count_groupby(ds, ["l_returnflag"], alias="n", coalesce=4)
+
+
+def q_range_join(sf_dir: str, n_bands: int = 30):
+    """Range (interval) join: every order matched to each OVERLAPPING
+    price band [i*20000, i*20000 + 30000) — the broadcast
+    interval-dimension join (stages/interval.IntervalJoiner: elementary
+    segments + CSR cover lists, searchsorted probe). Returns all
+    (o_orderkey, band_id) match rows; a row can match two bands."""
+    from ..stages.interval import IntervalJoiner
+
+    i = np.arange(n_bands, dtype=np.float64)
+    joiner = IntervalJoiner(
+        lo=i * 20000.0,
+        hi=i * 20000.0 + 30000.0,
+        interval_ids=np.arange(n_bands, dtype=np.int64),
+        value_col="o_totalprice",
+        id_out="band_id",
+        keep_columns=["o_orderkey"],
+    )
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # dimension-sized joiner ships with the task (no actor pool needed:
+    # the decomposition is built once on the driver)
+    return ds.map_batches(lambda b, j=joiner: j(b), batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id,
+         i * 20000.0 AS lo, i * 20000.0 + 30000.0 AS hi
+  FROM range(30) t(i)
+)
+SELECT o.o_orderkey, b.band_id
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+"""

@@ -207,3 +207,19 @@ def token_histogram(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     tokens = batch[text_col].astype(str).str.split().explode()
     counts = tokens.value_counts()
     return pd.DataFrame({"token": counts.index, "n_partial": counts.to_numpy()})
+
+
+def tfidf_partial(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-batch TF-IDF partials: (token, tf_partial, df_partial). A doc
+    never spans batches (one row = one doc), so document frequencies sum
+    correctly across partials."""
+    toks = batch[text_col].astype(str).str.split().explode().dropna()
+    tf = toks.value_counts()
+    df = toks.reset_index().drop_duplicates()[text_col].value_counts()
+    return pd.DataFrame(
+        {
+            "token": tf.index,
+            "tf_partial": tf.to_numpy(),
+            "df_partial": df.reindex(tf.index).to_numpy(),
+        }
+    )
