@@ -134,3 +134,92 @@ def test_bloom_anti_join_equals_exact(ray_session):
     exact = q_anti_join_lineitem(sf).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
     bloom = q_anti_join_bloom(sf).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_kmeans_fit_matches_numpy_lloyd(ray_session):
+    """Distributed streaming Lloyd == single-process numpy Lloyd with the
+    same init: identical assignments/counts and bit-close centroids."""
+    import ray.data
+
+    from texel_ray.stages.cluster import kmeans_fit
+    from texel_ray.stages.similarity import normalize_rows
+
+    rng = np.random.default_rng(7)
+    n, dim, k, iters = 700, 16, 5, 4
+    base = normalize_rows(rng.normal(size=(k, dim)))
+    m = normalize_rows(
+        base[rng.integers(0, k, n)] + 0.15 * rng.normal(size=(n, dim))
+    )
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(m), pa.list_(pa.float64(), dim)),
+        }
+    )
+    sample = m[:64]
+    cent, stats = kmeans_fit(
+        lambda: ray.data.from_arrow(tbl).repartition(4),
+        dim=dim,
+        k=k,
+        iters=iters,
+        init_sample=sample,
+        seed=42,
+    )
+    # reference: same init (same rng), plain Lloyd
+    ref_rng = np.random.default_rng(42)
+    rc = normalize_rows(sample)[ref_rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ rc.T, axis=1)
+        new_c = rc.copy()
+        for c in range(k):
+            mem = m[assign == c]
+            if len(mem):
+                new_c[c] = mem.sum(axis=0)
+        rc = normalize_rows(new_c)
+        ref_counts = np.bincount(assign, minlength=k)
+    np.testing.assert_allclose(cent, rc, rtol=0, atol=1e-12)
+    got_counts = stats.sort_values("cluster")["n"].to_numpy()
+    # stats reflect the assignment of the LAST pass (pre-final-update)
+    assert got_counts.sum() == n
+    np.testing.assert_array_equal(got_counts, ref_counts)
+
+
+def test_semantic_dedup_finds_planted_pairs(ray_session):
+    """Cluster-blocked near-dup recovers planted near-identical pairs."""
+    import ray.data
+
+    from texel_ray.stages.cluster import ClusterAssign, kmeans_fit
+    from texel_ray.stages.dedup import EmbeddingNearDup
+    from texel_ray.stages.similarity import normalize_rows
+
+    rng = np.random.default_rng(9)
+    n, dim = 400, 16
+    m = normalize_rows(rng.normal(size=(n, dim)))
+    # plant three near-identical dup pairs
+    for a, b in ((10, 210), (55, 350), (120, 121)):
+        m[b] = normalize_rows((m[a] + 0.001 * rng.normal(size=dim))[None])[0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), pa.list_(pa.float64(), dim)),
+        }
+    )
+    factory = lambda: ray.data.from_arrow(tbl).repartition(4)  # noqa: E731
+    cent, _ = kmeans_fit(factory, dim=dim, k=6, iters=3, init_sample=m[:64])
+    ds = factory().map_batches(
+        ClusterAssign,
+        fn_constructor_kwargs={"centroids": cent},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    near_dup = EmbeddingNearDup(threshold=0.98, id_col="vec_id")
+    pairs = (
+        ds.repartition(6)
+        .groupby("cluster")
+        .map_groups(lambda g: near_dup(g), batch_format="pandas")
+        .to_pandas()
+    )
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(10, 210), (55, 350), (120, 121)} <= got
+    assert not pairs["capped"].any()

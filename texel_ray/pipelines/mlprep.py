@@ -1041,3 +1041,74 @@ FROM c
 ORDER BY score DESC, token ASC
 LIMIT 50
 """
+
+
+def q_kmeans(sf_dir: str, k: int = 8, iters: int = 4):
+    """Distributed spherical k-means over the embeddings table: `iters`
+    streaming Lloyd passes of data-keyed partial sums against broadcast
+    centroids (stages/cluster.py — no shuffle; the vectors never move).
+    Returns per-cluster (cluster, n, sim_sum). Golden oracle — an
+    iterative float algorithm is not SQL-expressible; the fit is pinned
+    against a single-process numpy Lloyd reference in pytest, and the
+    fixed (cluster, chunk) driver reduce order makes the floats
+    deterministic under any task scheduling."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import kmeans_fit
+    from ..stages.similarity import _stack_embeddings
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # deterministic hash-spread init sample (same rationale as IVF training)
+    vid = head["vec_id"].to_numpy().astype(np.uint64)
+    share = np.uint64(max(1, min(1024, (256 * 1024) // max(1, len(vid)))))
+    pick = (vid * np.uint64(0x9E3779B1)) % np.uint64(1024) < share
+    sample = _stack_embeddings(head.filter(pa.array(pick))["embedding"])
+    _, stats = kmeans_fit(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        dim=sample.shape[1],
+        k=k,
+        iters=iters,
+        init_sample=sample,
+    )
+    return stats
+
+
+def q_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float = 0.4):
+    """SemDeDup-shaped semantic near-dup: k-means cluster the embedding
+    space, then pairwise cosine >= threshold WITHIN each cluster
+    (groupby(cluster).map_groups) — the cluster blocking is what makes
+    the quadratic scan affordable at corpus scale; near-identical pairs
+    land in one cluster with overwhelming probability (missing a pair
+    requires the pair to straddle a centroid boundary). Golden oracle
+    (cluster ids are iterative floats); planted-dup recall in pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import ClusterAssign, kmeans_fit
+    from ..stages.dedup import EmbeddingNearDup
+    from ..stages.similarity import _stack_embeddings
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = head["vec_id"].to_numpy().astype(np.uint64)
+    share = np.uint64(max(1, min(1024, (256 * 1024) // max(1, len(vid)))))
+    pick = (vid * np.uint64(0x9E3779B1)) % np.uint64(1024) < share
+    sample = _stack_embeddings(head.filter(pa.array(pick))["embedding"])
+    centroids, _ = kmeans_fit(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        dim=sample.shape[1],
+        k=k,
+        iters=iters,
+        init_sample=sample,
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        ClusterAssign,
+        fn_constructor_kwargs={"centroids": centroids},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    ds = ds.repartition(8)  # map_groups parallelism == input block count
+    near_dup = EmbeddingNearDup(threshold=threshold, id_col="vec_id")
+    return ds.groupby("cluster").map_groups(
+        lambda g: near_dup(g), batch_format="pandas"
+    )

@@ -269,6 +269,8 @@ QUERIES = {
     "minhash_neardup": mlprep.q_minhash_neardup,
     "simhash_neardup": mlprep.q_simhash_neardup,
     "embedding_neardup": mlprep.q_embedding_neardup,
+    "semantic_dedup": mlprep.q_semantic_dedup,
+    "kmeans": mlprep.q_kmeans,
     # similarity search + sketches
     "ann_topk": mlprep.q_ann_topk,
     "ivf_topk": mlprep.q_ivf_topk,
@@ -375,6 +377,8 @@ for _name in (
     "quantiles_quality",
     "audio_features",
     "s2_cells",
+    "kmeans",
+    "semantic_dedup",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -45,6 +45,10 @@ REGRESSION_PIN = [
     "quantiles_quality",
     "audio_features",
     "s2_cells",
+    # kmeans fit is pinned vs a numpy Lloyd reference in pytest; the
+    # committed parquet catches drift in the distributed partial/reduce
+    "kmeans",
+    "semantic_dedup",
 ]
 
 
