@@ -113,3 +113,86 @@ def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
         GateAndTag, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
     )
     return partial_count_groupby(tiles, ["tm_id", "tile_x", "tile_y"], alias="n_kept")
+
+
+def curate_audio(sf_dir: str, min_rms: float = 0.02, min_dur: float = 0.25):
+    """audio clips -> decode + content-hash in ONE pass (features and the
+    exact-dedup key from the same decode; payload read once) -> exact
+    content dedup (keep min audio_id per hash; victims are the only
+    collected intermediate, dimension-sized) -> rms/duration quality gate
+    -> deterministic split -> per-(split, sample_rate) kept counts and
+    duration. Integer-truncated ms before the sum keeps the aggregate
+    order-independent (same convention as q_audio_features)."""
+    import hashlib
+
+    from ..sources.audio import read_audio
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import AudioDecode
+
+    decoder = AudioDecode()
+
+    def decode_and_hash(batch: pa.Table) -> pa.Table:
+        feats = decoder(batch)
+        hashes = [
+            int.from_bytes(
+                hashlib.blake2b(buf, digest_size=8).digest(), "big", signed=True
+            )
+            for buf in batch["bytes"].to_pylist()
+        ]
+        return feats.append_column("content_hash", pa.array(hashes, pa.int64()))
+
+    feats = read_audio(sf_dir, columns=["audio_id", "bytes"]).map_batches(
+        decode_and_hash, batch_format="pyarrow", batch_size=256, concurrency=8
+    ).materialize()  # consumed twice (victim scan + gate); payload-free rows
+
+    # exact dedup: per-batch (hash, min_id, n) combiner -> tiny groupby;
+    # every id that is not its hash-group's min is a victim
+    def dup_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_hash": b["content_hash"],
+                "audio_id": b["audio_id"],
+            }
+        )
+
+    import pandas as pd
+
+    def victims_of(g: pd.DataFrame) -> pd.DataFrame:
+        keep_min = g["audio_id"].min()
+        v = g[g["audio_id"] != keep_min]
+        return pd.DataFrame({"victim": v["audio_id"].to_numpy()})
+
+    vic = (
+        feats.map_batches(dup_partial, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(victims_of, batch_format="pandas")
+        .to_pandas()
+    )
+    victims = np.unique(vic["victim"].to_numpy()) if len(vic) else np.array([], dtype=np.int64)
+
+    def gate_and_split(batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_numpy(zero_copy_only=False)
+        keep = (
+            (batch["rms"].to_numpy() >= min_rms)
+            & (batch["duration_s"].to_numpy() >= min_dur)
+            & ~np.isin(ids, victims)
+        )
+        kept = batch.filter(pa.array(keep))
+        kid = kept["audio_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        split = np.where(
+            (kid * np.uint64(2654435761)) % np.uint64(100) < 10, "test", "train"
+        )
+        return pa.table(
+            {
+                "split": pa.array(split.tolist(), pa.string()),
+                "sample_rate": kept["sample_rate"],
+                "ms": pa.array(
+                    np.trunc(kept["duration_s"].to_numpy() * 1000.0).astype(np.int64)
+                ),
+            }
+        )
+
+    gated = feats.map_batches(gate_and_split, batch_format="pyarrow")
+    return partial_sum_groupby(
+        gated, ["split", "sample_rate"], ["ms"], count_alias="n_clips", coalesce=4
+    )

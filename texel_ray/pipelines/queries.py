@@ -290,6 +290,7 @@ QUERIES = {
     # end-to-end curation compositions
     "curate_documents": curate.curate_documents,
     "curate_images": curate.curate_images,
+    "curate_audio": curate.curate_audio,
     # relational / windows
     "agg_pricing": relational.q_agg_pricing,
     "join_mktsegment": relational.q_join_mktsegment,
@@ -379,6 +380,7 @@ for _name in (
     "s2_cells",
     "kmeans",
     "semantic_dedup",
+    "curate_audio",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

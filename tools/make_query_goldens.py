@@ -49,6 +49,7 @@ REGRESSION_PIN = [
     # committed parquet catches drift in the distributed partial/reduce
     "kmeans",
     "semantic_dedup",
+    "curate_audio",
 ]
 
 
