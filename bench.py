@@ -97,6 +97,10 @@ def run_benchmarks() -> dict:
     timed("pack_sequences", lambda: mlprep.q_pack_sequences(SF_DIR))
     timed("quantiles_quality", lambda: mlprep.q_quantiles_quality(SF_DIR))
     timed("audio_features", lambda: mlprep.q_audio_features(SF_DIR))
+    timed("tfidf", lambda: mlprep.q_tfidf(SF_DIR))
+    timed("kmeans", lambda: mlprep.q_kmeans(SF_DIR))
+    timed("semantic_dedup", lambda: mlprep.q_semantic_dedup(SF_DIR))
+    timed("range_join", lambda: relational.q_range_join(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
 
