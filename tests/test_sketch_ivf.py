@@ -223,3 +223,59 @@ def test_semantic_dedup_finds_planted_pairs(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert {(10, 210), (55, 350), (120, 121)} <= got
     assert not pairs["capped"].any()
+
+
+def test_pq_topk_recall_vs_bruteforce(ray_session):
+    """PQ/ADC top-k recall@10 against the exact cosine top-10 on
+    clustered vectors (PQ assumes local structure; pure isotropic noise
+    is the worst case and not the target workload)."""
+    import ray.data
+
+    from texel_ray.stages.similarity import (
+        PQEncoder,
+        PQTopK,
+        finalize_topk,
+        normalize_rows,
+    )
+
+    rng = np.random.default_rng(13)
+    n, dim = 1500, 32
+    base = normalize_rows(rng.normal(size=(12, dim)))
+    m = normalize_rows(
+        base[rng.integers(0, 12, n)] + 0.25 * rng.normal(size=(n, dim))
+    )
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(m), pa.list_(pa.float64(), dim)),
+        }
+    )
+    codebooks = PQEncoder.train(m[:512], m=16, k=64)
+    q_idx = np.arange(20)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    ds = ds.map_batches(
+        PQEncoder,
+        fn_constructor_kwargs={"codebooks": codebooks},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).select_columns(["vec_id", "pq_code"])
+    ds = ds.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={
+            "codebooks": codebooks,
+            "queries": m[q_idx],
+            "query_ids": ids[q_idx],
+            "k": 10,
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    got = finalize_topk(ds, k=10).to_pandas()
+    sims = m @ m[q_idx].T
+    recalls = []
+    for j, qi in enumerate(q_idx):
+        exact = set(np.argsort(-sims[:, j], kind="stable")[:10].tolist())
+        approx = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)

@@ -1112,3 +1112,128 @@ def q_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float =
     return ds.groupby("cluster").map_groups(
         lambda g: near_dup(g), batch_format="pandas"
     )
+
+
+def q_vocab_encode(sf_dir: str, vocab_size: int = 24):
+    """Tokenizer-style vocab build + corpus encode: build the top-N
+    vocabulary (one skinny token groupby — the token_counts path), rank
+    tokens by (count desc, token asc) into ids, BROADCAST the vocab dict,
+    then encode every document in one streaming pass: per doc the token
+    count, OOV count, and an order-independent checksum of matched ids
+    that pins the exact id assignment. The vocab (dimension-sized) is
+    the broadcast small side; the encode pass streams. Exact SQL
+    oracle."""
+    vocab_df = q_token_counts(sf_dir, top=vocab_size).to_pandas()
+    # rank -> id in (n desc, token asc) order, ids 0..N-1
+    vocab_df = vocab_df.sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).reset_index(drop=True)
+    vocab = {t: i for i, t in enumerate(vocab_df["token"])}
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(batch["text"].to_pylist()).fillna("")
+        toks = texts.str.split()
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        ids = ex.map(vocab)
+        known = ids.notna()
+        n_known = known.groupby(level=0).sum()
+        # order-independent checksum of matched ids (+1 so id 0 counts):
+        # pins the exact vocab id assignment, robust to token order
+        check = (ids.fillna(-1).astype(np.int64) + 1).groupby(level=0).sum()
+        n = len(texts)
+        n_known_full = np.zeros(n, dtype=np.int64)
+        if len(n_known):
+            n_known_full[n_known.index.to_numpy()] = n_known.to_numpy()
+        check_full = np.zeros(n, dtype=np.int64)
+        if len(check):
+            check_full[check.index.to_numpy()] = check.to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_tok - n_known_full),
+                "id_checksum": pa.array(check_full),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+
+
+SQL_VOCAB_ENCODE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS tok_id
+  FROM (SELECT token, count(*) AS n FROM tok GROUP BY 1
+        ORDER BY n DESC, token ASC LIMIT 24)
+)
+SELECT d.doc_id,
+       COALESCE(t.n_tokens, 0) AS n_tokens,
+       COALESCE(t.n_oov, 0) AS n_oov,
+       COALESCE(t.id_checksum, 0) AS id_checksum
+FROM documents d LEFT JOIN (
+  SELECT p.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(*) - COUNT(v.tok_id) AS n_oov,
+         COALESCE(CAST(SUM(v.tok_id + 1) AS BIGINT), 0) AS id_checksum
+  FROM tok p LEFT JOIN vocab v USING (token)
+  GROUP BY 1
+) t USING (doc_id)
+"""
+
+
+def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Product-quantized ANN: train (M=16, K=64) PQ codebooks on the
+    hash-spread sample, encode the corpus once (the full embedding then
+    drops out of the scan — 64 doubles -> 16 codes), and answer top-k by
+    asymmetric distance: per-query LUTs against the codebooks, M table
+    lookups per row. Golden oracle (approximate by design); recall vs
+    the exact brute force pinned by pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import (
+        PQEncoder,
+        PQTopK,
+        _stack_embeddings,
+        finalize_topk,
+    )
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = head["vec_id"].to_numpy().astype(np.uint64)
+    share = np.uint64(max(1, min(1024, (256 * 1024) // max(1, len(vid)))))
+    pick = (vid * np.uint64(0x9E3779B1)) % np.uint64(1024) < share
+    sample = _stack_embeddings(head.filter(pa.array(pick))["embedding"])
+    codebooks = PQEncoder.train(sample, m=16, k=64)
+    q = _stack_embeddings(head["embedding"].slice(0, n_queries))
+    qids = head["vec_id"].to_numpy()[:n_queries]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        PQEncoder,
+        fn_constructor_kwargs={"codebooks": codebooks},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    ).select_columns(["vec_id", "pq_code"])  # payload embedding dropped
+    ds = ds.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={
+            "codebooks": codebooks,
+            "queries": q,
+            "query_ids": qids,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        # autoscaling (1,2) pools: two FIXED pools of 2 on a 4-cpu test
+        # session deadlock the pipeline (actors reserve every CPU, the
+        # repartition/sort tasks starve)
+        concurrency=(1, 2),
+    )
+    return finalize_topk(ds, k=k).select_columns(["query_id", "vec_id", "rank"])

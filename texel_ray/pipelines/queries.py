@@ -274,6 +274,7 @@ QUERIES = {
     # similarity search + sketches
     "ann_topk": mlprep.q_ann_topk,
     "ivf_topk": mlprep.q_ivf_topk,
+    "pq_topk": mlprep.q_pq_topk,
     "approx_distinct": mlprep.q_approx_distinct,
     "train_test_split": mlprep.q_train_test_split,
     "stratified_sample": mlprep.q_stratified_sample,
@@ -285,6 +286,7 @@ QUERIES = {
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
     "tfidf": mlprep.q_tfidf,
+    "vocab_encode": mlprep.q_vocab_encode,
     "fingerprint": mlprep.q_fingerprint,
     "langid": mlprep.q_langid,
     # end-to-end curation compositions
@@ -326,6 +328,7 @@ ORACLE_SQL = {
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "tfidf": mlprep.SQL_TFIDF,
+    "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "embedding_neardup": mlprep.SQL_EMB_NEARDUP,
     "langid": mlprep.SQL_LANGID,
@@ -381,6 +384,7 @@ for _name in (
     "kmeans",
     "semantic_dedup",
     "curate_audio",
+    "pq_topk",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -218,3 +218,122 @@ class LSHBucketer:
         return batch.append_column(
             "bucket", pa.array(self.bucket_of(m), pa.uint64())
         )
+
+
+def lloyd_l2(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42):
+    """Plain (euclidean) Lloyd on a driver-side sample — PQ codebook
+    training (codebooks are trained on samples in published practice;
+    the full corpus never moves)."""
+    rng = np.random.default_rng(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            mem = sample[assign == c]
+            if len(mem):
+                cent[c] = mem.mean(axis=0)
+    return cent
+
+
+class PQEncoder:
+    """Product quantization encode (Jegou et al., PAMI 2011): split the
+    (L2-normalized) vector into M subspaces, store each subvector as the
+    index of its nearest codebook centroid — dim x 8 bytes compress to M
+    codes. Codebooks = (M, K, dim/M), trained per subspace on a sample
+    with plain Lloyd. Stage appends a fixed-size list<int16> code column;
+    the payload embedding can then be dropped from downstream exchanges.
+    """
+
+    def __init__(self, codebooks: np.ndarray, vec_col: str = "embedding"):
+        self.cb = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+        self.vec_col = vec_col
+
+    @staticmethod
+    def train(sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 8, seed: int = 42):
+        sample = normalize_rows(np.asarray(sample, dtype=np.float64))
+        dsub = sample.shape[1] // m
+        assert dsub * m == sample.shape[1], "dim must divide into m subspaces"
+        return np.stack(
+            [
+                lloyd_l2(sample[:, i * dsub : (i + 1) * dsub], k, iters, seed + i)
+                for i in range(m)
+            ]
+        )
+
+    def encode(self, vecs: np.ndarray) -> np.ndarray:
+        m, k, dsub = self.cb.shape
+        v = normalize_rows(np.asarray(vecs, dtype=np.float64))
+        codes = np.empty((len(v), m), dtype=np.int16)
+        for i in range(m):
+            sub = v[:, i * dsub : (i + 1) * dsub]
+            # ||x - c||^2 argmin == argmax(x.c - |c|^2/2), one GEMM per subspace
+            scores = sub @ self.cb[i].T - 0.5 * (self.cb[i] ** 2).sum(axis=1)[None, :]
+            codes[:, i] = np.argmax(scores, axis=1)
+        return codes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.cb.shape[0]
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pq_code", pa.array([], pa.list_(pa.int16(), m))
+            )
+        codes = self.encode(_stack_embeddings(batch[self.vec_col]))
+        return batch.append_column(
+            "pq_code", pa.array(list(codes), pa.list_(pa.int16(), m))
+        )
+
+
+class PQTopK:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    (M, K) inner-product lookup table against the codebooks ONCE, then
+    score each batch by summing M table lookups per row — no float
+    reconstruction, no full-dim math in the scan. Emits per-batch local
+    top-k per query (combiner); finish with finalize_topk."""
+
+    def __init__(self, codebooks, queries, query_ids, k: int = 10, id_col: str = "vec_id"):
+        self.cb = np.asarray(codebooks, dtype=np.float64)
+        q = normalize_rows(np.asarray(queries, dtype=np.float64))
+        m, kk, dsub = self.cb.shape
+        # lut[qi, m, code] = q_sub . codebook[m, code]
+        self.lut = np.einsum(
+            "qmd,mkd->qmk", q.reshape(len(q), m, dsub), self.cb
+        )
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nq = len(self.query_ids)
+        ids_t = batch[self.id_col]
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array(self.query_ids).slice(0, 0),
+                    self.id_col: ids_t.slice(0, 0),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        codes = np.stack(batch["pq_code"].to_numpy(zero_copy_only=False))
+        n, m = codes.shape
+        sims = np.zeros((n, nq))
+        for i in range(m):
+            # lut[:, i, codes[:, i]] -> (nq, n); accumulate transposed
+            sims += self.lut[:, i, codes[:, i]].T
+        ids = ids_t.to_numpy(zero_copy_only=False)
+        k = min(self.k, n)
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            rows = part[:, qi]
+            out_q.append(np.full(len(rows), self.query_ids[qi]))
+            out_v.append(ids[rows])
+            out_s.append(sims[rows, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
