@@ -106,3 +106,49 @@ def test_interval_joiner_matches_bruteforce():
     # empty batch keeps schema
     empty = j(pa.table({"row": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
     assert empty.column_names == ["row", "interval_id"] and empty.num_rows == 0
+
+
+def test_range_partition_write_layout_and_resume(ray_session, tmp_path):
+    """Range partitioner: non-overlapping ascending part ranges covering
+    all rows, roughly balanced counts, and manifest-driven resume (rerun
+    skips every completed part)."""
+    import ray.data
+
+    from texel_ray.state.range_partition import range_partition_write
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_totalprice": pa.array(rng.gamma(4.0, 30.0, n)),
+        }
+    )
+    factory = lambda: ray.data.from_arrow(tbl).repartition(8)  # noqa: E731
+    out = str(tmp_path / "rparts")
+    bounds, written, skipped = range_partition_write(
+        factory, col="o_totalprice", out_dir=out, n_parts=8, id_col="o_orderkey"
+    )
+    assert len(bounds) == 7 and (np.diff(bounds) > 0).all()
+    assert sorted(int(w) for w in written) == list(range(8)) and not skipped
+
+    import pyarrow.parquet as pq
+
+    total, prev_max = 0, -np.inf
+    counts = []
+    for part in range(8):
+        v = pq.read_table(f"{out}/part={part}", columns=["o_totalprice"])[
+            "o_totalprice"
+        ].to_numpy()
+        assert v.min() > prev_max or part == 0  # non-overlapping, ordered
+        prev_max = v.max()
+        total += len(v)
+        counts.append(len(v))
+    assert total == n
+    assert max(counts) < 3 * n / 8  # t-digest split keeps parts balanced
+    # rerun: everything skipped, nothing rewritten
+    bounds2, written2, skipped2 = range_partition_write(
+        factory, col="o_totalprice", out_dir=out, n_parts=8, id_col="o_orderkey"
+    )
+    assert not written2 and sorted(int(s) for s in skipped2) == list(range(8))
+    np.testing.assert_allclose(bounds2, bounds)

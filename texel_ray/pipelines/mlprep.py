@@ -1237,3 +1237,42 @@ def q_pq_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
         concurrency=(1, 2),
     )
     return finalize_topk(ds, k=k).select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_image_augment(sf_dir: str):
+    """Deterministic image augmentation (hflip/vflip/rot90/center-crop
+    chosen by id hash — reproducible for lineage/resume): decode ->
+    numpy pixel transform -> re-encode, then per-(fmt, aug) counts,
+    output bytes and an integer pixel checksum. Golden oracle (decode
+    not SQL-expressible); the transform kernels are pinned by pytest on
+    known arrays."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import ImageAugmenter
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageAugmenter,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        lens = np.array([len(b) for b in batch["bytes"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {
+                "fmt": batch["fmt"],
+                "aug": batch["aug"],
+                "out_bytes": pa.array(lens),
+                "px_checksum": batch["px_checksum"],
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(sizes, batch_format="pyarrow"),
+        ["fmt", "aug"],
+        ["out_bytes", "px_checksum"],
+        count_alias="n",
+        coalesce=4,
+    )

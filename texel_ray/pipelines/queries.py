@@ -304,10 +304,12 @@ QUERIES = {
     "tumbling_events": relational.q_tumbling_events,
     "sliding_events": relational.q_sliding_events,
     "image_resize": relational.q_image_resize,
+    "image_augment": mlprep.q_image_augment,
     "sessionize": relational.q_sessionize,
     "event_props_extract": relational.q_event_props_extract,
     "asof_join": relational.q_asof_join,
     "range_join": relational.q_range_join,
+    "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
     "quantiles_quality": mlprep.q_quantiles_quality,
@@ -385,6 +387,8 @@ for _name in (
     "semantic_dedup",
     "curate_audio",
     "pq_topk",
+    "image_augment",
+    "range_partition_orders",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -626,3 +626,45 @@ WITH bands AS (
 SELECT o.o_orderkey, b.band_id
 FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 """
+
+
+def q_range_partition_orders(sf_dir: str, n_parts: int = 8):
+    """Range-partitioned sorted sink: t-digest boundary fit (one
+    streaming pass, no sort shuffle) -> searchsorted part assignment ->
+    resumable hive write (manifest lineage). Returns the written
+    layout read BACK from the files themselves: per part the row count
+    and min/max price in cents — non-overlapping ascending ranges prove
+    the global range clustering. Golden oracle (sketch boundaries are
+    deterministic but not SQL-recomputable); layout invariants also
+    pinned in pytest."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..state.range_partition import range_partition_write
+
+    out = f"/tmp/texel_ray_data/range_orders_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    _, written, _ = range_partition_write(
+        lambda: _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        col="o_totalprice",
+        out_dir=out,
+        n_parts=n_parts,
+        id_col="o_orderkey",
+    )
+    rows = []
+    for part in sorted(int(p) for p in written):
+        t = pq.read_table(f"{out}/part={part}", columns=["o_totalprice"])
+        v = t["o_totalprice"].to_numpy()
+        rows.append(
+            (
+                part,
+                len(v),
+                int(np.trunc(v.min() * 100.0)),
+                int(np.trunc(v.max() * 100.0)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["part", "n_rows", "min_cents", "max_cents"]
+    )

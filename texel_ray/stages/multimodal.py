@@ -210,3 +210,57 @@ class VideoFrameSample:
             "video frame sampling requires a video codec (e.g. pyav/ffmpeg); "
             "not available in this environment"
         )
+
+
+class ImageAugmenter:
+    """Deterministic per-image augmentation: the op is chosen by a hash
+    of the image id (hflip / vflip / rot90 / center-crop), pixels
+    transformed with pure numpy on the decoded array, re-encoded in the
+    source format. Determinism is the point — augmentation must be
+    REPRODUCIBLE for lineage/resume (same id -> same augmentation every
+    run, no RNG state carried between batches or workers)."""
+
+    OPS = ("hflip", "vflip", "rot90", "crop")
+
+    def __init__(self, crop_frac: float = 0.75, id_col: str = "image_id"):
+        self.crop_frac = crop_frac
+        self.id_col = id_col
+
+    def _apply(self, img: np.ndarray, op: str) -> np.ndarray:
+        if op == "hflip":
+            return img[:, ::-1]
+        if op == "vflip":
+            return img[::-1]
+        if op == "rot90":
+            return np.rot90(img)
+        h, w = img.shape[:2]
+        ch = max(1, int(h * self.crop_frac))
+        cw = max(1, int(w * self.crop_frac))
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        return img[y0 : y0 + ch, x0 : x0 + cw]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        ids = batch[self.id_col].to_pylist()
+        # deterministic op choice for ANY id type (string image ids in the
+        # north-rule schema): crc32 of the id's string form
+        which = [zlib.crc32(str(i).encode()) % len(self.OPS) for i in ids]
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        augs, outs, checks = [], [], []
+        for i, (buf, fmt) in enumerate(zip(payloads, fmts)):
+            op = self.OPS[int(which[i])]
+            img = self._apply(decode_image(buf, fmt), op)
+            augs.append(op)
+            outs.append(encode_image(np.ascontiguousarray(img), fmt))
+            checks.append(int(img.astype(np.int64).sum()))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "fmt": batch["fmt"],
+                "aug": pa.array(augs, pa.string()),
+                "bytes": pa.array(outs, pa.binary()),
+                "px_checksum": pa.array(checks, pa.int64()),
+            }
+        )

@@ -53,6 +53,8 @@ REGRESSION_PIN = [
     # ADC/PQ is approximate by design; recall vs brute force is pinned in
     # pytest, the golden pins the deterministic output
     "pq_topk",
+    "image_augment",
+    "range_partition_orders",
 ]
 
 
