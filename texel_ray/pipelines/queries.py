@@ -309,6 +309,7 @@ QUERIES = {
     "event_props_extract": relational.q_event_props_extract,
     "asof_join": relational.q_asof_join,
     "range_join": relational.q_range_join,
+    "window_join_events": relational.q_window_join_events,
     "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
@@ -351,6 +352,7 @@ ORACLE_SQL = {
     "event_props_extract": relational.SQL_EVENT_PROPS_EXTRACT,
     "asof_join": relational.SQL_ASOF_JOIN,
     "range_join": relational.SQL_RANGE_JOIN,
+    "window_join_events": relational.SQL_WINDOW_JOIN_EVENTS,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,

@@ -668,3 +668,44 @@ def q_range_partition_orders(sf_dir: str, n_parts: int = 8):
     return pd.DataFrame(
         rows, columns=["part", "n_rows", "min_cents", "max_cents"]
     )
+
+
+def q_window_join_events(sf_dir: str, window_us: int = 3_600_000_000):
+    """Per-key sliding-window SELF-JOIN (streaming window join): for every
+    event, the count and value-sum of the SAME user's STRICTLY-PRIOR
+    events within the trailing 1h window — the classic feature-engineering
+    window join. One groupby(user) shuffle; per group a sort + two
+    searchsorted/prefix-sum passes (no quadratic pair scan). "Prior" is
+    (ts, event_id)-lexicographic, mirrored exactly by the SQL join
+    condition; value sums are cent-truncated ints (order-independent)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.trunc(g["value"].to_numpy() * 100.0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        pos = np.arange(len(ts))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_win": pos - lo,
+                "cents_win": cum[pos] - cum[lo],
+            }
+        )
+
+    ds = ds.repartition(16)  # map_groups parallelism == input block count
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_WINDOW_JOIN_EVENTS = """
+SELECT e.event_id,
+       COUNT(o.event_id) AS n_win,
+       COALESCE(CAST(SUM(trunc(o.value * 100.0)) AS BIGINT), 0) AS cents_win
+FROM events e LEFT JOIN events o
+  ON o.user_id = e.user_id
+ AND o.ts >= e.ts - INTERVAL 1 HOUR
+ AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
+GROUP BY 1
+"""
