@@ -50,12 +50,16 @@ def run_benchmarks() -> dict:
 
     ensure_images_for_sf_dir(SF_DIR)  # cached generation, not timed
 
-    # warm-up: prime the OS page cache so we measure compute + shuffle
+    # warm-up: prime the OS page cache AND Ray's worker/shuffle services so
+    # the timed numbers measure steady-state compute + exchange, not the
+    # one-time actor/worker spin-up the first query would otherwise absorb
+    # (~2-5s; documented cold-start band in BASELINE.md)
     import pyarrow.parquet as pq
 
     from texel_ray.sources.images import images_parquet_path
 
     pq.read_table(images_parquet_path(SF_DIR), columns=["image_id"])
+    q_tile_assign(SF_DIR, 4).to_pandas()  # not timed
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
