@@ -310,6 +310,8 @@ QUERIES = {
     "asof_join": relational.q_asof_join,
     "range_join": relational.q_range_join,
     "window_join_events": relational.q_window_join_events,
+    "percent_rank_orders": relational.q_percent_rank_orders,
+    "pivot_events": relational.q_pivot_events,
     "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
@@ -353,6 +355,8 @@ ORACLE_SQL = {
     "asof_join": relational.SQL_ASOF_JOIN,
     "range_join": relational.SQL_RANGE_JOIN,
     "window_join_events": relational.SQL_WINDOW_JOIN_EVENTS,
+    "percent_rank_orders": relational.SQL_PERCENT_RANK_ORDERS,
+    "pivot_events": relational.SQL_PIVOT_EVENTS,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,

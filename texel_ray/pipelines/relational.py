@@ -709,3 +709,85 @@ FROM events e LEFT JOIN events o
  AND (o.ts < e.ts OR (o.ts = e.ts AND o.event_id < e.event_id))
 GROUP BY 1
 """
+
+
+def q_percent_rank_orders(sf_dir: str):
+    """Window-function op: percent_rank of o_totalprice within each
+    order priority (groupby(priority) -> sort + vectorized
+    (rank-1)/(n-1); average-ties via cent-truncated price, mirroring
+    SQL's peer semantics on an integer key so the doubles divide out
+    bit-identically on both sides)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.trunc(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((g["o_orderkey"].to_numpy(), cents))
+        cents_s = cents[order]
+        n = len(cents_s)
+        # percent_rank: (rank - 1) / (n - 1), rank = 1 + count of strictly
+        # smaller peers (ties share the rank of their first element)
+        first_of_run = np.concatenate(([True], np.diff(cents_s) != 0))
+        rank = np.maximum.accumulate(np.where(first_of_run, np.arange(n), 0))
+        pr = rank / (n - 1) if n > 1 else np.zeros(n)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy()[order],
+                "o_orderpriority": g["o_orderpriority"].to_numpy()[order],
+                "pct_rank": pr,
+            }
+        )
+
+    ds = ds.repartition(8)
+    return ds.groupby("o_orderpriority").map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
+SQL_PERCENT_RANK_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(trunc(o_totalprice * 100.0) AS BIGINT)
+       ) AS pct_rank
+FROM orders
+"""
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per event
+    type (long -> wide). Per-batch (user, type) partial counts -> one
+    skinny groupby -> vectorized driver-free reshape in a final
+    map_batches (the type set is a fixed dimension)."""
+    from ..stages.agg import partial_count_groupby
+
+    types = ["click", "purchase", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = partial_count_groupby(ds, ["user_id", "event_type"], alias="n")
+
+    def widen(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        w = df.pivot_table(
+            index="user_id", columns="event_type", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        out = {"user_id": w.index.to_numpy()}
+        for t in types:
+            out[f"n_{t}"] = (
+                w[t].to_numpy().astype(np.int64)
+                if t in w.columns
+                else np.zeros(len(w), dtype=np.int64)
+            )
+        return pa.table(out)
+
+    # the groupby output is vocabulary-sized (users x types); the final
+    # widen runs on the coalesced aggregate
+    return counts.repartition(1).map_batches(widen, batch_format="pyarrow")
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
