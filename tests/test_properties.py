@@ -97,3 +97,48 @@ def test_clip_convex_polygon_partitions_area(cx, cy, r):
     assert clipped_total == np.float64(0) if area == 0 else abs(
         clipped_total - area
     ) <= 1e-9 * max(1.0, area)
+
+
+@given(
+    lon=st.floats(-180.0, 180.0, allow_nan=False),
+    lat=st.floats(-89.999, 89.999, allow_nan=False),
+    level=st.integers(1, 20),
+)
+@settings(max_examples=200, deadline=None)
+def test_s2_token_roundtrip_property(lon, lat, level):
+    """cell_token/token_to_cell_id invert each other for any cell, and
+    the token really concentrates entropy in the low bits (the pyarrow
+    grouper pathology guard)."""
+    from texel_ray.core import s2
+
+    cid = s2.cell_id_from_lonlat(np.array([lon]), np.array([lat]), level=level)
+    tok = s2.cell_token(cid, level)
+    back = s2.token_to_cell_id(tok, level)
+    assert back[0] == cid[0]
+    assert tok[0] < (1 << (2 * level + 3))  # compact: high bits clear
+    assert s2.level_of(back)[0] == level
+
+
+@given(
+    n_iv=st.integers(1, 25),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_interval_joiner_property(n_iv, seed):
+    """Range-join kernel == O(rows x intervals) reference for arbitrary
+    overlapping/nested/zero-width interval sets."""
+    import pyarrow as pa
+
+    from texel_ray.stages.interval import IntervalJoiner
+
+    rng = np.random.default_rng(seed)
+    lo = np.round(rng.uniform(0, 50, n_iv), 1)
+    hi = lo + np.round(rng.uniform(0, 20, n_iv), 1)
+    v = np.round(rng.uniform(-5, 75, 120), 1)
+    j = IntervalJoiner(lo, hi, np.arange(n_iv), "v", keep_columns=["row"])
+    out = j(pa.table({"row": pa.array(np.arange(120)), "v": pa.array(v)}))
+    got = set(zip(out["row"].to_pylist(), out["interval_id"].to_pylist()))
+    exp = {
+        (r, k) for r in range(120) for k in range(n_iv) if lo[k] <= v[r] < hi[k]
+    }
+    assert got == exp

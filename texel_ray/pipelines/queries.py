@@ -253,6 +253,7 @@ QUERIES = {
     "snap_regions": spatial.q_snap_regions,
     "tilecut_z13": spatial.q_tilecut,
     "vector_tilecut": spatial.q_vector_tilecut,
+    "snap_deadletter": spatial.q_snap_deadletter,
     # spatial: tiling + joins + kNN
     "s2_cells": mlprep.q_s2_cells,
     "hex_cells": mlprep.q_hex_cells,
@@ -395,6 +396,7 @@ for _name in (
     "pq_topk",
     "image_augment",
     "range_partition_orders",
+    "snap_deadletter",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

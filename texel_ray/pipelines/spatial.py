@@ -239,3 +239,80 @@ def write_tiles(sf_dir: str, out_dir: str, zooms: tuple[int, ...] = (4, 8)):
     return resumable_write(
         ds, out_dir, partition_col="tm_id", inputs=[images_parquet_path(sf_dir)]
     )
+
+
+def q_snap_deadletter(sf_dir: str, zooms: tuple[int, ...] = (0, 10)):
+    """Snap with the dead-letter channel: features a plain snap run
+    silently drops surface as status rows with the input geometry's WKT
+    (zoom 0's ~10 km snap grid collapses city-sized polygons; zoom 10
+    mostly succeeds). Returns per-(status, tm_id) row counts plus total
+    wkt_debug length — the shape a failure side-table write would see.
+    Golden oracle (snap is not SQL-expressible)."""
+    import ray.data
+
+    from ..sources.regions import regions_parquet_path
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.snap_stage import SnapDeadLetter
+
+    from ..core.geom import wkb_encode_point, wkb_encode_polygon
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "geom_wkb"]
+    )
+    ds = ds.map_batches(project_wkb_to_mercator, batch_format="pyarrow")
+    # deterministic failure probes (already in native mercator meters):
+    # a 1 mm sliver that collapses at every zoom, a polygon past the
+    # mercator grid bound (outside_grid), and a point (passthrough)
+    bound = 20037508.3427892
+    probes = pa.table(
+        {
+            "region_id": pa.array([9001, 9002, 9003], pa.int64()),
+            "geom_wkb": pa.array(
+                [
+                    wkb_encode_polygon(
+                        [[(0.0, 0.0), (0.001, 0.0), (0.001, 0.001), (0.0, 0.0)]]
+                    ),
+                    wkb_encode_polygon(
+                        [
+                            [
+                                (bound * 1.2, 0.0),
+                                (bound * 1.3, 0.0),
+                                (bound * 1.3, 1e6),
+                                (bound * 1.2, 0.0),
+                            ]
+                        ]
+                    ),
+                    wkb_encode_point(1000.0, 2000.0),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    ds = ds.union(ray.data.from_arrow(probes))
+    ds = ds.map_batches(
+        SnapDeadLetter,
+        fn_constructor_kwargs={"tms_name": "WebMercatorQuad", "tm_ids": zooms},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        wkt_len = np.array(
+            [len(s) for s in b["wkt_debug"].to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "status": b["status"],
+                "tm_id": b["tm_id"].cast(pa.int64()),
+                "wkt_chars": pa.array(wkt_len),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(shrink, batch_format="pyarrow"),
+        ["status", "tm_id"],
+        ["wkt_chars"],
+        count_alias="n",
+        coalesce=4,
+    )

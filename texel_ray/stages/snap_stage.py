@@ -185,3 +185,71 @@ def snap_dataset(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class SnapDeadLetter(SnapStage):
+    """Dead-letter channel variant: one output row per (feature, zoom)
+    for successes PLUS one row per (feature, zoom) the plain stage
+    silently drops — ``status`` says why (``outside_grid``, whole
+    feature, ``tm_id = -1``; or ``collapsed``, per zoom with that
+    ``tm_id``) and ``wkt_debug`` carries the INPUT geometry's WKT (the
+    reference's debug encoder role, geomhelp/geomhelp.go:110-158) so a
+    large run can route failures to a side table (filter or partitioned
+    write on ``status``) instead of losing them in counters. Error rows
+    have an empty geometry; success rows have ``status = 'ok'`` and an
+    empty ``wkt_debug``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        from ..core.geom import wkt_encode
+
+        geoms = batch[self.geom_col].to_pylist()
+        carry_idx: list[int] = []
+        out_tm: list[int] = []
+        out_wkb: list[bytes] = []
+        out_status: list[str] = []
+        out_wkt: list[str] = []
+
+        def dead(i, kind, coords, status, tm=-1):
+            carry_idx.append(i)
+            out_tm.append(tm)
+            out_wkb.append(b"")
+            out_status.append(status)
+            out_wkt.append(wkt_encode(kind, coords, max_len=256))
+
+        for i, buf in enumerate(geoms):
+            kind, coords = wkb_decode(buf)
+            rows, _is_multi, was_outside = self._snap_one(kind, coords)
+            if rows is None:  # non-polygon passthrough
+                for tm in self.tm_ids:
+                    carry_idx.append(i)
+                    out_tm.append(tm)
+                    out_wkb.append(buf)
+                    out_status.append("ok")
+                    out_wkt.append("")
+                continue
+            if was_outside:
+                dead(i, kind, coords, "outside_grid")
+                continue
+            for tm in self.tm_ids:
+                if tm in rows:
+                    carry_idx.append(i)
+                    out_tm.append(tm)
+                    out_wkb.append(rows[tm])
+                    out_status.append("ok")
+                    out_wkt.append("")
+                else:  # this zoom's snap collapsed the feature entirely
+                    dead(i, kind, coords, "collapsed", tm=tm)
+
+        carry = [c for c in batch.column_names if c != self.geom_col]
+        take = pa.array(np.asarray(carry_idx, dtype=np.int64))
+        cols = [batch[c].take(take) for c in carry]
+        names = list(carry)
+        cols.append(pa.array(np.asarray(out_tm, dtype=np.int32)))
+        names.append("tm_id")
+        cols.append(pa.array(out_wkb, pa.binary()))
+        names.append(self.geom_col)
+        cols.append(pa.array(out_status, pa.string()))
+        names.append("status")
+        cols.append(pa.array(out_wkt, pa.string()))
+        names.append("wkt_debug")
+        return pa.table(cols, names=names)

@@ -55,6 +55,7 @@ REGRESSION_PIN = [
     "pq_topk",
     "image_augment",
     "range_partition_orders",
+    "snap_deadletter",
 ]
 
 
