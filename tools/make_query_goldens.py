@@ -56,6 +56,7 @@ REGRESSION_PIN = [
     "image_augment",
     "range_partition_orders",
     "snap_deadletter",
+    "video_frames",
 ]
 
 
