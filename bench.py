@@ -97,6 +97,8 @@ def run_benchmarks() -> dict:
     timed("ann_topk", lambda: mlprep.q_ann_topk(SF_DIR))
     timed("s2_cells", lambda: mlprep.q_s2_cells(SF_DIR))
     timed("hex_cells", lambda: mlprep.q_hex_cells(SF_DIR))
+    timed("h3_cells", lambda: mlprep.q_h3_cells(SF_DIR))
+    timed("h3_kring", lambda: mlprep.q_h3_kring(SF_DIR))
     timed("knn_nearest", lambda: mlprep.q_knn_nearest(SF_DIR))
     timed("pack_sequences", lambda: mlprep.q_pack_sequences(SF_DIR))
     timed("quantiles_quality", lambda: mlprep.q_quantiles_quality(SF_DIR))

@@ -1,0 +1,147 @@
+"""Aperture-7 hierarchical hex grid (core/hexgrid.py) — the H3-hierarchy
+role. Pins the lattice geometry (Voronoi-exactness of cube rounding at
+every resolution), the parent/child algebra, k-ring combinatorics,
+pack/unpack, and compact/uncompact losslessness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from texel_ray.core import hexgrid as hg
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(7)
+    n = 5000
+    return (
+        rng.uniform(-2.0e7, 2.0e7, n),
+        rng.uniform(-2.0e7, 2.0e7, n),
+    )
+
+
+@pytest.mark.parametrize("res", [0, 4, 9, 15])
+def test_cube_round_is_voronoi(pts, res):
+    """The assigned cell's center is nearer than every kring(1) neighbor
+    center — i.e. cube rounding is the exact hex Voronoi assignment, so
+    every resolution's lattice is a regular hex grid (the aperture-7
+    rotation preserves regularity)."""
+    x, y = pts
+    q, r = hg.point_to_cell(x, y, res)
+    cx, cy = hg.cell_center(q, r, res)
+    d0 = (x - cx) ** 2 + (y - cy) ** 2
+    for dq, dr in hg.kring_offsets(1):
+        if dq == 0 and dr == 0:
+            continue
+        nx, ny = hg.cell_center(q + dq, r + dr, res)
+        d = (x - nx) ** 2 + (y - ny) ** 2
+        assert not np.any(d < d0 * (1 - 1e-12))
+
+
+def test_aperture_is_seven():
+    """Consecutive resolutions scale neighbor spacing by exactly 1/sqrt(7)
+    with the aperture-7 rotation (-19.107 deg): det(M) = 7 cells per
+    parent, |children| = 7, and center spacing shrinks by sqrt(7)."""
+    assert hg.M[0, 0] * hg.M[1, 1] - hg.M[0, 1] * hg.M[1, 0] == 7
+    one = np.array([1])
+    zero = np.array([0])
+    for res in (0, 5, 11):
+        ax, ay = hg.cell_center(zero, zero, res)
+        bx, by = hg.cell_center(one, zero, res)
+        cx, cy = hg.cell_center(zero, zero, res + 1)
+        dx, dy = hg.cell_center(one, zero, res + 1)
+        d_coarse = np.hypot(bx - ax, by - ay)[0]
+        d_fine = np.hypot(dx - cx, dy - cy)[0]
+        assert d_coarse / d_fine == pytest.approx(np.sqrt(7.0), rel=1e-12)
+        # rotation angle between the lattice basis vectors
+        ang = np.arctan2(by - ay, bx - ax)[0] - np.arctan2(dy - cy, dx - cx)[0]
+        ang = (ang + np.pi) % (2 * np.pi) - np.pi
+        assert abs(ang) == pytest.approx(np.arctan2(3.0, 5.0 * np.sqrt(3.0)), rel=1e-9)
+
+
+@pytest.mark.parametrize("res", [1, 6, 12])
+def test_parent_of_center(pts, res):
+    """parent(c) equals the res-1 cell containing c's center."""
+    x, y = pts
+    q, r = hg.point_to_cell(x, y, res)
+    cx, cy = hg.cell_center(q, r, res)
+    pq, pr = hg.parent(q, r)
+    pq2, pr2 = hg.point_to_cell(cx, cy, res - 1)
+    assert np.array_equal(pq, pq2) and np.array_equal(pr, pr2)
+
+
+def test_children_roundtrip():
+    for qq, rr in [(0, 0), (5, -3), (-17, 11), (123, 456), (-9999, 31)]:
+        ch = hg.children(qq, rr)
+        assert len(ch) == 7
+        pq, pr = hg.parent(ch[:, 0], ch[:, 1])
+        assert np.all(pq == qq) and np.all(pr == rr)
+
+
+def test_cell_in_children_of_parent(pts):
+    x, y = pts
+    q, r = hg.point_to_cell(x[:200], y[:200], 8)
+    for qq, rr in zip(q, r):
+        pq, pr = hg.parent(np.array([qq]), np.array([rr]))
+        ch = hg.children(int(pq[0]), int(pr[0]))
+        assert any(c[0] == qq and c[1] == rr for c in ch)
+
+
+def test_kring_sizes_and_distance():
+    for k in (1, 2, 3, 5):
+        offs = hg.kring_offsets(k)
+        assert len(offs) == 1 + 3 * k * (k + 1)
+        d = hg.hex_distance(offs[:, 0], offs[:, 1], 0, 0)
+        assert d.max() == k
+
+
+def test_pack_unpack_signed(pts):
+    x, y = pts
+    for res in (0, 15):
+        q, r = hg.point_to_cell(x, y, res)
+        ids = hg.pack(np.full(q.shape, res), q, r)
+        res2, q2, r2 = hg.unpack(ids)
+        assert np.all(res2 == res) and np.array_equal(q2, q) and np.array_equal(r2, r)
+
+
+def test_compact_uncompact_roundtrip(pts):
+    x, y = pts
+    bq, br = hg.point_to_cell(x[:6], y[:6], 3)
+    base = hg.pack(np.full(6, 3), bq, br)
+    full = hg.uncompact(np.unique(base), 6)  # full 7^3 expansion per cell
+    comp = hg.compact(full)
+    # complete subtrees collapse all the way back to res 3
+    assert np.array_equal(comp, np.unique(base))
+    assert np.array_equal(hg.uncompact(comp, 6), full)
+
+
+def test_compact_with_hole_is_lossless(pts):
+    x, y = pts
+    bq, br = hg.point_to_cell(x[:4], y[:4], 4)
+    full = hg.uncompact(np.unique(hg.pack(np.full(4, 4), bq, br)), 6)
+    holed = full[1:]
+    comp = hg.compact(holed)
+    assert len(comp) < len(holed)  # intact subtrees still collapse
+    assert np.array_equal(hg.uncompact(comp, 6), np.sort(holed))
+
+
+def test_uncompact_rejects_coarser_target():
+    with pytest.raises(ValueError):
+        hg.uncompact(hg.pack(np.array([5]), np.array([0]), np.array([0])), 4)
+
+
+def test_mixed_res_compact():
+    """A parent plus its 7 children at the next level: children collapse
+    into a second copy of the parent; set-dedup keeps one terminal."""
+    ch = hg.children(2, -1)
+    ids = np.concatenate(
+        [
+            hg.pack(np.array([4]), np.array([2]), np.array([-1])),
+            hg.pack(np.full(7, 5), ch[:, 0], ch[:, 1]),
+        ]
+    )
+    comp = hg.compact(ids)
+    assert np.array_equal(
+        comp, hg.pack(np.array([4]), np.array([2]), np.array([-1]))
+    )

@@ -994,6 +994,246 @@ GROUP BY 1, 2
 """
 
 
+# ---- aperture-7 hierarchical hex grid (H3-hierarchy role) -----------------
+#
+# core/hexgrid.py provides the full H3-style hierarchy on the WebMercator
+# plane: multi-resolution aperture-7 cells, parent/child, k-ring, compact.
+# (Canonical-H3 icosahedral indexes are documented out of scope there; the
+# spherical-cell role is core/s2.py.) The cell assignment, parent rollup
+# and k-ring neighborhood join all have EXACT recomputing SQL oracles —
+# the aperture math is two 2x2 integer matrices, inlined into the SQL.
+
+
+def _hexgrid_counts(sf_dir: str, res: int):
+    """Shared head: per-cell (hq, hr, cell, n) counts at one resolution."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import hexgrid_encode
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: hexgrid_encode(b, res=res, keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    return partial_count_groupby(ds, ["hq", "hr", "cell"], alias="n")
+
+
+def q_h3_cells(sf_dir: str, res: int = 6):
+    """Per-cell image counts at one aperture-7 resolution (packed int64
+    cell ids). The whole hierarchy encode is one vectorized map_batches;
+    only (cell, n) partials cross the exchange."""
+    ds = _hexgrid_counts(sf_dir, res)
+    return ds.select_columns(["cell", "n"])
+
+
+def q_h3_rollup(sf_dir: str, res: int = 7):
+    """Aperture-7 parent rollup: counts at ``res`` re-aggregated to the
+    res-1 parents (cell -> cube_round(M^-1 @ cell)). Output per parent:
+    ``n_cells`` occupied children and ``n`` total points. The rollup runs
+    on the already-aggregated cell table (cell-cardinality sized), so the
+    second exchange is tiny at any data scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core import hexgrid
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _hexgrid_counts(sf_dir, res)
+
+    def to_parent(batch: pa.Table) -> pa.Table:
+        q = batch["hq"].to_numpy(zero_copy_only=False)
+        r = batch["hr"].to_numpy(zero_copy_only=False)
+        pq_, pr_ = hexgrid.parent(q, r)
+        cell = hexgrid.pack(np.full(pq_.shape, res - 1, dtype=np.int64), pq_, pr_)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "n_cells": pa.array(np.ones(len(cell), dtype=np.int64)),
+                "n": batch["n"],
+            }
+        )
+
+    ds = ds.map_batches(to_parent, batch_format="pyarrow")
+    return partial_sum_groupby(ds, ["cell"], ["n_cells", "n"], coalesce=4)
+
+
+def q_h3_kring(sf_dir: str, res: int = 5):
+    """k-ring(1) neighborhood density join: for every occupied cell, its
+    own count ``n`` plus ``ring_n`` = total points in the 7-cell
+    neighborhood. Implemented as a 7x fan-out of the aggregated cell
+    table (donations to each neighbor) -> one tiny groupby -> filter to
+    occupied cells; no row-level shuffle, no join operator needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..core import hexgrid
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _hexgrid_counts(sf_dir, res)
+    offs = hexgrid.kring_offsets(1)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        q = batch["hq"].to_numpy(zero_copy_only=False)
+        r = batch["hr"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        k = len(offs)
+        qq = np.repeat(q, k) + np.tile(offs[:, 0], len(q))
+        rr = np.repeat(r, k) + np.tile(offs[:, 1], len(q))
+        ring = np.repeat(n, k)
+        own = np.where(
+            np.tile((offs[:, 0] == 0) & (offs[:, 1] == 0), len(q)), ring, 0
+        )
+        return pa.table(
+            {
+                "hq": pa.array(qq),
+                "hr": pa.array(rr),
+                "ring_n": pa.array(ring),
+                "n": pa.array(own),
+            }
+        )
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+    agg = partial_sum_groupby(fanned, ["hq", "hr"], ["ring_n", "n"], coalesce=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["n"], 0))
+        q = t["hq"].to_numpy(zero_copy_only=False)
+        r = t["hr"].to_numpy(zero_copy_only=False)
+        cell = hexgrid.pack(np.full(len(q), res, dtype=np.int64), q, r)
+        return pa.table({"cell": pa.array(cell), "n": t["n"], "ring_n": t["ring_n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_h3_compact(sf_dir: str, res: int = 6):
+    """H3-style compact of the occupied cell set: full 7-child sets
+    collapse into their parent, recursively. The compact itself runs on
+    the driver over the AGGREGATED cell id array — cell cardinality is
+    bounded by the grid (res 6 is ~10^5 cells globally), independent of
+    row count, so this stays driver-safe at any data scale. Output:
+    (cell, res) terminal cover, sorted."""
+    import pandas as pd
+
+    from ..core import hexgrid
+
+    ds = _hexgrid_counts(sf_dir, res)
+    cells = ds.select_columns(["cell"]).to_pandas()["cell"].to_numpy()
+    comp = hexgrid.compact(cells)
+    cres, _, _ = hexgrid.unpack(comp)
+    return pd.DataFrame({"cell": comp, "res": cres.astype("int32")})
+
+
+def _sql_hexgrid_cells(images_source: str, res: int) -> str:
+    """Fractional axial at ``res`` + cube rounding, mirroring
+    hexgrid.point_to_cell float-op-for-float-op (M^res inlined)."""
+    import numpy as np
+
+    from ..core import hexgrid
+
+    mp = hexgrid.m_pow(res)
+    s0 = repr(hexgrid.S0)
+    mx = "(lon * (pi() / 180.0) * 6378137.0)"
+    my = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    return f"""
+  SELECT ({mp[0,0]}.0 * q0 + {mp[0,1]}.0 * r0) AS q,
+         ({mp[1,0]}.0 * q0 + {mp[1,1]}.0 * r0) AS r
+  FROM (
+    SELECT ({mx} * (sqrt(3.0) / 3.0) - {my} * (1.0 / 3.0)) / {s0} AS q0,
+           ({my} * (2.0 / 3.0)) / {s0} AS r0
+    FROM {images_source}
+    WHERE isfinite({my})
+  )
+"""
+
+
+_SQL_CUBE_ROUND = """
+  SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS hq,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                   THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS hr
+  FROM (
+    SELECT rx0, ry0, rz0,
+           abs(rx0 - q) AS dx, abs(ry0 + q + r) AS dy, abs(rz0 - r) AS dz
+    FROM (
+      SELECT q, r,
+             floor(q + 0.5) AS rx0, floor(-q - r + 0.5) AS ry0, floor(r + 0.5) AS rz0
+      FROM frac
+    )
+  )
+"""
+
+
+def _sql_pack(res_expr: str, q: str = "hq", r: str = "hr") -> str:
+    mask = (1 << 28) - 1
+    return (
+        f"(CAST({res_expr} AS BIGINT) << 56) "
+        f"| (({q} & {mask}) << 28) | ({r} & {mask})"
+    )
+
+
+def sql_h3_cells(images_source: str, res: int = 6) -> str:
+    return f"""
+WITH frac AS ({_sql_hexgrid_cells(images_source, res)}),
+cells AS ({_SQL_CUBE_ROUND})
+SELECT {_sql_pack(res)} AS cell, count(*) AS n
+FROM cells
+GROUP BY 1
+"""
+
+
+def sql_h3_rollup(images_source: str, res: int = 7) -> str:
+    # parent = cube_round(((3q + r)/7, (-q + 2r)/7)) on the child ints.
+    return f"""
+WITH frac AS ({_sql_hexgrid_cells(images_source, res)}),
+cells AS ({_SQL_CUBE_ROUND}),
+child AS (
+  SELECT hq, hr, count(*) AS n FROM cells GROUP BY 1, 2
+),
+pfrac AS (
+  SELECT (3.0 * hq + 1.0 * hr) / 7.0 AS q,
+         (-1.0 * hq + 2.0 * hr) / 7.0 AS r,
+         n
+  FROM child
+),
+parent AS (
+  SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS hq,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                   THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS hr,
+         n
+  FROM (
+    SELECT rx0, ry0, rz0, n,
+           abs(rx0 - q) AS dx, abs(ry0 + q + r) AS dy, abs(rz0 - r) AS dz
+    FROM (
+      SELECT q, r, n,
+             floor(q + 0.5) AS rx0, floor(-q - r + 0.5) AS ry0, floor(r + 0.5) AS rz0
+      FROM pfrac
+    )
+  )
+)
+SELECT {_sql_pack(str(res - 1))} AS cell,
+       count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n
+FROM parent
+GROUP BY 1
+"""
+
+
+def sql_h3_kring(images_source: str, res: int = 5) -> str:
+    return f"""
+WITH frac AS ({_sql_hexgrid_cells(images_source, res)}),
+cells AS ({_SQL_CUBE_ROUND}),
+c AS (
+  SELECT hq, hr, count(*) AS n FROM cells GROUP BY 1, 2
+)
+SELECT {_sql_pack(str(res), 'a.hq', 'a.hr')} AS cell,
+       CAST(a.n AS BIGINT) AS n,
+       CAST(sum(b.n) AS BIGINT) AS ring_n
+FROM c a JOIN c b
+  ON (abs(a.hq - b.hq) + abs(a.hr - b.hr) + abs(a.hq + a.hr - b.hq - b.hr)) / 2 <= 1
+GROUP BY a.hq, a.hr, a.n
+"""
+
+
 def q_tfidf(sf_dir: str, top: int = 50):
     """Corpus TF-IDF vocabulary scoring: top tokens by total_tf * (N/df)
     (rational idf — exactly SQL-reproducible, unlike ln(N/df) whose libm

@@ -257,6 +257,11 @@ QUERIES = {
     # spatial: tiling + joins + kNN
     "s2_cells": mlprep.q_s2_cells,
     "hex_cells": mlprep.q_hex_cells,
+    # aperture-7 hierarchical hex grid (H3-hierarchy role; core/hexgrid.py)
+    "h3_cells": mlprep.q_h3_cells,
+    "h3_rollup": mlprep.q_h3_rollup,
+    "h3_kring": mlprep.q_h3_kring,
+    "h3_compact": mlprep.q_h3_compact,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -332,6 +337,9 @@ ORACLE_SQL = {
     "knn_all": mlprep.sql_knn_all(images_sql_source()),
     "knn_nearest": mlprep.sql_knn_nearest(images_sql_source()),
     "hex_cells": mlprep.sql_hex_cells(images_sql_source()),
+    "h3_cells": mlprep.sql_h3_cells(images_sql_source()),
+    "h3_rollup": mlprep.sql_h3_rollup(images_sql_source()),
+    "h3_kring": mlprep.sql_h3_kring(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "tfidf": mlprep.SQL_TFIDF,
@@ -399,6 +407,8 @@ for _name in (
     "range_partition_orders",
     "snap_deadletter",
     "video_frames",
+    # independent golden: pure-Python set-based compact in the tool
+    "h3_compact",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -183,3 +183,27 @@ def hex_bin(batch, size_m: float = 250_000.0, keep_columns=None):
     cols.append(pa.array(rx.astype(np.int64)))
     cols.append(pa.array(rz.astype(np.int64)))
     return pa.table(cols, names=[*keep, "hex_q", "hex_r"])
+
+
+def hexgrid_encode(batch, res: int = 6, keep_columns=None):
+    """Aperture-7 hierarchical hex-cell assignment (core/hexgrid.py — the
+    H3-hierarchy role: multi-resolution cells with parent/child/k-ring/
+    compact semantics). Emits axial ints ``hq``/``hr`` plus the packed
+    int64 ``cell`` id; cube rounding and the axial transform are
+    mirrored 1:1 by the SQL oracles (mlprep.sql_h3_cells)."""
+    import pyarrow as pa
+
+    from ..core import hexgrid
+    from ..core.tms import lonlat_to_webmercator_np
+
+    keep = keep_columns if keep_columns is not None else batch.column_names
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    x, y = lonlat_to_webmercator_np(lon, lat)
+    valid = np.isfinite(x) & np.isfinite(y)
+    q, r = hexgrid.point_to_cell(x[valid], y[valid], res)
+    cell = hexgrid.pack(np.full(q.shape, res, dtype=np.int64), q, r)
+    t = batch.filter(pa.array(valid))
+    cols = [t[c] for c in keep]
+    cols.extend([pa.array(q), pa.array(r), pa.array(cell)])
+    return pa.table(cols, names=[*keep, "hq", "hr", "cell"])

@@ -88,7 +88,54 @@ def golden_simhash_neardup():
     )
 
 
-INDEPENDENT = {"simhash_neardup": golden_simhash_neardup}
+def golden_h3_compact():
+    """Independent reference for h3_compact: the cell assignment reuses
+    the pytest-pinned hexgrid.point_to_cell kernel, but the compact
+    itself is a from-scratch set-based loop (dicts + recursion), sharing
+    no code with the vectorized numpy hexgrid.compact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.core import hexgrid
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.sources.images import images_parquet_path
+
+    res = 6
+    path = images_parquet_path(SF_DIR)
+    t = pq.read_table(path, columns=["lon", "lat"])
+    x, y = lonlat_to_webmercator_np(
+        t["lon"].to_numpy(zero_copy_only=False),
+        t["lat"].to_numpy(zero_copy_only=False),
+    )
+    ok = np.isfinite(x) & np.isfinite(y)
+    q, r = hexgrid.point_to_cell(x[ok], y[ok], res)
+    cells = {(res, int(qq), int(rr)) for qq, rr in zip(q, r)}
+
+    for level in range(res, 0, -1):
+        groups: dict[tuple, list] = {}
+        for c in cells:
+            if c[0] != level:
+                continue
+            pq_, pr_ = hexgrid.parent(np.array([c[1]]), np.array([c[2]]))
+            groups.setdefault((level - 1, int(pq_[0]), int(pr_[0])), []).append(c)
+        for par, kids in groups.items():
+            if len(kids) == 7:
+                cells.difference_update(kids)
+                cells.add(par)
+
+    ids = sorted(
+        int(hexgrid.pack(np.array([c[0]]), np.array([c[1]]), np.array([c[2]]))[0])
+        for c in cells
+    )
+    rs = [int(hexgrid.unpack(np.array([i]))[0][0]) for i in ids]
+    return pd.DataFrame({"cell": np.array(ids, dtype=np.int64), "res": np.array(rs, dtype=np.int32)})
+
+
+INDEPENDENT = {
+    "simhash_neardup": golden_simhash_neardup,
+    "h3_compact": golden_h3_compact,
+}
 
 
 def main() -> int:
