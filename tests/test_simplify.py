@@ -1,0 +1,161 @@
+"""Topology-preserving Visvalingam–Whyatt simplification
+(core/simplify.py): geometric invariants over the deterministic dense
+shapes corpus (sources/shapes.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from texel_ray.core.geom import shoelace, winding_of_points, wkb_decode
+from texel_ray.core.simplify import (
+    ring_self_intersects,
+    simplify_polygon_for_zoom,
+    simplify_rings,
+    zoom_min_area,
+)
+from texel_ray.sources.shapes import generate_shapes_table
+
+
+@pytest.fixture(scope="module")
+def shapes():
+    t = generate_shapes_table()
+    out = []
+    for sid, buf in zip(t["shape_id"].to_pylist(), t["geom_wkb"].to_pylist()):
+        kind, rings = wkb_decode(buf)
+        assert kind == "Polygon"
+        out.append((sid, rings))
+    return out
+
+
+def _open(ring):
+    return ring[:-1] if ring[0] == ring[-1] else ring
+
+
+def test_zero_threshold_is_identity(shapes):
+    _, rings = shapes[0]
+    simp = simplify_rings(rings, 0.0)
+    assert [len(r) for r in simp] == [len(_open(r)) for r in rings]
+    assert simp[0][0] == tuple(rings[0][0])
+
+
+def test_vertices_are_subset_and_order_preserved(shapes):
+    for sid, rings in shapes[:8]:
+        orig = [_open(r) for r in rings]
+        simp = simplify_polygon_for_zoom(rings, 6)
+        for ri, sr in enumerate(simp):
+            src = [tuple(p) for p in orig[ri]]
+            pos = [src.index(p) for p in sr]
+            assert len(set(pos)) == len(pos)
+            # cyclic order preserved: positions rotate monotonically
+            k = pos.index(min(pos))
+            rotated = pos[k:] + pos[:k]
+            assert rotated == sorted(rotated)
+
+
+@pytest.mark.parametrize("zoom", [3, 5, 8])
+def test_no_self_intersection_after_simplify(shapes, zoom):
+    for sid, rings in shapes:
+        simp = simplify_polygon_for_zoom(rings, zoom)
+        for r in simp:
+            assert not ring_self_intersects(r), (sid, zoom)
+
+
+def test_vertex_count_monotone_in_zoom(shapes):
+    for sid, rings in shapes[:12]:
+        counts = [
+            sum(len(r) for r in simplify_polygon_for_zoom(rings, z))
+            for z in (3, 6, 9, 12)
+        ]
+        assert counts == sorted(counts), (sid, counts)
+
+
+def test_area_preserved_at_fine_zoom(shapes):
+    for sid, rings in shapes[:12]:
+        a_in = abs(shoelace(_open(rings[0])))
+        simp = simplify_polygon_for_zoom(rings, 13)
+        a_out = abs(shoelace(simp[0]))
+        assert a_out == pytest.approx(a_in, rel=0.02), sid
+
+
+def test_fine_jitter_removed_but_shape_kept(shapes):
+    """At a mid zoom the sub-pixel Fourier jitter should vanish (big
+    vertex reduction) while area survives within a few percent."""
+    sid, rings = shapes[1]
+    n_in = len(_open(rings[0]))
+    simp = simplify_polygon_for_zoom(rings, 7)
+    assert len(simp[0]) < 0.6 * n_in
+    assert abs(shoelace(simp[0])) == pytest.approx(
+        abs(shoelace(_open(rings[0]))), rel=0.05
+    )
+
+
+def test_holes_survive_when_above_threshold(shapes):
+    for sid, rings in shapes:
+        if len(rings) < 2:
+            continue
+        simp = simplify_polygon_for_zoom(rings, 12)
+        assert len(simp) == 2, sid
+        # winding of each ring preserved (hole stays opposite to outer)
+        assert winding_of_points(simp[0]) == winding_of_points(_open(rings[0])), sid
+        assert winding_of_points(simp[1]) == winding_of_points(_open(rings[1])), sid
+        assert winding_of_points(simp[0]) != winding_of_points(simp[1]), sid
+
+
+def test_subpixel_ring_drops():
+    """A ring whose every vertex is sub-threshold vanishes whole."""
+    tiny = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    out = simplify_rings([tiny], min_area=1e6)
+    assert out == []
+
+
+def test_hole_cannot_be_swallowed():
+    """Topology guard, hole-swallowing case: a convex apex whose swept
+    triangle contains a corner of a LARGE hole (the hole itself is far
+    above threshold, so it must survive — only its tip pokes into the
+    swept area). Removing the apex would cut the triangle off and
+    strand the hole tip outside WITHOUT the new edge crossing it; only
+    the point-in-swept-triangle check catches this."""
+    outer = [
+        (0.0, 0.0),
+        (100.0, 0.0),
+        (100.0, 100.0),
+        (50.0, 104.0),  # apex, effective area 100 -- the only sub-threshold vertex
+        (0.0, 100.0),
+    ]
+    # big triangular hole (area 1460), tip inside the apex swept triangle
+    hole = [(30.0, 30.0), (70.0, 30.0), (48.0, 103.0)][::-1]
+    out = simplify_rings([outer, hole], min_area=400.0, preserve_topology=True)
+    assert len(out) == 2
+    # the apex must have survived (removal was blocked by the guard)
+    assert (50.0, 104.0) in out[0]
+    # without the guard the apex goes and the hole tip is orphaned
+    out_ng = simplify_rings([outer, hole], min_area=400.0, preserve_topology=False)
+    assert (50.0, 104.0) not in out_ng[0]
+
+
+def test_same_ring_vertex_in_swept_triangle_blocked():
+    """Topology guard: a removal whose swept triangle contains another
+    vertex of the same ring (a neck pinch) is blocked — cutting the
+    corner would strand that vertex on the wrong side. The spike's own
+    effective area (515) is above threshold so it cannot be simplified
+    away first; the apex (200) is the only removal candidate."""
+    outer = [
+        (0.0, 0.0),
+        (40.0, 0.0),
+        (45.0, 103.0),  # tall thin spike from the bottom edge
+        (50.0, 0.0),
+        (100.0, 0.0),
+        (100.0, 100.0),
+        (50.0, 104.0),  # apex; swept triangle spans y in (100, 104)
+        (0.0, 100.0),
+    ]
+    out = simplify_rings([outer], min_area=400.0, preserve_topology=True)
+    assert (50.0, 104.0) in out[0]  # blocked: spike tip in swept triangle
+    assert (45.0, 103.0) in out[0]
+    for r in out:
+        assert not ring_self_intersects(r)
+    # without the guard the apex is removed and the ring self-intersects?
+    # no -- the spike tip ends up OUTSIDE silently; geometry is corrupted
+    out_ng = simplify_rings([outer], min_area=400.0, preserve_topology=False)
+    assert (50.0, 104.0) not in out_ng[0]

@@ -254,6 +254,7 @@ QUERIES = {
     "tilecut_z13": spatial.q_tilecut,
     "vector_tilecut": spatial.q_vector_tilecut,
     "snap_deadletter": spatial.q_snap_deadletter,
+    "simplify_shapes": spatial.q_simplify_shapes,
     # spatial: tiling + joins + kNN
     "s2_cells": mlprep.q_s2_cells,
     "hex_cells": mlprep.q_hex_cells,
@@ -409,6 +410,9 @@ for _name in (
     "video_frames",
     # independent golden: pure-Python set-based compact in the tool
     "h3_compact",
+    # VW kernel pinned by tests/test_simplify.py invariants; golden pins
+    # the full simplified geometry at sf-independent shape corpus
+    "simplify_shapes",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

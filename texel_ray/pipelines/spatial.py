@@ -316,3 +316,70 @@ def q_snap_deadletter(sf_dir: str, zooms: tuple[int, ...] = (0, 10)):
         count_alias="n",
         coalesce=4,
     )
+
+
+def q_simplify_shapes(sf_dir: str, zooms: tuple[int, ...] = (4, 7, 10)):
+    """Topology-preserving per-zoom simplification (core/simplify.py:
+    Visvalingam-Whyatt, threshold = 2px at each zoom) over the dense
+    shapes table. Per (shape, zoom): vertex counts, ring count, shoelace
+    areas and a CRC of the simplified WKB — the golden pins the
+    geometry byte-for-byte (raw binary stays out of the comparator).
+
+    Per-feature kernel in map_batches (one feature is the unit of work,
+    as in the snap stage); zoom fan-out inside the batch so a feature's
+    WKB is decoded once for all zooms."""
+    import zlib
+
+    import ray.data
+
+    from ..core.geom import shoelace
+    from ..core.simplify import simplify_polygon_for_zoom
+    from ..sources.shapes import shapes_parquet_path
+
+    ds = ray.data.read_parquet(
+        shapes_parquet_path(), columns=["shape_id", "geom_wkb"]
+    )
+
+    def simplify_batch(batch: pa.Table) -> pa.Table:
+        sid_out, zoom_out, n_in, n_out, nr_out = [], [], [], [], []
+        area_in, area_out, wkb_out = [], [], []
+        for sid, buf in zip(
+            batch["shape_id"].to_pylist(), batch["geom_wkb"].to_pylist()
+        ):
+            kind, rings = wkb_decode(buf)
+            assert kind == "Polygon"
+            a_in = sum(abs(shoelace(r[:-1] if r[0] == r[-1] else r)) for r in [rings[0]]) - sum(
+                abs(shoelace(r[:-1] if r[0] == r[-1] else r)) for r in rings[1:]
+            )
+            nv_in = sum(len(r) - (1 if r[0] == r[-1] else 0) for r in rings)
+            for zoom in zooms:
+                simp = simplify_polygon_for_zoom(rings, zoom)
+                a_out = (
+                    sum(abs(shoelace(r)) for r in simp[:1])
+                    - sum(abs(shoelace(r)) for r in simp[1:])
+                    if simp
+                    else 0.0
+                )
+                sid_out.append(sid)
+                zoom_out.append(zoom)
+                n_in.append(nv_in)
+                n_out.append(sum(len(r) for r in simp))
+                nr_out.append(len(simp))
+                area_in.append(a_in)
+                area_out.append(a_out)
+                buf_out = wkb_encode_polygon(simp) if simp else b""
+                wkb_out.append(zlib.crc32(buf_out))
+        return pa.table(
+            {
+                "shape_id": pa.array(sid_out, type=pa.int64()),
+                "zoom": pa.array(zoom_out, type=pa.int32()),
+                "n_in": pa.array(n_in, type=pa.int64()),
+                "n_out": pa.array(n_out, type=pa.int64()),
+                "n_rings": pa.array(nr_out, type=pa.int64()),
+                "area_in": pa.array(area_in, type=pa.float64()),
+                "area_out": pa.array(area_out, type=pa.float64()),
+                "geom_crc": pa.array(wkb_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(simplify_batch, batch_format="pyarrow", batch_size=8)
