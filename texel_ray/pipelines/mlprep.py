@@ -1234,6 +1234,60 @@ GROUP BY a.hq, a.hr, a.n
 """
 
 
+def q_dbscan(sf_dir: str, eps: float = 0.01, min_pts: int = 10):
+    """Distributed exact DBSCAN over image geotags (stages/dbscan.py:
+    MR-DBSCAN-style cell decomposition; two groupby exchanges, driver
+    union-find over the bounded cell-label graph). Output: clustered
+    points only, cluster id = min image_id in the cluster. Independent
+    golden: a from-scratch single-node brute-force DBSCAN
+    (tests/golden_util.brute_dbscan) with the identical deterministic
+    border rule."""
+    from ..sources.images import read_images
+    from ..stages.dbscan import dbscan
+
+    ds = read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    return dbscan(ds, eps=eps, min_pts=min_pts)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-region aggregates of DECODED pixel data for
+    the images geotagged inside each region (stages/multimodal.py
+    ZonalImageStats — PIP join + decode + partials fused in one actor
+    pool; only skinny per-region integer partials cross the exchange).
+    Golden oracle (SQL cannot decode pixels); the PIP membership itself
+    is oracle-exact via pip_join_rect/poly."""
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..stages.multimodal import ZonalImageStats
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
+    parts = ds.map_batches(
+        ZonalImageStats,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["region_id"]).aggregate(
+            [
+                ("n_images", "sum"),
+                ("n_px", "sum"),
+                ("sum_lum", "sum"),
+                ("px_min", "min"),
+                ("px_max", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["region_id", "n_images", "n_px", "sum_lum", "px_min", "px_max"]
+        )
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_tfidf(sf_dir: str, top: int = 50):
     """Corpus TF-IDF vocabulary scoring: top tokens by total_tf * (N/df)
     (rational idf — exactly SQL-reproducible, unlike ln(N/df) whose libm

@@ -271,6 +271,7 @@ QUERIES = {
     "knn_radius": mlprep.q_knn_radius,
     "knn_all": mlprep.q_knn_all,
     "knn_nearest": mlprep.q_knn_nearest,
+    "dbscan": mlprep.q_dbscan,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
@@ -287,6 +288,7 @@ QUERIES = {
     "stratified_sample": mlprep.q_stratified_sample,
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
+    "zonal_stats": mlprep.q_zonal_stats,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
     "audio_features": mlprep.q_audio_features,
     "video_frames": mlprep.q_video_frames,
@@ -410,9 +412,13 @@ for _name in (
     "video_frames",
     # independent golden: pure-Python set-based compact in the tool
     "h3_compact",
+    # independent golden: single-node brute-force DBSCAN in golden_util
+    "dbscan",
     # VW kernel pinned by tests/test_simplify.py invariants; golden pins
     # the full simplified geometry at sf-independent shape corpus
     "simplify_shapes",
+    # zonal decode aggregates (PIP membership separately oracle-exact)
+    "zonal_stats",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

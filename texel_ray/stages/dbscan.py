@@ -1,0 +1,384 @@
+"""Distributed exact DBSCAN over geotags — grid-partitioned in the
+MR-DBSCAN style (Dai & Lin's cell decomposition): rows never leave the
+dataset, the driver touches only the bounded cell-label graph.
+
+Exact DBSCAN semantics (deterministic variant):
+- core point: >= ``min_pts`` points (self included) within ``eps``
+  (Euclidean on lon/lat, d2 <= eps^2);
+- clusters: connected components of the core-point graph (edges between
+  cores within eps); border point (non-core with a core neighbor):
+  joins its NEAREST core neighbor's cluster, ties broken by smallest
+  core id — the one place classic DBSCAN is scan-order-dependent, made
+  deterministic here (and in the brute-force golden, identically);
+- everything else: noise (omitted from the output).
+Cluster ids are the minimum point id in the cluster — stable under any
+execution order.
+
+Distribution scheme (two groupby exchanges, no row-level join):
+1. cell = floor(coord / eps): every eps-ball around a point in cell C
+   lies inside ring1(C), so donating each point to its 9 neighbor
+   cells makes each cell's group self-sufficient for neighbor counts.
+   Round 1 (groupby home cell): exact per-point neighbor counts ->
+   (id, lon, lat, core) for residents. Every point is a resident of
+   exactly one cell, so round 1's output is the corpus WITH core flags
+   — no join needed to attach them.
+2. Round 2 (same donation over round-1 output): per home cell H the
+   group holds ring1(H) with core flags. Local core components of ANY
+   cell C in the group are recomputable from C's own points (all
+   present), so H emits: its residents' provisional labels
+   (cell-local component ids), cross-cell core edges (label pairs for
+   core pairs within eps spanning cells), and border assignments.
+3. Driver: union-find over the emitted LABEL graph (bounded by
+   occupied-cell count, independent of row count), then a tiny
+   groupby(root).min(id) gives the deterministic cluster ids, mapped
+   back over the assignments via broadcast dict.
+
+Dense-cell safety: all pairwise work is chunked (`_CHUNK` rows of the
+d2 matrix at a time), so a worst-case urban cell costs compute, never
+memory. (If a single eps-cell ever holds ~10^5+ points the knn_all
+sub-grid kernel shape applies; documented, not needed at bench scale.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_CHUNK = 1024
+_OFF = 1 << 20  # cell coordinate offset for label packing
+
+
+def pack_label(cx: int, cy: int, comp: int) -> int:
+    return ((cx + _OFF) << 42) | ((cy + _OFF) << 21) | comp
+
+
+def _cells(lon: np.ndarray, lat: np.ndarray, eps: float):
+    return (
+        np.floor(lon / eps).astype(np.int64),
+        np.floor(lat / eps).astype(np.int64),
+    )
+
+
+def donate9(batch: pa.Table, eps: float) -> pa.Table:
+    """Fan each point out to its cell and the 8 ring-1 neighbors."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    cx, cy = _cells(lon, lat, eps)
+    tables = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tables.append(
+                batch.append_column("tcx", pa.array(cx + dx)).append_column(
+                    "tcy", pa.array(cy + dy)
+                )
+            )
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def _neighbor_counts(
+    rlon: np.ndarray, rlat: np.ndarray, alon: np.ndarray, alat: np.ndarray, eps2: float
+) -> np.ndarray:
+    """# of points in (alon, alat) within eps of each (rlon, rlat) row."""
+    counts = np.zeros(len(rlon), dtype=np.int64)
+    for s in range(0, len(rlon), _CHUNK):
+        e = min(s + _CHUNK, len(rlon))
+        d2 = (rlon[s:e, None] - alon[None, :]) ** 2 + (
+            rlat[s:e, None] - alat[None, :]
+        ) ** 2
+        counts[s:e] = (d2 <= eps2).sum(axis=1)
+    return counts
+
+
+class CoreFlagger:
+    """Round 1 map_groups fn: exact neighbor counts for the home cell's
+    residents; emits the resident rows + core flag."""
+
+    def __init__(self, eps: float, min_pts: int, id_col: str = "image_id"):
+        self.eps = eps
+        self.eps2 = eps * eps
+        self.min_pts = min_pts
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        hcx = int(group["tcx"][0].as_py())
+        hcy = int(group["tcy"][0].as_py())
+        cx, cy = _cells(lon, lat, self.eps)
+        res = (cx == hcx) & (cy == hcy)
+        if not res.any():
+            return pa.table(
+                {
+                    self.id_col: group[self.id_col].slice(0, 0),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                    "core": pa.array([], pa.bool_()),
+                }
+            )
+        cnt = _neighbor_counts(lon[res], lat[res], lon, lat, self.eps2)
+        t = group.filter(pa.array(res))
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "core": pa.array(cnt >= self.min_pts),
+            }
+        )
+
+
+def _local_components(
+    lon: np.ndarray, lat: np.ndarray, core: np.ndarray, eps2: float
+) -> np.ndarray:
+    """Connected components (within ONE cell) of its core points via
+    chunked union-find; -1 for non-core. Deterministic."""
+    comp = np.full(len(lon), -1, dtype=np.int64)
+    idx = np.nonzero(core)[0]
+    if len(idx) == 0:
+        return comp
+    parent = np.arange(len(idx))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    clon, clat = lon[idx], lat[idx]
+    for s in range(0, len(idx), _CHUNK):
+        e = min(s + _CHUNK, len(idx))
+        d2 = (clon[s:e, None] - clon[None, :]) ** 2 + (
+            clat[s:e, None] - clat[None, :]
+        ) ** 2
+        ii, jj = np.nonzero(d2 <= eps2)
+        for a, b in zip(ii + s, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(int(a)) for a in range(len(idx))])
+    comp[idx] = roots
+    return comp
+
+
+class CellLabeler:
+    """Round 2 map_groups fn: per home cell emit provisional labels for
+    residents, cross-cell core edges, and border assignments.
+
+    Output rows are a tagged union (kind: 'A' assignment, 'E' edge):
+    - A: (id, label) resident core -> its local label; resident border
+         -> nearest core neighbor's label
+    - E: (label_a=label, label_b) core-core edge across cells (emitted
+         once per unordered pair with home on the lexicographically
+         smaller cell, so the exchange carries no duplicates)
+    """
+
+    def __init__(self, eps: float, id_col: str = "image_id"):
+        self.eps = eps
+        self.eps2 = eps * eps
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        eps, eps2 = self.eps, self.eps2
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        core = group["core"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[self.id_col].to_pylist())
+        hcx = int(group["tcx"][0].as_py())
+        hcy = int(group["tcy"][0].as_py())
+        cx, cy = _cells(lon, lat, eps)
+
+        # local component labels per cell present in the group
+        label = np.full(len(lon), -1, dtype=np.int64)
+        cell_key = (cx - hcx + 1) * 3 + (cy - hcy + 1)  # 0..8
+        for k in range(9):
+            m = np.nonzero(cell_key == k)[0]
+            if len(m) == 0:
+                continue
+            comp = _local_components(lon[m], lat[m], core[m], eps2)
+            has = comp >= 0
+            if has.any():
+                ccx, ccy = int(cx[m[0]]), int(cy[m[0]])
+                label[m[has]] = np.array(
+                    [pack_label(ccx, ccy, int(c)) for c in comp[has]]
+                )
+
+        res = (cx == hcx) & (cy == hcy)
+        out_id: list = []
+        out_label: list = []
+        out_kind: list = []
+        edge_a: list = []
+        edge_b: list = []
+
+        ridx = np.nonzero(res)[0]
+        if len(ridx):
+            rcore = ridx[core[ridx]]
+            # resident core assignments
+            for i in rcore:
+                out_id.append(ids[i])
+                out_label.append(int(label[i]))
+                out_kind.append("A")
+            # cross-cell core edges (home cell lexicographically smaller)
+            oidx = np.nonzero(~res & core)[0]
+            if len(rcore) and len(oidx):
+                forward = (cx[oidx] > hcx) | ((cx[oidx] == hcx) & (cy[oidx] > hcy))
+                oidx = oidx[forward]
+            if len(rcore) and len(oidx):
+                olon, olat = lon[oidx], lat[oidx]
+                for s in range(0, len(rcore), _CHUNK):
+                    e = min(s + _CHUNK, len(rcore))
+                    sub = rcore[s:e]
+                    d2 = (lon[sub][:, None] - olon[None, :]) ** 2 + (
+                        lat[sub][:, None] - olat[None, :]
+                    ) ** 2
+                    ii, jj = np.nonzero(d2 <= eps2)
+                    if len(ii):
+                        la = label[sub[ii]]
+                        lb = label[oidx[jj]]
+                        pairs = np.unique(
+                            np.stack([la, lb], axis=1), axis=0
+                        )
+                        edge_a.extend(int(a) for a, _ in pairs)
+                        edge_b.extend(int(b) for _, b in pairs)
+            # border points: nearest core neighbor's label, tie -> min id
+            rbord = ridx[~core[ridx]]
+            cidx = np.nonzero(core)[0]
+            if len(rbord) and len(cidx):
+                clon, clat = lon[cidx], lat[cidx]
+                cid = ids[cidx]
+                order = np.argsort(cid, kind="stable")  # tie-break by id
+                cidx_o = cidx[order]
+                clon, clat, cid = clon[order], clat[order], cid[order]
+                for s in range(0, len(rbord), _CHUNK):
+                    e = min(s + _CHUNK, len(rbord))
+                    sub = rbord[s:e]
+                    d2 = (lon[sub][:, None] - clon[None, :]) ** 2 + (
+                        lat[sub][:, None] - clat[None, :]
+                    ) ** 2
+                    d2[d2 > eps2] = np.inf
+                    best = np.argmin(d2, axis=1)  # first min = smallest id
+                    ok = np.isfinite(d2[np.arange(len(sub)), best])
+                    for i, b in zip(sub[ok], best[ok]):
+                        out_id.append(ids[i])
+                        out_label.append(int(label[cidx_o[b]]))
+                        out_kind.append("A")
+
+        n_assign = len(out_id)
+        label_b_col = [0] * n_assign + edge_b
+        for a in edge_a:
+            out_id.append("")
+            out_label.append(a)
+            out_kind.append("E")
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.string()),
+                "label": pa.array(out_label, pa.int64()),
+                "label_b": pa.array(label_b_col, pa.int64()),
+                "kind": pa.array(out_kind, pa.string()),
+            }
+        )
+
+
+def dbscan(ds, eps: float, min_pts: int, id_col: str = "image_id"):
+    """Full distributed DBSCAN; returns a Dataset (id_col, cluster) over
+    the CLUSTERED points (noise rows are simply absent — at curation
+    scale the clustered set is the interesting/smaller one), with
+    cluster = min point id of the cluster.
+
+    The two materialize() calls pin only SKINNY tag tables
+    ((id, label, kind) ~ tens of bytes/row, payload columns long gone)
+    so the two downstream consumers (driver edge pull + assignment
+    relabel) don't re-execute the pipeline; the raw image rows stream
+    through exactly once."""
+    flagger = CoreFlagger(eps, min_pts, id_col)
+    labeler = CellLabeler(eps, id_col)
+
+    def flag_cell(g: pa.Table) -> pa.Table:
+        return flagger(g)
+
+    def label_cell(g: pa.Table) -> pa.Table:
+        return labeler(g)
+
+    flagged = (
+        ds.map_batches(lambda b: donate9(b, eps), batch_format="pyarrow")
+        .groupby(["tcx", "tcy"])
+        .map_groups(flag_cell, batch_format="pyarrow")
+    )
+    tagged = (
+        flagged.map_batches(lambda b: donate9(b, eps), batch_format="pyarrow")
+        .groupby(["tcx", "tcy"])
+        .map_groups(label_cell, batch_format="pyarrow")
+    )
+    tagged = tagged.materialize()
+
+    # driver-side union-find over the LABEL graph (cell-bounded)
+    edges = (
+        tagged.filter(expr="kind == 'E'")
+        .select_columns(["label", "label_b"])
+        .to_pandas()
+    )
+    assigns = tagged.filter(expr="kind == 'A'").select_columns([id_col, "label"])
+    if assigns.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.string()), "cluster": pa.array([], pa.string())}
+            )
+        )
+
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        r = a
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[a] != r:
+            parent[a], a = r, parent[a]
+        return r
+
+    for a, b in (
+        zip(edges["label"], edges["label_b"]) if len(edges) else ()
+    ):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # root per provisional label, broadcast as a dict (bounded by cells)
+    import ray
+
+    roots_ref = ray.put({k: find(k) for k in list(parent)})
+
+    def to_root(batch: pa.Table) -> pa.Table:
+        roots = ray.get(roots_ref)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        rr = np.array([roots.get(int(v), int(v)) for v in lab], dtype=np.int64)
+        return pa.table({id_col: batch[id_col], "root": pa.array(rr)})
+
+    rooted = assigns.map_batches(to_root, batch_format="pyarrow")
+    rooted = rooted.materialize()
+    # deterministic cluster id = min point id per root: per-batch arrow
+    # partial mins -> one tiny final merge (cluster-cardinality sized)
+    def pmin(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("root").aggregate([(id_col, "min")])
+        return g.rename_columns(["root", "mid"])
+
+    parts = (
+        rooted.map_batches(pmin, batch_format="pyarrow").repartition(1)
+        .map_batches(
+            lambda b: b.group_by("root")
+            .aggregate([("mid", "min")])
+            .rename_columns(["root", "mid"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    min_map_ref = ray.put(dict(zip(parts["root"].astype(np.int64), parts["mid"])))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mm = ray.get(min_map_ref)
+        rr = batch["root"].to_numpy(zero_copy_only=False)
+        cl = [mm[int(v)] for v in rr]
+        return pa.table({id_col: batch[id_col], "cluster": pa.array(cl, pa.string())})
+
+    return rooted.map_batches(finish, batch_format="pyarrow")

@@ -298,3 +298,77 @@ class ImageAugmenter:
                 "px_checksum": pa.array(checks, pa.int64()),
             }
         )
+
+
+class ZonalImageStats:
+    """Zonal statistics: PIP join + image decode + per-region pixel
+    partials FUSED in one actor stage (the flagship fused-operator
+    pattern — the heavy ``bytes`` column never crosses an exchange;
+    only per-region integer partials leave the actor).
+
+    Overlapping regions (tight urban rect inside a coarse grid rect)
+    both receive an image's pixels; each image is DECODED ONCE per
+    batch regardless of how many regions it matches (unique-payload
+    dedup before the codec loop). Output partial rows per region:
+    n_images, n_px, sum_lum (total channel sum), px_min, px_max."""
+
+    def __init__(self, regions_path: str | None = None):
+        from .pip_join import PIPJoiner
+
+        self.joiner = PIPJoiner(
+            regions_path=regions_path,
+            keep_columns=["image_id", "bytes", "fmt"],
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        joined = self.joiner(batch)
+        if joined.num_rows == 0:
+            return pa.table(
+                {
+                    "region_id": pa.array([], pa.int64()),
+                    "n_images": pa.array([], pa.int64()),
+                    "n_px": pa.array([], pa.int64()),
+                    "sum_lum": pa.array([], pa.int64()),
+                    "px_min": pa.array([], pa.int64()),
+                    "px_max": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(joined["image_id"].to_pylist())
+        uniq, inv = np.unique(ids, return_inverse=True)
+        first_row = np.zeros(len(uniq), dtype=np.int64)
+        first_row[inv[::-1]] = np.arange(len(ids) - 1, -1, -1)
+        payloads = joined["bytes"].to_pylist()
+        fmts = joined["fmt"].to_pylist()
+        px_n = np.zeros(len(uniq), dtype=np.int64)
+        lum = np.zeros(len(uniq), dtype=np.int64)
+        mn = np.zeros(len(uniq), dtype=np.int64)
+        mx = np.zeros(len(uniq), dtype=np.int64)
+        for u, row in enumerate(first_row):
+            img = decode_image(payloads[row], fmts[row]).astype(np.int64)
+            px_n[u] = img.shape[0] * img.shape[1]
+            lum[u] = int(img.sum())
+            mn[u] = int(img.min())
+            mx[u] = int(img.max())
+        region = joined["region_id"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "region_id": pa.array(region),
+                "n_images": pa.array(np.ones(len(region), dtype=np.int64)),
+                "n_px": pa.array(px_n[inv]),
+                "sum_lum": pa.array(lum[inv]),
+                "px_min": pa.array(mn[inv]),
+                "px_max": pa.array(mx[inv]),
+            }
+        )
+        g = t.group_by(["region_id"]).aggregate(
+            [
+                ("n_images", "sum"),
+                ("n_px", "sum"),
+                ("sum_lum", "sum"),
+                ("px_min", "min"),
+                ("px_max", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["region_id", "n_images", "n_px", "sum_lum", "px_min", "px_max"]
+        )

@@ -60,6 +60,9 @@ REGRESSION_PIN = [
     # VW kernel invariants (no self-intersection, vertex subset, area
     # bounds) are pytest-pinned in test_simplify.py; golden pins geometry
     "simplify_shapes",
+    # decode kernel pinned by PSNR/image tests; PIP membership by the
+    # pip_join oracles; golden pins the fused per-region integer sums
+    "zonal_stats",
 ]
 
 
@@ -135,9 +138,37 @@ def golden_h3_compact():
     return pd.DataFrame({"cell": np.array(ids, dtype=np.int64), "res": np.array(rs, dtype=np.int32)})
 
 
+def golden_dbscan():
+    """Independent reference: single-node chunked brute-force DBSCAN
+    (tests/golden_util.brute_dbscan — no shared code with the
+    distributed cell decomposition), same deterministic border rule."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tests.golden_util import brute_dbscan
+    from texel_ray.sources.images import images_parquet_path
+
+    t = pq.read_table(
+        images_parquet_path(SF_DIR), columns=["image_id", "lon", "lat"]
+    )
+    out = brute_dbscan(
+        np.asarray(t["image_id"].to_pylist()),
+        t["lon"].to_numpy(zero_copy_only=False),
+        t["lat"].to_numpy(zero_copy_only=False),
+        eps=0.01,
+        min_pts=10,
+    )
+    items = sorted(out.items())
+    return pd.DataFrame(
+        {"image_id": [k for k, _ in items], "cluster": [v for _, v in items]}
+    )
+
+
 INDEPENDENT = {
     "simhash_neardup": golden_simhash_neardup,
     "h3_compact": golden_h3_compact,
+    "dbscan": golden_dbscan,
 }
 
 
