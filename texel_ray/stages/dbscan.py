@@ -22,6 +22,10 @@ Distribution scheme (two groupby exchanges, no row-level join):
    (id, lon, lat, core) for residents. Every point is a resident of
    exactly one cell, so round 1's output is the corpus WITH core flags
    — no join needed to attach them.
+   (Both rounds group on a 512-way HASH BUCKET of the cell, not the raw
+   cell id: map_groups dispatches Python per group, and 10^4..10^6
+   per-cell calls dominated wall time — measured 49s -> ~8s at sf0.01.
+   Cells are iterated vectorized inside each bucket via one lexsort.)
 2. Round 2 (same donation over round-1 output): per home cell H the
    group holds ring1(H) with core flags. Local core components of ANY
    cell C in the group are recomputable from C's own points (all
@@ -59,6 +63,17 @@ def _cells(lon: np.ndarray, lat: np.ndarray, eps: float):
     )
 
 
+N_BUCKETS = 512
+
+
+def _bucket(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """Cell -> shuffle bucket (mixing hash). Grouping on ~512 buckets
+    instead of ~10^4..10^6 raw cells keeps the exchange's group count
+    (and map_groups' per-group Python dispatch) bounded; the per-cell
+    iteration happens vectorized INSIDE each bucket group."""
+    return ((cx * 73856093) ^ (cy * 19349663)) % N_BUCKETS
+
+
 def donate9(batch: pa.Table, eps: float) -> pa.Table:
     """Fan each point out to its cell and the 8 ring-1 neighbors."""
     lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -68,11 +83,24 @@ def donate9(batch: pa.Table, eps: float) -> pa.Table:
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             tables.append(
-                batch.append_column("tcx", pa.array(cx + dx)).append_column(
-                    "tcy", pa.array(cy + dy)
-                )
+                batch.append_column("tcx", pa.array(cx + dx))
+                .append_column("tcy", pa.array(cy + dy))
+                .append_column("bucket", pa.array(_bucket(cx + dx, cy + dy)))
             )
     return pa.concat_tables(tables).combine_chunks()
+
+
+def _cell_segments(tcx: np.ndarray, tcy: np.ndarray):
+    """Yield index arrays, one per distinct (tcx, tcy) in the bucket."""
+    order = np.lexsort((tcy, tcx))
+    if len(order) == 0:
+        return
+    sx, sy = tcx[order], tcy[order]
+    bnd = np.nonzero((np.diff(sx) != 0) | (np.diff(sy) != 0))[0] + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(order)]))
+    for s, e in zip(starts, ends):
+        yield order[s:e]
 
 
 def _neighbor_counts(
@@ -90,8 +118,9 @@ def _neighbor_counts(
 
 
 class CoreFlagger:
-    """Round 1 map_groups fn: exact neighbor counts for the home cell's
-    residents; emits the resident rows + core flag."""
+    """Round 1 map_groups fn over one BUCKET: for every home cell hashed
+    into the bucket, exact neighbor counts for its residents; emits the
+    resident rows + core flag."""
 
     def __init__(self, eps: float, min_pts: int, id_col: str = "image_id"):
         self.eps = eps
@@ -102,11 +131,22 @@ class CoreFlagger:
     def __call__(self, group: pa.Table) -> pa.Table:
         lon = group["lon"].to_numpy(zero_copy_only=False)
         lat = group["lat"].to_numpy(zero_copy_only=False)
-        hcx = int(group["tcx"][0].as_py())
-        hcy = int(group["tcy"][0].as_py())
+        tcx = group["tcx"].to_numpy(zero_copy_only=False)
+        tcy = group["tcy"].to_numpy(zero_copy_only=False)
         cx, cy = _cells(lon, lat, self.eps)
-        res = (cx == hcx) & (cy == hcy)
-        if not res.any():
+        keep_idx: list[np.ndarray] = []
+        keep_core: list[np.ndarray] = []
+        for seg in _cell_segments(tcx, tcy):
+            hcx, hcy = int(tcx[seg[0]]), int(tcy[seg[0]])
+            res = seg[(cx[seg] == hcx) & (cy[seg] == hcy)]
+            if len(res) == 0:
+                continue
+            cnt = _neighbor_counts(
+                lon[res], lat[res], lon[seg], lat[seg], self.eps2
+            )
+            keep_idx.append(res)
+            keep_core.append(cnt >= self.min_pts)
+        if not keep_idx:
             return pa.table(
                 {
                     self.id_col: group[self.id_col].slice(0, 0),
@@ -115,14 +155,14 @@ class CoreFlagger:
                     "core": pa.array([], pa.bool_()),
                 }
             )
-        cnt = _neighbor_counts(lon[res], lat[res], lon, lat, self.eps2)
-        t = group.filter(pa.array(res))
+        idx = np.concatenate(keep_idx)
+        t = group.take(pa.array(idx))
         return pa.table(
             {
                 self.id_col: t[self.id_col],
                 "lon": t["lon"],
                 "lat": t["lat"],
-                "core": pa.array(cnt >= self.min_pts),
+                "core": pa.array(np.concatenate(keep_core)),
             }
         )
 
@@ -179,44 +219,50 @@ class CellLabeler:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         eps, eps2 = self.eps, self.eps2
-        lon = group["lon"].to_numpy(zero_copy_only=False)
-        lat = group["lat"].to_numpy(zero_copy_only=False)
-        core = group["core"].to_numpy(zero_copy_only=False)
-        ids = np.asarray(group[self.id_col].to_pylist())
-        hcx = int(group["tcx"][0].as_py())
-        hcy = int(group["tcy"][0].as_py())
-        cx, cy = _cells(lon, lat, eps)
+        glon = group["lon"].to_numpy(zero_copy_only=False)
+        glat = group["lat"].to_numpy(zero_copy_only=False)
+        gcore = group["core"].to_numpy(zero_copy_only=False)
+        gids = np.asarray(group[self.id_col].to_pylist())
+        gtcx = group["tcx"].to_numpy(zero_copy_only=False)
+        gtcy = group["tcy"].to_numpy(zero_copy_only=False)
+        gcx, gcy = _cells(glon, glat, eps)
 
-        # local component labels per cell present in the group
-        label = np.full(len(lon), -1, dtype=np.int64)
-        cell_key = (cx - hcx + 1) * 3 + (cy - hcy + 1)  # 0..8
-        for k in range(9):
-            m = np.nonzero(cell_key == k)[0]
-            if len(m) == 0:
-                continue
-            comp = _local_components(lon[m], lat[m], core[m], eps2)
-            has = comp >= 0
-            if has.any():
-                ccx, ccy = int(cx[m[0]]), int(cy[m[0]])
-                label[m[has]] = np.array(
-                    [pack_label(ccx, ccy, int(c)) for c in comp[has]]
-                )
-
-        res = (cx == hcx) & (cy == hcy)
         out_id: list = []
         out_label: list = []
         out_kind: list = []
         edge_a: list = []
         edge_b: list = []
 
-        ridx = np.nonzero(res)[0]
-        if len(ridx):
+        for seg in _cell_segments(gtcx, gtcy):
+            hcx, hcy = int(gtcx[seg[0]]), int(gtcy[seg[0]])
+            lon, lat = glon[seg], glat[seg]
+            core, ids = gcore[seg], gids[seg]
+            cx, cy = gcx[seg], gcy[seg]
+
+            # local component labels per cell present in the segment
+            label = np.full(len(seg), -1, dtype=np.int64)
+            cell_key = (cx - hcx + 1) * 3 + (cy - hcy + 1)  # 0..8
+            for k in range(9):
+                m = np.nonzero(cell_key == k)[0]
+                if len(m) == 0:
+                    continue
+                comp = _local_components(lon[m], lat[m], core[m], eps2)
+                has = comp >= 0
+                if has.any():
+                    ccx, ccy = int(cx[m[0]]), int(cy[m[0]])
+                    label[m[has]] = (
+                        pack_label(ccx, ccy, 0) + comp[has]
+                    )
+
+            res = (cx == hcx) & (cy == hcy)
+            ridx = np.nonzero(res)[0]
+            if not len(ridx):
+                continue
             rcore = ridx[core[ridx]]
-            # resident core assignments
-            for i in rcore:
-                out_id.append(ids[i])
-                out_label.append(int(label[i]))
-                out_kind.append("A")
+            # resident core assignments (bulk extend, no per-row loop)
+            out_id.extend(ids[rcore])
+            out_label.extend(label[rcore])
+            out_kind.extend(["A"] * len(rcore))
             # cross-cell core edges (home cell lexicographically smaller)
             oidx = np.nonzero(~res & core)[0]
             if len(rcore) and len(oidx):
@@ -234,11 +280,9 @@ class CellLabeler:
                     if len(ii):
                         la = label[sub[ii]]
                         lb = label[oidx[jj]]
-                        pairs = np.unique(
-                            np.stack([la, lb], axis=1), axis=0
-                        )
-                        edge_a.extend(int(a) for a, _ in pairs)
-                        edge_b.extend(int(b) for _, b in pairs)
+                        pairs = np.unique(np.stack([la, lb], axis=1), axis=0)
+                        edge_a.extend(pairs[:, 0])
+                        edge_b.extend(pairs[:, 1])
             # border points: nearest core neighbor's label, tie -> min id
             rbord = ridx[~core[ridx]]
             cidx = np.nonzero(core)[0]
@@ -247,7 +291,7 @@ class CellLabeler:
                 cid = ids[cidx]
                 order = np.argsort(cid, kind="stable")  # tie-break by id
                 cidx_o = cidx[order]
-                clon, clat, cid = clon[order], clat[order], cid[order]
+                clon, clat = clon[order], clat[order]
                 for s in range(0, len(rbord), _CHUNK):
                     e = min(s + _CHUNK, len(rbord))
                     sub = rbord[s:e]
@@ -257,22 +301,22 @@ class CellLabeler:
                     d2[d2 > eps2] = np.inf
                     best = np.argmin(d2, axis=1)  # first min = smallest id
                     ok = np.isfinite(d2[np.arange(len(sub)), best])
-                    for i, b in zip(sub[ok], best[ok]):
-                        out_id.append(ids[i])
-                        out_label.append(int(label[cidx_o[b]]))
-                        out_kind.append("A")
+                    out_id.extend(ids[sub[ok]])
+                    out_label.extend(label[cidx_o[best[ok]]])
+                    out_kind.extend(["A"] * int(ok.sum()))
 
         n_assign = len(out_id)
-        label_b_col = [0] * n_assign + edge_b
-        for a in edge_a:
-            out_id.append("")
-            out_label.append(a)
-            out_kind.append("E")
+        label_b_col = np.concatenate(
+            [np.zeros(n_assign, dtype=np.int64), np.asarray(edge_b, dtype=np.int64)]
+        )
+        out_id.extend([""] * len(edge_a))
+        out_label.extend(edge_a)
+        out_kind.extend(["E"] * len(edge_a))
         return pa.table(
             {
                 self.id_col: pa.array(out_id, pa.string()),
-                "label": pa.array(out_label, pa.int64()),
-                "label_b": pa.array(label_b_col, pa.int64()),
+                "label": pa.array(np.asarray(out_label, dtype=np.int64)),
+                "label_b": pa.array(label_b_col),
                 "kind": pa.array(out_kind, pa.string()),
             }
         )
@@ -300,12 +344,12 @@ def dbscan(ds, eps: float, min_pts: int, id_col: str = "image_id"):
 
     flagged = (
         ds.map_batches(lambda b: donate9(b, eps), batch_format="pyarrow")
-        .groupby(["tcx", "tcy"])
+        .groupby("bucket")
         .map_groups(flag_cell, batch_format="pyarrow")
     )
     tagged = (
         flagged.map_batches(lambda b: donate9(b, eps), batch_format="pyarrow")
-        .groupby(["tcx", "tcy"])
+        .groupby("bucket")
         .map_groups(label_cell, batch_format="pyarrow")
     )
     tagged = tagged.materialize()
