@@ -145,3 +145,37 @@ def test_mixed_res_compact():
     assert np.array_equal(
         comp, hg.pack(np.array([4]), np.array([2]), np.array([-1]))
     )
+
+
+# ---- geohash (stages/tiles.geohash_np) ------------------------------------
+
+
+def test_geohash_known_vectors():
+    """Published geohash examples: Wikipedia's ezs42 and the canonical
+    u4pruydqqvj (Jutland)."""
+    from texel_ray.stages.tiles import geohash_np
+
+    assert geohash_np(np.array([-5.6]), np.array([42.6]), 5)[0] == "ezs42"
+    assert (
+        geohash_np(np.array([10.40744]), np.array([57.64911]), 11)[0]
+        == "u4pruydqqvj"
+    )
+
+
+def test_geohash_prefix_property():
+    """A longer geohash of the same point starts with the shorter one."""
+    from texel_ray.stages.tiles import geohash_np
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    g8 = geohash_np(lon, lat, 8)
+    g4 = geohash_np(lon, lat, 4)
+    assert all(a.startswith(b) for a, b in zip(g8, g4))
+
+
+def test_geohash_edges_clamp():
+    from texel_ray.stages.tiles import geohash_np
+
+    assert geohash_np(np.array([180.0]), np.array([90.0]), 5)[0] == "zzzzz"
+    assert geohash_np(np.array([-180.0]), np.array([-90.0]), 5)[0] == "00000"

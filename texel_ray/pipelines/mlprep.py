@@ -1249,6 +1249,55 @@ def q_dbscan(sf_dir: str, eps: float = 0.01, min_pts: int = 10):
     return dbscan(ds, eps=eps, min_pts=min_pts)
 
 
+def q_geohash_cells(sf_dir: str, precision: int = 5):
+    """Per-geohash-cell image counts (stages/tiles.geohash_np — standard
+    base32 interleave, pinned against the published test vectors
+    u4pruydqqvj / ezs42 in pytest). Exact recomputing SQL oracle: the
+    bit-interleave expression is generated in Python and inlined."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import geohash_encode
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: geohash_encode(b, precision=precision, keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    return partial_count_groupby(ds, ["geohash"], alias="n")
+
+
+def sql_geohash_cells(images_source: str, precision: int = 5) -> str:
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    terms = []
+    for i in range(lon_bits):
+        terms.append(f"(((li >> {lon_bits - 1 - i}) & 1) << {nbits - 1 - 2 * i})")
+    for i in range(lat_bits):
+        terms.append(f"(((la >> {lat_bits - 1 - i}) & 1) << {nbits - 2 - 2 * i})")
+    code = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((code >> {nbits - 5 * (k + 1)}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(precision)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(least(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}),
+                    {float((1 << lon_bits) - 1)!r}) AS BIGINT) AS li,
+         CAST(least(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}),
+                    {float((1 << lat_bits) - 1)!r}) AS BIGINT) AS la
+  FROM {images_source}
+), g AS (
+  SELECT ({code}) AS code FROM c
+)
+SELECT ({chars}) AS geohash, count(*) AS n
+FROM g
+GROUP BY 1
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-region aggregates of DECODED pixel data for
     the images geotagged inside each region (stages/multimodal.py

@@ -263,6 +263,7 @@ QUERIES = {
     "h3_rollup": mlprep.q_h3_rollup,
     "h3_kring": mlprep.q_h3_kring,
     "h3_compact": mlprep.q_h3_compact,
+    "geohash_cells": mlprep.q_geohash_cells,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -343,6 +344,7 @@ ORACLE_SQL = {
     "h3_cells": mlprep.sql_h3_cells(images_sql_source()),
     "h3_rollup": mlprep.sql_h3_rollup(images_sql_source()),
     "h3_kring": mlprep.sql_h3_kring(images_sql_source()),
+    "geohash_cells": mlprep.sql_geohash_cells(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "tfidf": mlprep.SQL_TFIDF,

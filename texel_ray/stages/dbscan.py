@@ -90,17 +90,17 @@ def donate9(batch: pa.Table, eps: float) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
-def _cell_segments(tcx: np.ndarray, tcy: np.ndarray):
-    """Yield index arrays, one per distinct (tcx, tcy) in the bucket."""
+def _segment_offsets(tcx: np.ndarray, tcy: np.ndarray):
+    """Sort the bucket by target cell; return (order, starts, ends) —
+    one [starts[j], ends[j]) slice of ``order`` per distinct cell."""
     order = np.lexsort((tcy, tcx))
     if len(order) == 0:
-        return
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
     sx, sy = tcx[order], tcy[order]
     bnd = np.nonzero((np.diff(sx) != 0) | (np.diff(sy) != 0))[0] + 1
     starts = np.concatenate(([0], bnd))
     ends = np.concatenate((bnd, [len(order)]))
-    for s, e in zip(starts, ends):
-        yield order[s:e]
+    return order, starts, ends
 
 
 def _neighbor_counts(
@@ -134,11 +134,28 @@ class CoreFlagger:
         tcx = group["tcx"].to_numpy(zero_copy_only=False)
         tcy = group["tcy"].to_numpy(zero_copy_only=False)
         cx, cy = _cells(lon, lat, self.eps)
-        keep_idx: list[np.ndarray] = []
-        keep_core: list[np.ndarray] = []
-        for seg in _cell_segments(tcx, tcy):
-            hcx, hcy = int(tcx[seg[0]]), int(tcy[seg[0]])
-            res = seg[(cx[seg] == hcx) & (cy[seg] == hcy)]
+        # resident = the copy whose donation target is its own cell;
+        # computed vectorized for the whole bucket, not per segment
+        res_mask = (cx == tcx) & (cy == tcy)
+        order, starts, ends = _segment_offsets(tcx, tcy)
+        lengths = ends - starts
+        # segments whose whole 9-cell ring holds < min_pts points can't
+        # produce a core: bulk-emit their residents core=false with ZERO
+        # per-segment Python (the vast majority of world cells at global
+        # scale); the O(n^2) path below touches dense neighborhoods only.
+        seg_id = np.zeros(len(order), dtype=np.int64)
+        if len(starts) > 1:
+            seg_id[starts[1:]] = 1
+            seg_id = np.cumsum(seg_id)
+        small_pos = lengths[seg_id] < self.min_pts
+        res_pos = res_mask[order]
+        keep_idx: list[np.ndarray] = [order[small_pos & res_pos]]
+        keep_core: list[np.ndarray] = [
+            np.zeros(int((small_pos & res_pos).sum()), dtype=bool)
+        ]
+        for j in np.nonzero(lengths >= self.min_pts)[0]:
+            seg = order[starts[j] : ends[j]]
+            res = seg[res_mask[seg]]
             if len(res) == 0:
                 continue
             cnt = _neighbor_counts(
@@ -146,6 +163,8 @@ class CoreFlagger:
             )
             keep_idx.append(res)
             keep_core.append(cnt >= self.min_pts)
+        keep_idx = [a for a in keep_idx if len(a)]
+        keep_core = [a for a in keep_core if len(a)]
         if not keep_idx:
             return pa.table(
                 {
@@ -170,33 +189,49 @@ class CoreFlagger:
 def _local_components(
     lon: np.ndarray, lat: np.ndarray, core: np.ndarray, eps2: float
 ) -> np.ndarray:
-    """Connected components (within ONE cell) of its core points via
-    chunked union-find; -1 for non-core. Deterministic."""
+    """Connected components (within ONE cell) of its core points; -1 for
+    non-core. Vectorized min-label propagation with pointer jumping —
+    converges to label = min reachable index, identical to the previous
+    union-find's min-root convention but with no per-edge Python loop
+    (the labeler's hot kernel: dense urban cells hold O(10^2..10^3)
+    cores whose eps-graphs have tens of thousands of edges)."""
     comp = np.full(len(lon), -1, dtype=np.int64)
     idx = np.nonzero(core)[0]
-    if len(idx) == 0:
+    n = len(idx)
+    if n == 0:
         return comp
-    parent = np.arange(len(idx))
-
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
+    if n == 1:
+        comp[idx] = 0
+        return comp
     clon, clat = lon[idx], lat[idx]
-    for s in range(0, len(idx), _CHUNK):
-        e = min(s + _CHUNK, len(idx))
-        d2 = (clon[s:e, None] - clon[None, :]) ** 2 + (
-            clat[s:e, None] - clat[None, :]
-        ) ** 2
-        ii, jj = np.nonzero(d2 <= eps2)
-        for a, b in zip(ii + s, jj):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(int(a)) for a in range(len(idx))])
-    comp[idx] = roots
+    labels = np.arange(n)
+    cache = None
+    if n <= _CHUNK:
+        d2 = (clon[:, None] - clon[None, :]) ** 2 + (clat[:, None] - clat[None, :]) ** 2
+        cache = d2 <= eps2
+    while True:
+        new = np.empty_like(labels)
+        if cache is not None:
+            lab = np.where(cache, labels[None, :], n)
+            new = lab.min(axis=1)
+        else:
+            for s in range(0, n, _CHUNK):
+                e = min(s + _CHUNK, n)
+                d2 = (clon[s:e, None] - clon[None, :]) ** 2 + (
+                    clat[s:e, None] - clat[None, :]
+                ) ** 2
+                lab = np.where(d2 <= eps2, labels[None, :], n)
+                new[s:e] = lab.min(axis=1)
+        new = np.minimum(new, labels[new])  # pointer jump
+        while True:
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    comp[idx] = labels
     return comp
 
 
@@ -233,7 +268,19 @@ class CellLabeler:
         edge_a: list = []
         edge_b: list = []
 
-        for seg in _cell_segments(gtcx, gtcy):
+        order, starts, ends = _segment_offsets(gtcx, gtcy)
+        # per-segment any-core, computed in one reduceat — segments with
+        # no core anywhere in their 9-cell ring yield only noise (a
+        # border needs an in-ring core) and are skipped without touching
+        # Python; labeling work confines to dense neighborhoods.
+        if len(starts) == 0:
+            has_core = np.empty(0, dtype=bool)
+        else:
+            has_core = np.add.reduceat(
+                gcore[order].astype(np.int64), starts
+            ) > 0
+        for j in np.nonzero(has_core)[0]:
+            seg = order[starts[j] : ends[j]]
             hcx, hcy = int(gtcx[seg[0]]), int(gtcy[seg[0]])
             lon, lat = glon[seg], glat[seg]
             core, ids = gcore[seg], gids[seg]
@@ -289,9 +336,11 @@ class CellLabeler:
             if len(rbord) and len(cidx):
                 clon, clat = lon[cidx], lat[cidx]
                 cid = ids[cidx]
-                order = np.argsort(cid, kind="stable")  # tie-break by id
-                cidx_o = cidx[order]
-                clon, clat = clon[order], clat[order]
+                # NB: must not be named `order` — that's the outer
+                # bucket-wide segment ordering this loop slices from
+                cord = np.argsort(cid, kind="stable")  # tie-break by id
+                cidx_o = cidx[cord]
+                clon, clat = clon[cord], clat[cord]
                 for s in range(0, len(rbord), _CHUNK):
                     e = min(s + _CHUNK, len(rbord))
                     sub = rbord[s:e]

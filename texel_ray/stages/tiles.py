@@ -207,3 +207,51 @@ def hexgrid_encode(batch, res: int = 6, keep_columns=None):
     cols = [t[c] for c in keep]
     cols.extend([pa.array(q), pa.array(r), pa.array(cell)])
     return pa.table(cols, names=[*keep, "hq", "hr", "cell"])
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_np(lon: np.ndarray, lat: np.ndarray, precision: int = 5) -> np.ndarray:
+    """Vectorized geohash (standard base32, lon bit first). Supports
+    even precisions' asymmetric bit split: p chars = 5p bits, lon gets
+    ceil(5p/2), lat floor(5p/2). Mirrored 1:1 by the SQL oracle
+    (mlprep.sql_geohash_cells builds the same interleave expression)."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    li = np.minimum(
+        np.floor((lon + 180.0) / 360.0 * (1 << lon_bits)), (1 << lon_bits) - 1
+    ).astype(np.int64)
+    la = np.minimum(
+        np.floor((lat + 90.0) / 180.0 * (1 << lat_bits)), (1 << lat_bits) - 1
+    ).astype(np.int64)
+    code = np.zeros(len(lon), dtype=np.int64)
+    # geohash bit k (0 = most significant of nbits): even k -> lon
+    for i in range(lon_bits):
+        # lon bit (lon_bits-1-i) lands at geohash bit 2i -> position nbits-1-2i
+        code |= ((li >> (lon_bits - 1 - i)) & 1) << (nbits - 1 - 2 * i)
+    for i in range(lat_bits):
+        code |= ((la >> (lat_bits - 1 - i)) & 1) << (nbits - 2 - 2 * i)
+    # base32 chars, 5 bits per char, most significant first
+    chars = np.empty((precision, len(lon)), dtype="U1")
+    lut = np.array(list(_GEOHASH32))
+    for k in range(precision):
+        chars[k] = lut[(code >> (nbits - 5 * (k + 1))) & 31]
+    out = chars[0]
+    for k in range(1, precision):
+        out = np.char.add(out, chars[k])
+    return out
+
+
+def geohash_encode(batch, precision: int = 5, keep_columns=None):
+    """Geohash cell assignment over geotags (map_batches stage)."""
+    import pyarrow as pa
+
+    keep = keep_columns if keep_columns is not None else batch.column_names
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    gh = geohash_np(lon, lat, precision)
+    cols = [batch[c] for c in keep]
+    cols.append(pa.array(gh.tolist(), pa.string()))
+    return pa.table(cols, names=[*keep, "geohash"])
