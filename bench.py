@@ -99,6 +99,8 @@ def run_benchmarks() -> dict:
     timed("hex_cells", lambda: mlprep.q_hex_cells(SF_DIR))
     timed("h3_cells", lambda: mlprep.q_h3_cells(SF_DIR))
     timed("h3_kring", lambda: mlprep.q_h3_kring(SF_DIR))
+    timed("geohash_cells", lambda: mlprep.q_geohash_cells(SF_DIR))
+    timed("idw_grid", lambda: mlprep.q_idw_grid(SF_DIR))
     timed("knn_nearest", lambda: mlprep.q_knn_nearest(SF_DIR))
     timed("dbscan", lambda: mlprep.q_dbscan(SF_DIR))
     timed("simplify_shapes", lambda: spatial.q_simplify_shapes(SF_DIR))

@@ -1249,6 +1249,133 @@ def q_dbscan(sf_dir: str, eps: float = 0.01, min_pts: int = 10):
     return dbscan(ds, eps=eps, min_pts=min_pts)
 
 
+def q_vectorize_raster(sf_dir: str):
+    """Raster -> vector: marching-squares contours of each image's
+    luminance mask (stages/multimodal.RasterVectorize, kernel in
+    core/marching.py — midpoint rule, exact integer half-unit coords).
+    Completes the raster<->vector pair (tilecut / vectorcut are the
+    other direction). Golden oracle; the kernel's case table is pinned
+    by shape tests (pixel diamond, corner-cut octagon, saddle
+    separation, donut holes) in tests/test_marching.py."""
+    from ..sources.images import read_images
+    from ..stages.multimodal import RasterVectorize
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        RasterVectorize,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+
+def q_idw_grid(sf_dir: str, g: float = 0.5):
+    """Inverse-distance-weighted interpolation of image resolution (w*h)
+    onto the occupied g-degree grid: for every cell with >= 1 resident
+    point, idw = sum(wq_i * v_i) // sum(wq_i) over all points within
+    r = g of the cell CENTER (9-cell donation, as in stages/dbscan.py).
+
+    Weights are FIXED-POINT: wq = floor(2^20 / (1 + floor(d2 / 1e-4))).
+    Integer contributions make the reduction order-independent — the
+    same result on any cluster size / batch order (a reproducibility
+    feature at scale, and what lets DuckDB recompute it exactly: float
+    IDW sums would differ in the last ulp between engines). Fully
+    combiner-shaped: per-batch arrow partials -> one skinny groupby; no
+    map_groups, no per-cell Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+
+    r2 = g * g
+    ds = read_images(sf_dir, columns=["lon", "lat", "w", "h"])
+
+    def donate_and_weigh(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        v = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64) * batch[
+            "h"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = np.floor(lon / g).astype(np.int64)
+        cy = np.floor(lat / g).astype(np.int64)
+        gx_l, gy_l, wv_l, w_l, n_l, res_l = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = cx + dx, cy + dy
+                ctr_x = (tx + 0.5) * g
+                ctr_y = (ty + 0.5) * g
+                d2 = (lon - ctr_x) ** 2 + (lat - ctr_y) ** 2
+                ok = d2 <= r2
+                wq = np.floor(
+                    1048576.0 / (1.0 + np.floor(d2[ok] / 1e-4))
+                ).astype(np.int64)
+                gx_l.append(tx[ok])
+                gy_l.append(ty[ok])
+                wv_l.append(wq * v[ok])
+                w_l.append(wq)
+                n_l.append(np.ones(int(ok.sum()), dtype=np.int64))
+                res_l.append(
+                    np.full(int(ok.sum()), 1 if (dx == 0 and dy == 0) else 0, np.int64)
+                )
+        return pa.table(
+            {
+                "gx": pa.array(np.concatenate(gx_l)),
+                "gy": pa.array(np.concatenate(gy_l)),
+                "sum_wv": pa.array(np.concatenate(wv_l)),
+                "sum_w": pa.array(np.concatenate(w_l)),
+                "n": pa.array(np.concatenate(n_l)),
+                "n_res": pa.array(np.concatenate(res_l)),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(donate_and_weigh, batch_format="pyarrow"),
+        ["gx", "gy"],
+        ["sum_wv", "sum_w", "n", "n_res"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch["n_res"], 0))
+        idw = pc.divide(t["sum_wv"], t["sum_w"])  # int64 floor division
+        return pa.table(
+            {"gx": t["gx"], "gy": t["gy"], "n": t["n"], "idw": idw}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_idw_grid(images_source: str, g: float = 0.5) -> str:
+    return f"""
+WITH pts AS (
+  SELECT lon, lat, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS v,
+         CAST(floor(lon / {g!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {g!r}) AS BIGINT) AS cy
+  FROM {images_source}
+), fan AS (
+  SELECT p.cx + o.dx AS gx, p.cy + o.dy AS gy, p.v,
+         (p.lon - (p.cx + o.dx + 0.5) * {g!r}) * (p.lon - (p.cx + o.dx + 0.5) * {g!r})
+       + (p.lat - (p.cy + o.dy + 0.5) * {g!r}) * (p.lat - (p.cy + o.dy + 0.5) * {g!r}) AS d2,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END AS is_res
+  FROM pts p
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+  WHERE (p.lon - (p.cx + o.dx + 0.5) * {g!r}) * (p.lon - (p.cx + o.dx + 0.5) * {g!r})
+      + (p.lat - (p.cy + o.dy + 0.5) * {g!r}) * (p.lat - (p.cy + o.dy + 0.5) * {g!r}) <= {g * g!r}
+), wq AS (
+  SELECT gx, gy, v, is_res,
+         CAST(floor(1048576.0 / (1.0 + floor(d2 / 1e-4))) AS BIGINT) AS w
+  FROM fan
+)
+SELECT gx, gy, count(*) AS n,
+       CAST(sum(w * v) // sum(w) AS BIGINT) AS idw
+FROM wq
+GROUP BY 1, 2
+HAVING sum(is_res) > 0
+"""
+
+
 def q_geohash_cells(sf_dir: str, precision: int = 5):
     """Per-geohash-cell image counts (stages/tiles.geohash_np — standard
     base32 interleave, pinned against the published test vectors

@@ -264,6 +264,8 @@ QUERIES = {
     "h3_kring": mlprep.q_h3_kring,
     "h3_compact": mlprep.q_h3_compact,
     "geohash_cells": mlprep.q_geohash_cells,
+    "idw_grid": mlprep.q_idw_grid,
+    "vectorize_raster": mlprep.q_vectorize_raster,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -345,6 +347,7 @@ ORACLE_SQL = {
     "h3_rollup": mlprep.sql_h3_rollup(images_sql_source()),
     "h3_kring": mlprep.sql_h3_kring(images_sql_source()),
     "geohash_cells": mlprep.sql_geohash_cells(images_sql_source()),
+    "idw_grid": mlprep.sql_idw_grid(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "tfidf": mlprep.SQL_TFIDF,
@@ -421,6 +424,9 @@ for _name in (
     "simplify_shapes",
     # zonal decode aggregates (PIP membership separately oracle-exact)
     "zonal_stats",
+    # marching-squares kernel pinned by shape tests; golden pins the
+    # traced geometry via per-image vertex-stream CRCs
+    "vectorize_raster",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

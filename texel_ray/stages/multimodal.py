@@ -372,3 +372,34 @@ class ZonalImageStats:
         return g.rename_columns(
             ["region_id", "n_images", "n_px", "sum_lum", "px_min", "px_max"]
         )
+
+
+class RasterVectorize:
+    """Raster -> vector per image: decode, threshold luminance (channel
+    sum >= 384, the mid-gray cut), marching-squares vectorization
+    (core/marching.py). Emits exact-integer loop stats + a CRC of the
+    full vertex stream, so goldens pin the traced geometry itself."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.marching import vectorize_mask
+
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n_loops, perim, area2, crc = [], [], [], []
+        for buf, fmt in zip(payloads, fmts):
+            img = decode_image(buf, fmt).astype(np.int64)
+            mask = img.sum(axis=2) >= 384
+            s = vectorize_mask(mask)
+            n_loops.append(s["n_loops"])
+            perim.append(s["perimeter"])
+            area2.append(s["area2"])
+            crc.append(s["crc"])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "n_loops": pa.array(n_loops, pa.int64()),
+                "perimeter": pa.array(perim, pa.int64()),
+                "area2": pa.array(area2, pa.int64()),
+                "crc": pa.array(crc, pa.int64()),
+            }
+        )

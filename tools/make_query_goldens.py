@@ -63,6 +63,8 @@ REGRESSION_PIN = [
     # decode kernel pinned by PSNR/image tests; PIP membership by the
     # pip_join oracles; golden pins the fused per-region integer sums
     "zonal_stats",
+    # marching-squares kernel pinned by shape tests in test_marching.py
+    "vectorize_raster",
 ]
 
 
