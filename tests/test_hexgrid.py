@@ -179,3 +179,16 @@ def test_geohash_edges_clamp():
 
     assert geohash_np(np.array([180.0]), np.array([90.0]), 5)[0] == "zzzzz"
     assert geohash_np(np.array([-180.0]), np.array([-90.0]), 5)[0] == "00000"
+
+
+def test_quadkey_published_example():
+    """Bing tile-system docs: tile (3, 5) at level 3 -> quadkey '213';
+    prefix property: deeper quadkey of the same point starts with the
+    parent's."""
+    from texel_ray.stages.tiles import quadkey_np
+
+    assert quadkey_np(np.array([3]), np.array([5]), 3)[0] == "213"
+    tx, ty = np.array([35, 200]), np.array([87, 13])
+    q8 = quadkey_np(tx, ty, 8)
+    q6 = quadkey_np(tx >> 2, ty >> 2, 6)
+    assert all(a.startswith(b) for a, b in zip(q8, q6))

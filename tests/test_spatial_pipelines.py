@@ -105,11 +105,18 @@ def test_resumable_write_manifest(ray_session, tmp_path):
         )
     )
     out = str(tmp_path / "tiles")
-    written, skipped = resumable_write(ds, out, partition_col="tm_id")
+    written, skipped = resumable_write(
+        ds, out, partition_col="tm_id", range_cols=("v",)
+    )
     assert sorted(written) == [4, 8] and skipped == []
     recs = Manifest(out).completed()
     assert len(recs) == 2
     assert {r["rows"] for r in recs.values()} == {10, 20}
+    # lineage key ranges from parquet footer stats (north rule: input
+    # fragments + cell ranges + row counts per partition)
+    by_rows = {r["rows"]: r for r in recs.values()}
+    assert by_rows[10]["ranges"]["v"] == [0, 9]
+    assert by_rows[20]["ranges"]["v"] == [10, 29]
     # rerun: everything skipped, nothing rewritten
     written2, skipped2 = resumable_write(ds, out, partition_col="tm_id")
     assert written2 == [] and sorted(skipped2) == [4, 8]

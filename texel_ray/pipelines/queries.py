@@ -71,6 +71,52 @@ def q_tile_assign(sf_dir: str, zoom: int = 8):
     return partial_count_groupby(ds, ["tm_id", "tile_x", "tile_y"], alias="n")
 
 
+def q_quadkey_cells(sf_dir: str, zoom: int = 8):
+    """Per-quadkey image counts (Bing quadkey = interleaved tile-coord
+    digits; stages/tiles.quadkey_np, pinned against the published
+    tile(3,5)@3 -> '213' example). Same tile assignment as
+    tile_assign_z8, re-keyed to the hierarchical string id whose
+    prefixes are ancestors — the third cell-id family (tiles, hex/S2,
+    quadkey/geohash) the engine supports."""
+    import numpy as np
+
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import quadkey_np
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        t = encode_tiles(batch, "WebMercatorQuad", (zoom,), keep_columns=[])
+        qk = quadkey_np(
+            t["tile_x"].to_numpy(zero_copy_only=False),
+            t["tile_y"].to_numpy(zero_copy_only=False),
+            zoom,
+        )
+        return pa.table({"quadkey": pa.array(qk.tolist(), pa.string())})
+
+    ds = ds.map_batches(enc, batch_format="pyarrow", batch_size=16384)
+    return partial_count_groupby(ds, ["quadkey"], alias="n")
+
+
+def sql_quadkey_cells(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    chars = " || ".join(
+        f"substr('0123', CAST((((ty >> {zoom - 1 - k}) & 1) * 2"
+        f" + ((tx >> {zoom - 1 - k}) & 1)) AS INTEGER) + 1, 1)"
+        for k in range(zoom)
+    )
+    return f"""
+WITH tiles AS (
+  SELECT {t['tx']} AS tx, {t['ty']} AS ty
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+)
+SELECT ({chars}) AS quadkey, count(*) AS n
+FROM tiles
+GROUP BY 1
+"""
+
+
 def sql_tile_assign(zoom: int = 8) -> str:
     t = _tile_sql(zoom)
     return f"""
@@ -266,6 +312,7 @@ QUERIES = {
     "geohash_cells": mlprep.q_geohash_cells,
     "idw_grid": mlprep.q_idw_grid,
     "vectorize_raster": mlprep.q_vectorize_raster,
+    "quadkey_cells": q_quadkey_cells,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
@@ -333,6 +380,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quadkey_cells": sql_quadkey_cells(8),
     "tile_assign_z4": sql_tile_assign(4),
     "tile_assign_z8": sql_tile_assign(8),
     "tile_metrics_z8": sql_tile_metrics(8),

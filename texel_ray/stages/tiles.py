@@ -255,3 +255,19 @@ def geohash_encode(batch, precision: int = 5, keep_columns=None):
     cols = [batch[c] for c in keep]
     cols.append(pa.array(gh.tolist(), pa.string()))
     return pa.table(cols, names=[*keep, "geohash"])
+
+
+def quadkey_np(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
+    """Bing-style quadkeys from tile coords: zoom digits 0-3, MSB first
+    (digit = y_bit*2 + x_bit). Vectorized; mirrored 1:1 by the SQL
+    oracle (queries.sql_quadkey_cells)."""
+    digits = np.empty((zoom, len(tx)), dtype="U1")
+    lut = np.array(["0", "1", "2", "3"])
+    for k in range(zoom):
+        bit = zoom - 1 - k
+        d = ((ty >> bit) & 1) * 2 + ((tx >> bit) & 1)
+        digits[k] = lut[d]
+    out = digits[0]
+    for k in range(1, zoom):
+        out = np.char.add(out, digits[k])
+    return out

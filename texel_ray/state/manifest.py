@@ -73,6 +73,7 @@ def resumable_write(
     out_dir: str,
     partition_col: str = "tm_id",
     inputs: list[str] | None = None,
+    range_cols: tuple[str, ...] = ("tile_x", "tile_y"),
 ):
     """Write ``ds`` hive-partitioned by ``partition_col``, skipping
     partitions already in the manifest. Returns (written_keys, skipped_keys).
@@ -116,13 +117,42 @@ def resumable_write(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=[partition_col])
 
-    # counters side-channel: per-partition row counts from parquet footers
+    # counters side-channel: per-partition row counts + key (cell) ranges
+    # from parquet footers — column statistics are in the metadata, so the
+    # full lineage record (inputs, cell ranges, row counts) costs zero
+    # data reads
     written = []
     for p in sorted(out_path.glob(f"{partition_col}=*")):
         val = _parse_partition_value(p.name.split("=", 1)[1])
         if _key_str({partition_col: val}) in done:
             continue
-        rows = sum(pq.read_metadata(f).num_rows for f in p.glob("*.parquet"))
-        manifest.record({partition_col: val}, rows=rows, inputs=inputs)
+        rows = 0
+        ranges: dict[str, list] = {}
+        for f in p.glob("*.parquet"):
+            md = pq.read_metadata(f)
+            rows += md.num_rows
+            schema_names = md.schema.to_arrow_schema().names
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name not in range_cols or name not in schema_names:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cur = ranges.get(name)
+                    if cur is None:
+                        ranges[name] = [st.min, st.max]
+                    else:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+        manifest.record(
+            {partition_col: val},
+            rows=rows,
+            inputs=inputs,
+            ranges={k: list(v) for k, v in ranges.items()},
+        )
         written.append(val)
     return written, skipped
