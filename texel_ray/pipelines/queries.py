@@ -312,6 +312,7 @@ QUERIES = {
     "geohash_cells": mlprep.q_geohash_cells,
     "idw_grid": mlprep.q_idw_grid,
     "vectorize_raster": mlprep.q_vectorize_raster,
+    "geodesic_hist": mlprep.q_geodesic_hist,
     "quadkey_cells": q_quadkey_cells,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
@@ -396,6 +397,7 @@ ORACLE_SQL = {
     "h3_kring": mlprep.sql_h3_kring(images_sql_source()),
     "geohash_cells": mlprep.sql_geohash_cells(images_sql_source()),
     "idw_grid": mlprep.sql_idw_grid(images_sql_source()),
+    "geodesic_hist": mlprep.sql_geodesic_hist(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "tfidf": mlprep.SQL_TFIDF,
