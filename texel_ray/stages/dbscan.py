@@ -396,8 +396,62 @@ def dbscan(ds, eps: float, min_pts: int, id_col: str = "image_id"):
         .groupby("bucket")
         .map_groups(flag_cell, batch_format="pyarrow")
     )
+    # Density-aware pruning of the round-2 exchange: round 2 only does
+    # work in segments whose 9-cell ring holds a core, i.e. home cells
+    # inside ring1 of some core cell ("active"). Donating only to active
+    # targets drops the world's noise points from the second shuffle
+    # entirely (exact: p needs a round-2 row only in segments H with a
+    # core in ring1(H), and every such H is active by construction).
+    # The active set is dense-region-bounded (core cells + their ring),
+    # broadcast once via ray.put.
+    import ray
+
+    flagged = flagged.materialize()  # skinny (id, lon, lat, core) rows
+    core_cell_ids: set[int] = set()
+    for b in (
+        flagged.filter(expr="core == True")
+        .select_columns(["lon", "lat"])
+        .iter_batches(batch_format="pyarrow")
+    ):
+        ccx, ccy = _cells(
+            b["lon"].to_numpy(zero_copy_only=False),
+            b["lat"].to_numpy(zero_copy_only=False),
+            eps,
+        )
+        core_cell_ids.update(pack_label(ccx, ccy, 0).tolist())
+    if not core_cell_ids:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.string()), "cluster": pa.array([], pa.string())}
+            )
+        )
+    cc = np.array(sorted(core_cell_ids), dtype=np.int64)
+    ccx = (cc >> 42) - _OFF
+    ccy = ((cc >> 21) & ((1 << 21) - 1)) - _OFF
+    act = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            act.append(pack_label(ccx + dx, ccy + dy, 0))
+    active_sorted = np.unique(np.concatenate(act))
+    active_ref = ray.put(active_sorted)
+
+    def donate_active(batch: pa.Table) -> pa.Table:
+        active = ray.get(active_ref)
+        full = donate9(batch, eps)
+        key = pack_label(
+            full["tcx"].to_numpy(zero_copy_only=False),
+            full["tcy"].to_numpy(zero_copy_only=False),
+            0,
+        )
+        pos = np.searchsorted(active, key)
+        pos[pos >= len(active)] = len(active) - 1
+        keep = active[pos] == key
+        return full.filter(pa.array(keep))
+
     tagged = (
-        flagged.map_batches(lambda b: donate9(b, eps), batch_format="pyarrow")
+        flagged.map_batches(donate_active, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(label_cell, batch_format="pyarrow")
     )
