@@ -279,3 +279,55 @@ def test_pq_topk_recall_vs_bruteforce(ray_session):
         approx = set(got[got["query_id"] == qi]["vec_id"].tolist())
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.6, np.mean(recalls)
+
+
+def test_count_min_never_undercounts():
+    import numpy as np
+
+    from texel_ray.stages.sketch import CountMinSketch
+
+    rng = np.random.default_rng(13)
+    toks = np.array([f"tok{i:04d}" for i in range(3000)], dtype=object)
+    counts = rng.integers(1, 50, len(toks))
+    cms = CountMinSketch(width=1024, depth=4)  # deliberately tight
+    h = CountMinSketch.hash_tokens(toks)
+    cms.add(h, counts)
+    est = cms.estimate(h)
+    assert np.all(est >= counts)  # the property heavy_hitters relies on
+    # merge = sum
+    cms2 = CountMinSketch.from_bytes(cms.to_bytes(), width=1024, depth=4)
+    cms2.merge(cms)
+    assert np.array_equal(cms2.estimate(h), est * 0 + cms2.estimate(h))
+    assert np.all(cms2.estimate(h) >= 2 * counts)
+
+
+def test_heavy_hitters_exact_on_planted(ray_session):
+    """CMS prefilter + exact confirm returns exactly the tokens with
+    true count >= threshold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from texel_ray.pipelines import mlprep
+    from texel_ray.stages.agg import partial_sum_groupby  # noqa: F401
+
+    # plant a corpus: 3 heavy tokens, long tail of light ones
+    rows = (
+        ["heavy_a word"] * 120
+        + ["heavy_b filler"] * 101
+        + ["heavy_c x"] * 100
+        + [f"light_{i} y" for i in range(99)]
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pa.parquet.write_table(
+        pa.table({"doc_id": pa.array(range(len(rows))), "text": pa.array(rows)}),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = mlprep.q_heavy_hitters(d, threshold=100).to_pandas()
+    got = dict(zip(out["token"], out["n"]))
+    # exact expectation
+    toks = pd.Series(" ".join(rows).split()).value_counts()
+    want = {t: int(n) for t, n in toks.items() if n >= 100}
+    assert got == want

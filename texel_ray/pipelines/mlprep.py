@@ -148,6 +148,81 @@ def q_token_counts(sf_dir: str, top: int = 50):
     return out.sort(["n", "token"], descending=[True, False]).limit(top)
 
 
+def q_heavy_hitters(sf_dir: str, threshold: int = 100):
+    """Exact heavy hitters via count-min prefilter: tokens whose corpus
+    frequency >= threshold. Pass A builds a mergeable CMS from per-batch
+    token histograms (256 KB per partial, summed on the driver — sketch
+    rows, never token rows); pass B broadcasts the sketch and emits
+    candidate (token, n_partial) rows ONLY for tokens the CMS says could
+    be heavy, then an exact tiny groupby confirms. CMS never
+    undercounts, so there are no false negatives — output semantics are
+    EXACT (same pattern as the Bloom anti-join), which is why a plain
+    SQL HAVING oracle recomputes it."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.sketch import CountMinSketch
+    from ..stages.text import token_histogram
+
+    hist = _read(sf_dir, "documents", ["text"]).map_batches(
+        token_histogram, batch_format="pandas"
+    )
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch()
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        cms.add(
+            CountMinSketch.hash_tokens(toks),
+            batch["n_partial"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
+
+    hist = hist.materialize()  # consumed by both passes; skinny rows
+    total = CountMinSketch()
+    for row in hist.map_batches(cms_partial, batch_format="pyarrow").iter_rows():
+        total.merge(CountMinSketch.from_bytes(row["sketch"]))
+    cms_ref = ray.put(total.to_bytes())
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch.from_bytes(ray.get(cms_ref))
+        toks = np.asarray(batch["token"].to_pylist(), dtype=object)
+        est = cms.estimate(CountMinSketch.hash_tokens(toks))
+        keep = est >= threshold
+        return pa.table(
+            {
+                "token": pa.array(toks[keep].tolist(), pa.string()),
+                "n_partial": batch["n_partial"].filter(pa.array(keep)),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        hist.map_batches(candidates, batch_format="pyarrow"),
+        ["token"],
+        ["n_partial"],
+        coalesce=4,
+    )
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater_equal(batch["n_partial"], threshold))
+        return pa.table({"token": t["token"], "n": t["n_partial"]})
+
+    return agg.map_batches(confirm, batch_format="pyarrow")
+
+
+SQL_HEAVY_HITTERS = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY 1
+HAVING count(*) >= 100
+"""
+
+
 SQL_TOKEN_COUNTS = r"""
 SELECT token, count(*) AS n
 FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

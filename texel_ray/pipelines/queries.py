@@ -346,6 +346,7 @@ QUERIES = {
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
+    "heavy_hitters": mlprep.q_heavy_hitters,
     "tfidf": mlprep.q_tfidf,
     "vocab_encode": mlprep.q_vocab_encode,
     "fingerprint": mlprep.q_fingerprint,
@@ -400,6 +401,7 @@ ORACLE_SQL = {
     "geodesic_hist": mlprep.sql_geodesic_hist(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
+    "heavy_hitters": mlprep.SQL_HEAVY_HITTERS,
     "tfidf": mlprep.SQL_TFIDF,
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,

@@ -269,3 +269,57 @@ def tdigest_merge_quantiles(
     return {
         g: [d.quantile(q) for q in quantiles] for g, d in digests.items()
     }
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan): depth x width counter
+    matrix, row i indexed by (h1 + i*h2) mod width over a 64-bit mix of
+    the key. Mergeable by element-wise sum; estimates NEVER undercount
+    (est >= true), which is what makes the heavy-hitters pipeline exact:
+    the sketch is only a candidate prefilter, an exact groupby confirms.
+    """
+
+    def __init__(self, width: int = 8192, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    @staticmethod
+    def hash_tokens(tokens: np.ndarray) -> np.ndarray:
+        """Deterministic vectorized uint64 hash of string tokens."""
+        import pandas as pd
+
+        return pd.util.hash_array(np.asarray(tokens, dtype=object))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        h1 = HyperLogLog._hash64(h)
+        h2 = HyperLogLog._hash64(h ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+        return np.stack(
+            [
+                ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+                for i in range(self.depth)
+            ]
+        )
+
+    def add(self, h: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._rows(h)
+        for i in range(self.depth):
+            np.add.at(self.table[i], idx[i], counts.astype(np.int64))
+
+    def estimate(self, h: np.ndarray) -> np.ndarray:
+        idx = self._rows(h)
+        ests = np.stack([self.table[i][idx[i]] for i in range(self.depth)])
+        return ests.min(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, width: int = 8192, depth: int = 4):
+        cms = cls(width, depth)
+        cms.table = np.frombuffer(buf, dtype="<i8").reshape(depth, width).copy()
+        return cms
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
