@@ -360,6 +360,116 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, each doc labeled with its component
+    representative (min doc_id). Completes the dedup story: pairs ->
+    transitive groups -> canonical keep/drop decision. The union-find
+    runs on the driver over the PAIR list (pair-dimension-sized, the
+    same bounded victim-list shape the curation pipelines collect);
+    rows never leave the dataset. Exact SQL oracle: recursive-CTE
+    reachability (min-rep closure) over the same exact-Jaccard pair
+    set the minhash oracle uses."""
+    import pandas as pd
+
+    pairs = q_minhash_neardup(sf_dir, threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        r = a
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[a] != r:
+            parent[a], a = r, parent[a]
+        return r
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((int(k), find(int(k))) for k in parent)
+    return pd.DataFrame(
+        {"doc_id": [a for a, _ in rows], "rep": [b for _, b in rows]}
+    ).astype("int64")
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM t
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), comp(id, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, c.r FROM edges e JOIN comp c ON c.id = e.b
+)
+SELECT id AS doc_id, min(r) AS rep
+FROM comp
+GROUP BY 1
+"""
+
+
+def q_caption_redact(sf_dir: str):
+    """Regex redaction at scale: the numeric id markers in captions
+    (`#00001234`) are scrubbed to `<ID>`; per image the redacted-caption
+    md5 and hit count. The compiled regex lives in the batch fn (one
+    compile per process); exact SQL oracle mirrors with DuckDB
+    regexp_replace / regexp_extract_all — the pattern is chosen from
+    the RE2-and-Python-re common subset so semantics align exactly."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+
+    pat = re.compile(r"#[0-9]+")
+
+    def redact(batch: pa.Table) -> pa.Table:
+        caps = batch["caption"].to_pylist()
+        red, md5s, hits = [], [], []
+        for c in caps:
+            r = pat.sub("<ID>", c)
+            md5s.append(hashlib.md5(r.encode()).hexdigest())
+            hits.append(len(pat.findall(c)))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "md5": pa.array(md5s, pa.string()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["image_id", "caption"])
+    return ds.map_batches(redact, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_caption_redact(images_source: str) -> str:
+    return f"""
+SELECT image_id,
+       md5(regexp_replace(caption, '#[0-9]+', '<ID>', 'g')) AS md5,
+       CAST(len(regexp_extract_all(caption, '#[0-9]+')) AS BIGINT) AS n_hits
+FROM {images_source}
+"""
+
+
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: banded exact-match blocking + in-bucket vectorized
     hamming verification, fully in-dataset (the 64-bit signature travels

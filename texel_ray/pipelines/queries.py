@@ -326,6 +326,8 @@ QUERIES = {
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
+    "dedup_clusters": mlprep.q_dedup_clusters,
+    "caption_redact": mlprep.q_caption_redact,
     "simhash_neardup": mlprep.q_simhash_neardup,
     "embedding_neardup": mlprep.q_embedding_neardup,
     "semantic_dedup": mlprep.q_semantic_dedup,
@@ -405,6 +407,8 @@ ORACLE_SQL = {
     "tfidf": mlprep.SQL_TFIDF,
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
+    "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
+    "caption_redact": mlprep.sql_caption_redact(images_sql_source()),
     "embedding_neardup": mlprep.SQL_EMB_NEARDUP,
     "langid": mlprep.SQL_LANGID,
     "fingerprint": mlprep.SQL_FINGERPRINT,
