@@ -93,3 +93,32 @@ def test_vertex_degree_closure():
     for lp in marching_squares(m):
         d = np.abs(np.diff(np.vstack([lp, lp[:1]]), axis=0)).sum(axis=1)
         assert np.all(d == 2)
+
+
+# ---- overview pyramid (q_tile_pyramid) ------------------------------------
+
+
+def test_tile_pyramid_conservation(ray_session):
+    """Every pyramid level conserves point count and color mass exactly,
+    and each parent cell equals the sum of its 2x2 children."""
+    from texel_ray.pipelines.mlprep import q_tile_pyramid
+
+    df = q_tile_pyramid("/root/testdata/sf0.001", base_zoom=10, levels=3).to_pandas()
+    lv = df.groupby("tm_id")[["n", "sum_r"]].sum()
+    assert lv["n"].nunique() == 1
+    assert lv["sum_r"].nunique() == 1
+    base = df[df.tm_id == 10]
+    parents = df[df.tm_id == 9]
+    child_sums = (
+        base.assign(pgx=base.gx // 2, pgy=base.gy // 2)
+        .groupby(["pgx", "pgy"])[["n", "sum_r", "sum_g", "sum_b"]]
+        .sum()
+        .reset_index()
+    )
+    merged = parents.merge(
+        child_sums, left_on=["gx", "gy"], right_on=["pgx", "pgy"], how="outer",
+        suffixes=("", "_c"),
+    )
+    assert len(merged) == len(parents)
+    for col in ("n", "sum_r", "sum_g", "sum_b"):
+        assert (merged[col] == merged[f"{col}_c"]).all()

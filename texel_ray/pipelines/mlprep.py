@@ -1434,6 +1434,96 @@ def q_dbscan(sf_dir: str, eps: float = 0.01, min_pts: int = 10):
     return dbscan(ds, eps=eps, min_pts=min_pts)
 
 
+def q_tile_pyramid(sf_dir: str, base_zoom: int = 12, levels: int = 4):
+    """Raster overview pyramid: per-tile density + mean-color mass at
+    ``base_zoom``, rolled up level by level (each parent cell = the sum
+    of its 2x2 children — the standard overview construction, exact in
+    integers). One decode+assign pass builds the base; every rollup
+    runs on the ALREADY aggregated cell table (cell-bounded, skinny),
+    so the pyramid costs base + negligible. Output rows across all
+    levels: (tm_id, gx, gy, n, sum_r, sum_g, sum_b). Golden oracle
+    (decode); conservation (level totals equal, parent = sum of
+    children) is pytest-pinned."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import ImageStats
+    from ..stages.tiles import encode_tiles
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
+
+    class StatsWithTile:
+        """Tile-assign FIRST (drops outside-grid rows, same policy as
+        tile_metrics), then decode the surviving rows once."""
+
+        def __init__(self):
+            self.stats = ImageStats()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = encode_tiles(
+                batch,
+                "WebMercatorQuad",
+                (base_zoom,),
+                keep_columns=["image_id", "bytes", "fmt"],
+            )
+            stats = self.stats(t)
+            return pa.table(
+                {
+                    "gx": t["tile_x"],
+                    "gy": t["tile_y"],
+                    "sum_r": stats["mean_r"],
+                    "sum_g": stats["mean_g"],
+                    "sum_b": stats["mean_b"],
+                }
+            )
+
+    enc = ds.map_batches(
+        StatsWithTile, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+    base = partial_sum_groupby(
+        enc, ["gx", "gy"], ["sum_r", "sum_g", "sum_b"], count_alias="n"
+    )
+    # each level is cell-bounded (skinny aggregate); materializing lets
+    # the union consume all levels without re-executing shared lineage
+    base = base.materialize()
+
+    def tag(level_ds, z):
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "tm_id", pa.array(np.full(b.num_rows, z, dtype=np.int32))
+            )
+
+        return level_ds.map_batches(add, batch_format="pyarrow")
+
+    out = tag(base, base_zoom)
+    cur = base
+    for z in range(base_zoom - 1, base_zoom - levels, -1):
+        def to_parent(b: pa.Table) -> pa.Table:
+            gx = b["gx"].to_numpy(zero_copy_only=False) >> 1
+            gy = b["gy"].to_numpy(zero_copy_only=False) >> 1
+            return pa.table(
+                {
+                    "gx": pa.array(gx),
+                    "gy": pa.array(gy),
+                    "sum_r": b["sum_r"],
+                    "sum_g": b["sum_g"],
+                    "sum_b": b["sum_b"],
+                    "n": b["n"],
+                }
+            )
+
+        cur = partial_sum_groupby(
+            cur.map_batches(to_parent, batch_format="pyarrow"),
+            ["gx", "gy"],
+            ["sum_r", "sum_g", "sum_b", "n"],
+            coalesce=4,
+        ).materialize()
+        out = out.union(tag(cur, z))
+    return out
+
+
 def q_geodesic_hist(sf_dir: str, bucket_m: float = 100_000.0):
     """Geodesic (haversine) distance features: each image's nearest
     urban center (the 12 deterministic cluster seeds, broadcast — tiny

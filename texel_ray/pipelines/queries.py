@@ -342,6 +342,7 @@ QUERIES = {
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
     "zonal_stats": mlprep.q_zonal_stats,
+    "tile_pyramid": mlprep.q_tile_pyramid,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
     "audio_features": mlprep.q_audio_features,
     "video_frames": mlprep.q_video_frames,
@@ -483,6 +484,8 @@ for _name in (
     # marching-squares kernel pinned by shape tests; golden pins the
     # traced geometry via per-image vertex-stream CRCs
     "vectorize_raster",
+    # overview pyramid: decode golden + conservation invariants pytest
+    "tile_pyramid",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):
