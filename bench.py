@@ -104,6 +104,8 @@ def run_benchmarks() -> dict:
     timed("knn_nearest", lambda: mlprep.q_knn_nearest(SF_DIR))
     timed("dbscan", lambda: mlprep.q_dbscan(SF_DIR))
     timed("simplify_shapes", lambda: spatial.q_simplify_shapes(SF_DIR))
+    timed("tile_pyramid", lambda: mlprep.q_tile_pyramid(SF_DIR))
+    timed("heavy_hitters", lambda: mlprep.q_heavy_hitters(SF_DIR))
     timed("pack_sequences", lambda: mlprep.q_pack_sequences(SF_DIR))
     timed("quantiles_quality", lambda: mlprep.q_quantiles_quality(SF_DIR))
     timed("audio_features", lambda: mlprep.q_audio_features(SF_DIR))

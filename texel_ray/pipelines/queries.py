@@ -117,6 +117,70 @@ GROUP BY 1
 """
 
 
+def q_pip_anti_join(sf_dir: str):
+    """Spatial ANTI join: images inside NO region (rect or polygon),
+    counted per 10-degree latitude band — the negation of the PIP join,
+    same broadcast-region actor pool and even-odd test
+    (stages/pip_join.contains_any). Exact SQL oracle: NOT EXISTS over
+    the rects + negated half-plane disjunction over the hexagons."""
+    import numpy as np
+
+    from ..stages.agg import partial_count_groupby
+    from ..stages.pip_join import PIPJoiner, contains_any
+
+    class AntiPIP:
+        def __init__(self):
+            self.j = PIPJoiner(keep_columns=[])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            outside = ~contains_any(self.j, lon, lat)
+            band = np.floor(lat[outside] / 10.0).astype(np.int64)
+            return pa.table({"band": pa.array(band)})
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        AntiPIP, batch_format="pyarrow", batch_size=16384, concurrency=(1, 4)
+    )
+    return partial_count_groupby(ds, ["band"], alias="n")
+
+
+def sql_pip_anti_join() -> str:
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    regions = generate_regions_table()
+    hex_disjuncts = []
+    for kind, buf in zip(
+        regions["kind"].to_pylist(), regions["geom_wkb"].to_pylist()
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        ring = rings[0]
+        conds = []
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0"
+            )
+        hex_disjuncts.append("(" + " AND ".join(conds) + ")")
+    hex_any = " OR ".join(hex_disjuncts)
+    return f"""
+SELECT CAST(floor(lat / 10.0) AS BIGINT) AS band, count(*) AS n
+FROM {images_sql_source()} i
+WHERE NOT EXISTS (
+    SELECT 1 FROM {regions_sql_source()} r
+    WHERE r.kind = 'rect'
+      AND i.lon >= r.minx AND i.lon <= r.maxx
+      AND i.lat >= r.miny AND i.lat <= r.maxy
+)
+AND NOT ({hex_any})
+GROUP BY 1
+"""
+
+
 def sql_tile_assign(zoom: int = 8) -> str:
     t = _tile_sql(zoom)
     return f"""
@@ -319,6 +383,7 @@ QUERIES = {
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
+    "pip_anti_join": q_pip_anti_join,
     "knn_radius": mlprep.q_knn_radius,
     "knn_all": mlprep.q_knn_all,
     "knn_nearest": mlprep.q_knn_nearest,
@@ -391,6 +456,7 @@ ORACLE_SQL = {
     "tile_metrics_z8": sql_tile_metrics(8),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
+    "pip_anti_join": sql_pip_anti_join(),
     "dedup_exact": sql_dedup_exact(),
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "knn_all": mlprep.sql_knn_all(images_sql_source()),

@@ -202,3 +202,46 @@ class PIPJoiner:
         cols.append(pa.array(self.region_id[region_idx]))
         cols.append(pa.array([self.region_name[i] for i in region_idx], pa.string()))
         return pa.table(cols, names=[*keep, "region_id", "region_name"])
+
+
+# row-level any-region containment (used by the spatial anti join)
+def contains_any(self: "PIPJoiner", px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Boolean mask: point is inside AT LEAST one region (same exact
+    even-odd semantics and bbox/grid candidate pruning as __call__)."""
+    inside = np.zeros(len(px), dtype=bool)
+    if self.use_grid:
+        cand_p, cand_r = self._grid_bbox_candidates(px, py)
+        order = np.argsort(cand_r, kind="stable")
+        cand_p, cand_r = cand_p[order], cand_r[order]
+        bnd = np.nonzero(np.diff(cand_r) != 0)[0] + 1
+        starts = np.concatenate(([0], bnd)) if len(cand_r) else []
+        ends = np.concatenate((bnd, [len(cand_r)])) if len(cand_r) else []
+        for s, e in zip(starts, ends):
+            poly_i = int(cand_r[s])
+            idx = cand_p[s:e]
+            idx = idx[~inside[idx]]
+            if not len(idx):
+                continue
+            if self.is_rect[poly_i]:
+                inside[idx] = True
+            else:
+                hit = self._contains(poly_i, px[idx], py[idx])
+                inside[idx[hit]] = True
+    else:
+        cand = (
+            (px[:, None] >= self.minx[None, :])
+            & (px[:, None] <= self.maxx[None, :])
+            & (py[:, None] >= self.miny[None, :])
+            & (py[:, None] <= self.maxy[None, :])
+        )
+        for poly_i in np.nonzero(cand.any(axis=0))[0]:
+            idx = np.nonzero(cand[:, poly_i] & ~inside)[0]
+            if not len(idx):
+                continue
+            if self.is_rect[poly_i]:
+                inside[idx] = True
+            else:
+                hit = self._contains(poly_i, px[idx], py[idx])
+                inside[idx[hit]] = True
+    return inside
+
