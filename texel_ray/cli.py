@@ -110,6 +110,54 @@ def cmd_tiles(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline by name; write the result to parquet.
+
+    Makes every operator in pipelines/queries.QUERIES a first-class
+    `ray job submit` target: Dataset results stream through a
+    distributed write, driver-sized results (pandas) write one file.
+    """
+    from .pipelines.queries import QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query '{args.name}' (see --list)", file=sys.stderr)
+        return 2
+    _ray_init(args.num_cpus)
+    import pandas as pd
+
+    result = QUERIES[args.name](args.source)
+    if args.overwrite:
+        shutil.rmtree(args.target, ignore_errors=True)
+    if isinstance(result, pd.DataFrame):
+        import pathlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = pathlib.Path(args.target)
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(result, preserve_index=False),
+            out / "part-0.parquet",
+        )
+        n = len(result)
+    else:
+        result.write_parquet(args.target)
+        import pyarrow.parquet as pq
+        import pathlib
+
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in pathlib.Path(args.target).glob("*.parquet")
+        )
+    print(f"query {args.name}: {n} rows -> {args.target}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="texel_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,6 +191,17 @@ def main(argv=None) -> int:
     pt.add_argument("-o", "--overwrite", action="store_true")
     pt.add_argument("--num-cpus", type=int, default=None)
     pt.set_defaults(fn=cmd_tiles)
+
+    pq_ = sub.add_parser(
+        "query", help="run any registered pipeline by name -> parquet"
+    )
+    pq_.add_argument("name", nargs="?", default="", help="query name (see --list)")
+    pq_.add_argument("-s", "--source", default="/root/testdata/sf0.01")
+    pq_.add_argument("-t", "--target", default="/tmp/texel_ray_query")
+    pq_.add_argument("-o", "--overwrite", action="store_true")
+    pq_.add_argument("--list", action="store_true", help="list query names")
+    pq_.add_argument("--num-cpus", type=int, default=None)
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     try:
