@@ -209,3 +209,34 @@ def test_geodesic_hist_haversine_sanity(ray_session):
     df = q_geodesic_hist("/root/testdata/sf0.001").to_pandas()
     assert len(df) > 0 and (df["n"] > 0).all()
     assert set(df.columns) == {"center", "bucket", "n"}
+
+
+def test_convex_hull_kernel():
+    """Monotone chain: square corners survive, interior and collinear
+    boundary points drop, order is CCW from the lexicographic min;
+    degenerate inputs (<=2 points, all-collinear) stay well-formed."""
+    from texel_ray.pipelines.mlprep import convex_hull
+
+    sq = np.unique(
+        np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.5, 0.0]]), axis=0
+    )
+    h = convex_hull(sq)
+    assert h.tolist() == [[0, 0], [1, 0], [1, 1], [0, 1]]
+    # signed shoelace positive = CCW
+    x, y = h[:, 0], h[:, 1]
+    assert np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) > 0
+    assert len(convex_hull(np.array([[1.0, 2.0]]))) == 1
+    col = np.unique(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]]), axis=0)
+    assert len(convex_hull(col)) <= 2
+
+
+def test_region_hulls_and_transitions_run(ray_session):
+    from texel_ray.pipelines.mlprep import q_region_hulls
+    from texel_ray.pipelines.relational import q_event_transitions
+
+    hulls = q_region_hulls("/root/testdata/sf0.001").to_pandas()
+    assert len(hulls) > 0
+    assert (hulls["n_hull"] <= hulls["n_points"]).all()
+    assert (hulls["hull_area"] >= 0).all()
+    tr = q_event_transitions("/root/testdata/sf0.001").to_pandas()
+    assert len(tr) > 0 and (tr["n"] > 0).all()

@@ -2148,3 +2148,88 @@ def q_video_frames(sf_dir: str, every_n: int = 5):
         count_alias="n_frames",
         coalesce=4,
     )
+
+
+def q_region_hulls(sf_dir: str):
+    """Per-region convex hull of member image geotags (PIP join ->
+    groupby(region).map_groups monotone chain). The dissolve-style
+    spatial aggregate: per region the hull vertex count, shoelace area
+    and a CRC of the exact hull vertex stream (deterministic — hull of
+    a point SET is order-independent, ties resolved lexicographically).
+    Golden oracle (hulls are not SQL-expressible); the kernel is pinned
+    by a square + collinear pytest."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.pip_join import PIPJoiner
+
+    def hull_of(group: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        pts = np.unique(
+            np.stack([group["lon"].to_numpy(), group["lat"].to_numpy()], axis=1),
+            axis=0,
+        )  # lexicographically sorted unique points
+        h = convex_hull(pts)
+        x, y = h[:, 0], h[:, 1]
+        area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        return pd.DataFrame(
+            {
+                "region_id": [int(group["region_id"].iloc[0])],
+                "n_points": [len(pts)],
+                "n_hull": [len(h)],
+                "hull_area": [abs(area2) / 2.0],
+                "crc": [zlib.crc32(h.astype("<f8").tobytes())],
+            }
+        )
+
+    def join_batch(batch):
+        import pyarrow as pa  # noqa: F401
+
+        return batch
+
+    import ray.data
+
+    from ..sources.images import read_images
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": ["lon", "lat"]},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 4),
+    )
+    return (
+        joined.select_columns(["region_id", "lon", "lat"])
+        .groupby("region_id")
+        .map_groups(hull_of, batch_format="pandas")
+    )
+
+
+def convex_hull(pts):
+    """Andrew's monotone chain over lexicographically sorted unique
+    points; returns hull vertices CCW starting from the lexicographic
+    minimum. Collinear boundary points are dropped (strict turns)."""
+    import numpy as np
+
+    n = len(pts)
+    if n <= 2:
+        return np.asarray(pts, dtype=np.float64)
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((float(p[0]), float(p[1])))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)

@@ -384,6 +384,7 @@ QUERIES = {
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_anti_join": q_pip_anti_join,
+    "region_hulls": mlprep.q_region_hulls,
     "knn_radius": mlprep.q_knn_radius,
     "knn_all": mlprep.q_knn_all,
     "knn_nearest": mlprep.q_knn_nearest,
@@ -442,6 +443,7 @@ QUERIES = {
     "window_join_events": relational.q_window_join_events,
     "percent_rank_orders": relational.q_percent_rank_orders,
     "pivot_events": relational.q_pivot_events,
+    "event_transitions": relational.q_event_transitions,
     "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
@@ -498,6 +500,7 @@ ORACLE_SQL = {
     "window_join_events": relational.SQL_WINDOW_JOIN_EVENTS,
     "percent_rank_orders": relational.SQL_PERCENT_RANK_ORDERS,
     "pivot_events": relational.SQL_PIVOT_EVENTS,
+    "event_transitions": relational.SQL_EVENT_TRANSITIONS,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,
@@ -552,6 +555,8 @@ for _name in (
     "vectorize_raster",
     # overview pyramid: decode golden + conservation invariants pytest
     "tile_pyramid",
+    # convex hulls are not SQL-expressible; kernel pytest-pinned
+    "region_hulls",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

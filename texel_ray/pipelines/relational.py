@@ -791,3 +791,55 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'view') AS n_view
 FROM events GROUP BY 1
 """
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION counts (Markov bigrams): for each
+    consecutive event pair in (ts, event_id) order, count (prev_type ->
+    type). One groupby(user) exchange of skinny rows; per group a
+    vectorized sort + shift; partial bigram counts -> tiny final merge.
+    Exact SQL oracle via lag() over the same deterministic ordering."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable")
+        prev = g["event_type"].shift(1)
+        pairs = pd.DataFrame(
+            {"prev_type": prev[1:], "event_type": g["event_type"][1:]}
+        )
+        out = (
+            pairs.groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+        return out
+
+    parts = ds.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["prev_type", "event_type"], ["n_partial"], coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["prev_type", "event_type", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM o
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -67,6 +67,8 @@ REGRESSION_PIN = [
     "vectorize_raster",
     # overview rollup is exact-integer; conservation pytest-pinned
     "tile_pyramid",
+    # hull kernel pinned by square/collinear pytest
+    "region_hulls",
 ]
 
 
