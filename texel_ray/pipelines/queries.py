@@ -120,6 +120,100 @@ GROUP BY 1, 2
 """
 
 
+def q_region_extents(sf_dir: str):
+    """Per-region EXTENT UNION of member image geotags (min/max lon/lat
+    + count) — the dataset-level form of the reference's running-extent
+    bookkeeping (gpkg.go writes the union of feature extents into
+    gpkg_contents). PIP join -> per-batch arrow min/max partials -> one
+    tiny merge; min/max of floats are exact (no accumulation), so the
+    SQL oracle recomputes bit-for-bit."""
+    import numpy as np
+
+    from ..stages.pip_join import PIPJoiner
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": ["lon", "lat"]},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 4),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["region_id"]).aggregate(
+            [("lon", "min"), ("lon", "max"), ("lat", "min"), ("lat", "max"), ("__one", "sum")]
+        )
+        return g.rename_columns(
+            ["region_id", "minx", "maxx", "miny", "maxy", "n"]
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["region_id"]).aggregate(
+            [("minx", "min"), ("maxx", "max"), ("miny", "min"), ("maxy", "max"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["region_id", "minx", "maxx", "miny", "maxy", "n"]
+        )
+
+    parts = joined.select_columns(["region_id", "lon", "lat"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return (
+        parts.repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sql_region_extents() -> str:
+    # same membership SQL as the PIP oracles; extents are plain MIN/MAX
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    regions = generate_regions_table()
+    hex_selects = []
+    for rid, kind, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        conds = []
+        ring = rings[0]
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0"
+            )
+        hex_selects.append(
+            f"SELECT {rid} AS region_id, min(lon) AS minx, max(lon) AS maxx, "
+            f"min(lat) AS miny, max(lat) AS maxy, count(*) AS n "
+            f"FROM {images_sql_source()} WHERE {' AND '.join(conds)}"
+        )
+    hex_sql = "\nUNION ALL\n".join(hex_selects)
+    return f"""
+SELECT * FROM (
+    SELECT r.region_id AS region_id,
+           min(i.lon) AS minx, max(i.lon) AS maxx,
+           min(i.lat) AS miny, max(i.lat) AS maxy,
+           count(*) AS n
+    FROM {images_sql_source()} i
+    JOIN {regions_sql_source()} r
+      ON r.kind = 'rect'
+     AND i.lon >= r.minx AND i.lon <= r.maxx
+     AND i.lat >= r.miny AND i.lat <= r.maxy
+    GROUP BY 1
+    UNION ALL
+    {hex_sql}
+) WHERE n > 0
+"""
+
+
 def q_quadkey_cells(sf_dir: str, zoom: int = 8):
     """Per-quadkey image counts (Bing quadkey = interleaved tile-coord
     digits; stages/tiles.quadkey_np, pinned against the published
@@ -435,6 +529,7 @@ QUERIES = {
     "pip_join_poly": q_pip_join_poly,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
+    "region_extents": q_region_extents,
     "knn_radius": mlprep.q_knn_radius,
     "knn_all": mlprep.q_knn_all,
     "knn_nearest": mlprep.q_knn_nearest,
@@ -510,6 +605,7 @@ ORACLE_SQL = {
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_anti_join": sql_pip_anti_join(),
+    "region_extents": sql_region_extents(),
     "dedup_exact": sql_dedup_exact(),
     "knn_radius": mlprep.sql_knn_radius(images_sql_source()),
     "knn_all": mlprep.sql_knn_all(images_sql_source()),
