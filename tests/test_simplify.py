@@ -159,3 +159,33 @@ def test_same_ring_vertex_in_swept_triangle_blocked():
     # no -- the spike tip ends up OUTSIDE silently; geometry is corrupted
     out_ng = simplify_rings([outer], min_area=400.0, preserve_topology=False)
     assert (50.0, 104.0) not in out_ng[0]
+
+
+def test_vector_chain_runs_and_conserves(ray_session):
+    """simplify -> snap -> clip chain: tiles cover the shapes corpus and
+    the clipped area stays within a few percent of the simplified input
+    area (clipping partitions geometry; simplification at z7 moved it
+    by design only slightly)."""
+    from texel_ray.pipelines.spatial import q_vector_chain
+
+    df = q_vector_chain("/root/testdata/sf0.001", zoom=7).to_pandas()
+    assert len(df) > 0
+    assert (df["n_features"] > 0).all()
+    assert (df["area_m2"] >= 0).all()
+    total = float(df["area_m2"].sum())
+    # input area of the corpus (mercator m^2)
+    a_in = 0.0
+    for sid, rings in _shapes_cache():
+        a_in += abs(shoelace(_open(rings[0]))) - sum(
+            abs(shoelace(_open(r))) for r in rings[1:]
+        )
+    assert total == pytest.approx(a_in, rel=0.08)
+
+
+def _shapes_cache():
+    t = generate_shapes_table()
+    out = []
+    for sid, buf in zip(t["shape_id"].to_pylist(), t["geom_wkb"].to_pylist()):
+        _, rings = wkb_decode(buf)
+        out.append((sid, rings))
+    return out

@@ -508,6 +508,7 @@ QUERIES = {
     "vector_tilecut": spatial.q_vector_tilecut,
     "snap_deadletter": spatial.q_snap_deadletter,
     "simplify_shapes": spatial.q_simplify_shapes,
+    "vector_chain": spatial.q_vector_chain,
     # spatial: tiling + joins + kNN
     "s2_cells": mlprep.q_s2_cells,
     "hex_cells": mlprep.q_hex_cells,
@@ -704,6 +705,9 @@ for _name in (
     "tile_pyramid",
     # convex hulls are not SQL-expressible; kernel pytest-pinned
     "region_hulls",
+    # simplify->snap->clip composition; each stage kernel separately
+    # pinned, golden pins the end-to-end tile stats
+    "vector_chain",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

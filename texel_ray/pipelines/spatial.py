@@ -383,3 +383,79 @@ def q_simplify_shapes(sf_dir: str, zooms: tuple[int, ...] = (4, 7, 10)):
         )
 
     return ds.map_batches(simplify_batch, batch_format="pyarrow", batch_size=8)
+
+
+def q_vector_chain(sf_dir: str, zoom: int = 7):
+    """The full vector-tile preprocessing chain as ONE streamed pipeline
+    — the north-star sentence end-to-end: topology-preserving per-zoom
+    SIMPLIFICATION (core/simplify.py) -> snap-to-tile-grid SNAPPING
+    (core/snap.py, reference semantics) -> deterministic TILE CUTTING
+    (Sutherland-Hodgman clip) -> per-tile rollup (feature count +
+    integer clipped area). Dense shapes in, tile stats out; every stage
+    is an actor-pool map_batches, the only exchange is the final skinny
+    rollup. Golden oracle; each stage kernel is separately pinned
+    (simplify invariants, snap goldens, clip area-conservation)."""
+    import ray.data
+
+    from ..core.geom import shoelace, wkb_decode, wkb_encode_polygon
+    from ..core.simplify import simplify_polygon_for_zoom
+    from ..sources.shapes import shapes_parquet_path
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.snap_stage import snap_dataset
+    from ..stages.vectorcut import VectorTileCutter, clipped_area
+
+    ds = ray.data.read_parquet(
+        shapes_parquet_path(), columns=["shape_id", "geom_wkb"]
+    )
+
+    def simplify_batch(batch: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for sid, buf in zip(
+            batch["shape_id"].to_pylist(), batch["geom_wkb"].to_pylist()
+        ):
+            kind, rings = wkb_decode(buf)
+            simp = simplify_polygon_for_zoom(rings, zoom)
+            if not simp:
+                continue
+            ids.append(sid)
+            out.append(wkb_encode_polygon(simp))
+        return pa.table(
+            {
+                "region_id": pa.array(ids, pa.int64()),
+                "geom_wkb": pa.array(out, pa.binary()),
+            }
+        )
+
+    simplified = ds.map_batches(simplify_batch, batch_format="pyarrow", batch_size=8)
+    snapped = snap_dataset(
+        simplified, "WebMercatorQuad", (zoom,), keep_points_and_lines=False
+    )
+    clipped = snapped.map_batches(
+        VectorTileCutter,
+        fn_constructor_kwargs={"tms": "WebMercatorQuad", "zoom": zoom},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def to_area(batch: pa.Table) -> pa.Table:
+        areas = np.array(
+            [clipped_area(b) for b in batch["geom_wkb"].to_pylist()],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "tm_id": batch["tm_id"],
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "area_m2": pa.array(np.trunc(areas).astype(np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        clipped.map_batches(to_area, batch_format="pyarrow"),
+        ["tm_id", "tile_x", "tile_y"],
+        ["area_m2"],
+        count_alias="n_features",
+        coalesce=4,
+    )

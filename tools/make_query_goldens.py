@@ -69,6 +69,8 @@ REGRESSION_PIN = [
     "tile_pyramid",
     # hull kernel pinned by square/collinear pytest
     "region_hulls",
+    # full simplify->snap->clip chain; stage kernels separately pinned
+    "vector_chain",
 ]
 
 
