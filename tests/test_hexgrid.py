@@ -240,3 +240,30 @@ def test_region_hulls_and_transitions_run(ray_session):
     assert (hulls["hull_area"] >= 0).all()
     tr = q_event_transitions("/root/testdata/sf0.001").to_pandas()
     assert len(tr) > 0 and (tr["n"] > 0).all()
+
+
+def test_polyfill_area_and_holes():
+    """polyfill cell count ~ polygon area / cell area; holes subtract;
+    disjoint polygons fill disjoint cell sets (center-in-polygon)."""
+    sq = [[(0.0, 0.0), (2e6, 0.0), (2e6, 2e6), (0.0, 2e6)]]
+    q, r = hg.polyfill(sq, 4)
+    s = hg.S0 / np.sqrt(7.0) ** 4
+    cell_area = s * s * np.sqrt(3.0) * 1.5
+    assert len(q) == pytest.approx(4e12 / cell_area, rel=0.05)
+    holed = sq + [[(5e5, 5e5), (5e5, 1.5e6), (1.5e6, 1.5e6), (1.5e6, 5e5)]]
+    qh, _ = hg.polyfill(holed, 4)
+    assert len(qh) < len(q)
+    assert len(qh) == pytest.approx(3e12 / cell_area, rel=0.06)
+    sq2 = [[(3e6, 0.0), (5e6, 0.0), (5e6, 2e6), (3e6, 2e6)]]
+    q2, r2 = hg.polyfill(sq2, 4)
+    assert not (set(zip(q.tolist(), r.tolist())) & set(zip(q2.tolist(), r2.tolist())))
+
+
+def test_polyfill_cells_centers_inside():
+    """Every filled cell's center satisfies even-odd containment."""
+    tri = [[(0.0, 0.0), (3e6, 0.0), (0.0, 3e6)]]
+    q, r = hg.polyfill(tri, 5)
+    cx, cy = hg.cell_center(q, r, 5)
+    # half-plane check for the CCW triangle
+    for (x1, y1), (x2, y2) in [((0, 0), (3e6, 0)), ((3e6, 0), (0, 3e6)), ((0, 3e6), (0, 0))]:
+        assert np.all((x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1) >= 0)

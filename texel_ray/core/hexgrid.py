@@ -231,3 +231,43 @@ def uncompact(cells: np.ndarray, res: int) -> np.ndarray:
             nxt.append(pack(np.full(len(ch), rr + 1, dtype=np.int64), ch[:, 0], ch[:, 1]))
         todo = np.concatenate(nxt) if nxt else np.array([], dtype=np.int64)
     return np.sort(np.concatenate(done)) if done else np.array([], dtype=np.int64)
+
+
+def polyfill(rings_xy: list, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """H3-style polygonToCells: all res-``res`` cells whose CENTER lies
+    inside the polygon (outer ring + optional holes, WebMercator
+    coords, even-odd rule). Candidate lattice range from the bbox's
+    fractional axial coords (padded by 1); containment vectorized.
+
+    Center-in-polygon is the standard polyfill semantics (cells
+    straddling the boundary belong to whichever side holds their
+    center), making disjoint polygons' fills disjoint."""
+    outer = np.asarray(rings_xy[0], dtype=np.float64)
+    mp = m_pow(res)
+    # fractional axial coords of the outer ring's vertices
+    q0, r0 = axial_frac0(outer[:, 0], outer[:, 1])
+    fq = mp[0, 0] * q0 + mp[0, 1] * r0
+    fr = mp[1, 0] * q0 + mp[1, 1] * r0
+    qmin, qmax = int(np.floor(fq.min())) - 1, int(np.ceil(fq.max())) + 1
+    rmin, rmax = int(np.floor(fr.min())) - 1, int(np.ceil(fr.max())) + 1
+    qq, rr = np.meshgrid(
+        np.arange(qmin, qmax + 1, dtype=np.int64),
+        np.arange(rmin, rmax + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    qq, rr = qq.ravel(), rr.ravel()
+    cx, cy = cell_center(qq, rr, res)
+    inside = np.zeros(len(cx), dtype=bool)
+    for i, ring in enumerate(rings_xy):
+        pts = np.asarray(ring, dtype=np.float64)
+        x1, y1 = pts[:, 0], pts[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        # even-odd crossing number, vectorized (centers x edges)
+        crosses = (y1[None, :] > cy[:, None]) != (y2[None, :] > cy[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1)[None, :] * (cy[:, None] - y1[None, :]) / (
+                y2 - y1
+            )[None, :] + x1[None, :]
+        hits = crosses & (cx[:, None] < xint)
+        inside ^= (hits.sum(axis=1) % 2).astype(bool)
+    return qq[inside], rr[inside]

@@ -1807,6 +1807,107 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+def q_hex_polyfill(sf_dir: str, res: int = 7):
+    """H3-style polygonToCells over the hexagon regions: the aperture-7
+    cells (core/hexgrid.polyfill, center-in-polygon rule) covering each
+    region, counted. Per-feature map_batches — at scale a corpus of
+    millions of polygons fans out across the pool, each feature's fill
+    independent. Exact SQL oracle: per region a generate_series lattice
+    over the SAME candidate bounds with the cell-center formula and the
+    convex half-plane test inlined (projected vertices as literals)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ..core import hexgrid
+    from ..core.geom import wkb_decode
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..sources.regions import regions_parquet_path
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "kind", "geom_wkb"]
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        rids, counts = [], []
+        for rid, kind, buf in zip(
+            batch["region_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["geom_wkb"].to_pylist(),
+        ):
+            if kind != "poly":
+                continue
+            _, rings = wkb_decode(buf)
+            merc = []
+            for ring in rings:
+                xs, ys = lonlat_to_webmercator_np(
+                    np.array([p[0] for p in ring]),
+                    np.array([p[1] for p in ring]),
+                )
+                merc.append(list(zip(xs.tolist(), ys.tolist())))
+            q, r = hexgrid.polyfill(merc, res)
+            rids.append(rid)
+            counts.append(len(q))
+        return pa.table(
+            {
+                "region_id": pa.array(rids, pa.int64()),
+                "n_cells": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow", batch_size=64)
+
+
+def sql_hex_polyfill(res: int = 7) -> str:
+    import numpy as np
+
+    from ..core import hexgrid
+    from ..core.geom import wkb_decode
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..sources.regions import generate_regions_table
+
+    mp = hexgrid.m_pow(res)
+    det = float(mp[0, 0] * mp[1, 1] - mp[0, 1] * mp[1, 0])
+    s3 = hexgrid.SQRT3
+    selects = []
+    regions = generate_regions_table()
+    for rid, kind, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        ring = rings[0]
+        xs, ys = lonlat_to_webmercator_np(
+            np.array([p[0] for p in ring]), np.array([p[1] for p in ring])
+        )
+        merc = list(zip(xs.tolist(), ys.tolist()))
+        # same candidate bounds as hexgrid.polyfill
+        q0, r0 = hexgrid.axial_frac0(xs, ys)
+        fq = mp[0, 0] * q0 + mp[0, 1] * r0
+        fr = mp[1, 0] * q0 + mp[1, 1] * r0
+        qmin, qmax = int(np.floor(fq.min())) - 1, int(np.ceil(fq.max())) + 1
+        rmin, rmax = int(np.floor(fr.min())) - 1, int(np.ceil(fr.max())) + 1
+        conds = []
+        for (x1, y1), (x2, y2) in zip(merc, merc[1:] + merc[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (cy - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (cx - {x1!r})) >= 0"
+            )
+        selects.append(f"""
+SELECT {rid} AS region_id, count(*) AS n_cells FROM (
+  SELECT ((({mp[1,1]} * q.g - {mp[0,1]} * r.g) / {det!r}) * {s3!r}
+        + ((-{mp[1,0]} * q.g + {mp[0,0]} * r.g) / {det!r}) * {s3 / 2.0!r}) * {hexgrid.S0!r} AS cx,
+         ((-{mp[1,0]} * q.g + {mp[0,0]} * r.g) / {det!r}) * 1.5 * {hexgrid.S0!r} AS cy
+  FROM generate_series({qmin}, {qmax}) q(g)
+  CROSS JOIN generate_series({rmin}, {rmax}) r(g)
+) WHERE {' AND '.join(conds)}""")
+    return "\nUNION ALL\n".join(selects)
+
+
 def q_tfidf(sf_dir: str, top: int = 50):
     """Corpus TF-IDF vocabulary scoring: top tokens by total_tf * (N/df)
     (rational idf — exactly SQL-reproducible, unlike ln(N/df) whose libm

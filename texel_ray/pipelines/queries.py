@@ -517,6 +517,7 @@ QUERIES = {
     "h3_rollup": mlprep.q_h3_rollup,
     "h3_kring": mlprep.q_h3_kring,
     "h3_compact": mlprep.q_h3_compact,
+    "hex_polyfill": mlprep.q_hex_polyfill,
     "geohash_cells": mlprep.q_geohash_cells,
     "idw_grid": mlprep.q_idw_grid,
     "vectorize_raster": mlprep.q_vectorize_raster,
@@ -616,6 +617,7 @@ ORACLE_SQL = {
     "h3_rollup": mlprep.sql_h3_rollup(images_sql_source()),
     "h3_kring": mlprep.sql_h3_kring(images_sql_source()),
     "geohash_cells": mlprep.sql_geohash_cells(images_sql_source()),
+    "hex_polyfill": mlprep.sql_hex_polyfill(7),
     "idw_grid": mlprep.sql_idw_grid(images_sql_source()),
     "geodesic_hist": mlprep.sql_geodesic_hist(images_sql_source()),
     "text_features": mlprep.SQL_TEXT_FEATURES,
