@@ -267,3 +267,29 @@ def test_polyfill_cells_centers_inside():
     # half-plane check for the CCW triangle
     for (x1, y1), (x2, y2) in [((0, 0), (3e6, 0)), ((3e6, 0), (0, 3e6)), ((0, 3e6), (0, 0))]:
         assert np.all((x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1) >= 0)
+
+
+def test_cell_to_boundary_geometry():
+    """cellToBoundary: corner centroid = cell center, hexagon area equals
+    the exact cell area at every res, adjacent cells share exactly two
+    corners (a full edge), and the boundary contains the center under
+    the polyfill containment test."""
+    q = np.array([0, 5, -3])
+    r = np.array([0, -2, 7])
+    for res in (0, 3, 9):
+        b = hg.cell_to_boundary(q, r, res)
+        cx, cy = hg.cell_center(q, r, res)
+        assert b.shape == (3, 6, 2)
+        assert np.allclose(b.mean(axis=1), np.stack([cx, cy], axis=-1))
+        s_lat = hg.S0 / np.sqrt(7.0) ** res
+        want_area = s_lat * s_lat * np.sqrt(3.0) * 1.5
+        for k in range(3):
+            x, y = b[k, :, 0], b[k, :, 1]
+            area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+            assert area == pytest.approx(want_area, rel=1e-12)
+    b0 = hg.cell_to_boundary(np.array([0]), np.array([0]), 4)[0]
+    b1 = hg.cell_to_boundary(np.array([1]), np.array([0]), 4)[0]
+    shared = sum(
+        1 for c in b0 for c2 in b1 if np.allclose(c, c2, atol=1e-6)
+    )
+    assert shared == 2

@@ -271,3 +271,33 @@ def polyfill(rings_xy: list, res: int) -> tuple[np.ndarray, np.ndarray]:
         hits = crosses & (cx[:, None] < xint)
         inside ^= (hits.sum(axis=1) % 2).astype(bool)
     return qq[inside], rr[inside]
+
+
+def cell_to_boundary(q: np.ndarray, r: np.ndarray, res: int) -> np.ndarray:
+    """Hexagon boundary vertices of cells (H3 cellToBoundary role):
+    (n, 6, 2) array, CCW from the eastern vertex. Vertices are the
+    centroids of the three cells meeting at each corner, computed as
+    center + rotated unit offsets of the res lattice (exact for every
+    resolution because each level is a regular hex lattice — the
+    aperture rotation is applied via the basis itself)."""
+    cx, cy = cell_center(np.asarray(q), np.asarray(r), res)
+    # two lattice basis vectors in the plane at this res
+    e1x, e1y = cell_center(np.asarray(q) + 1, np.asarray(r), res)
+    e2x, e2y = cell_center(np.asarray(q), np.asarray(r) + 1, res)
+    b1 = np.stack([e1x - cx, e1y - cy], axis=-1)  # neighbor offsets
+    b2 = np.stack([e2x - cx, e2y - cy], axis=-1)
+    # hex corner = (b_i + b_j) / 3 for the 6 adjacent neighbor pairs
+    # around the cell: neighbors in axial order (1,0),(0,1),(-1,1),
+    # (-1,0),(0,-1),(1,-1)
+    n1 = b1
+    n2 = b2
+    n3 = b2 - b1
+    n4 = -b1
+    n5 = -b2
+    n6 = b1 - b2
+    ring = [n1, n2, n3, n4, n5, n6]
+    corners = []
+    for a, b in zip(ring, ring[1:] + ring[:1]):
+        corners.append((a + b) / 3.0)
+    out = np.stack(corners, axis=-2)  # (n, 6, 2)
+    return out + np.stack([cx, cy], axis=-1)[..., None, :]
