@@ -470,6 +470,108 @@ FROM {images_source}
 """
 
 
+def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Image near-dup by perceptual-hash hamming distance: 4x16-bit band
+    blocking over the phash column (pigeonhole: hamming <= 3 forces an
+    identical band, so recall is EXACT), in-bucket vectorized
+    XOR+popcount (reuses the SimHash kernel), pairs deduped across
+    bands on the driver (pair-dimension-sized). Exact SQL oracle: the
+    same band self-join with bit_count(xor(...)) — numpy's masked
+    arithmetic shift and DuckDB's agree bit-for-bit on all 4 bands."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..stages.dedup import simhash_bucket_pairs
+
+    ds = read_images(sf_dir, columns=["image_id", "phash"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"]
+        tables = []
+        for b in range(4):
+            tables.append(
+                pa.table(
+                    {
+                        "image_id": ids,
+                        "simhash": pa.array(ph),
+                        "band_id": pa.array(
+                            np.full(len(ph), b, dtype=np.int64)
+                        ),
+                        "band_val": pa.array((ph >> (b * 16)) & 0xFFFF),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def band_rows_bucketed(batch: pa.Table) -> pa.Table:
+        t = band_rows(batch)
+        bid = t["band_id"].to_numpy(zero_copy_only=False)
+        bval = t["band_val"].to_numpy(zero_copy_only=False)
+        bucket = ((bid * 65536 + bval) * 2654435761) % 512
+        return t.append_column("bucket", pa.array(bucket))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket of band groups: drop singleton bands
+        # vectorized (the overwhelming majority — random phashes rarely
+        # collide), then run the pair kernel per surviving band group
+        key = g["band_id"] * 65536 + g["band_val"]
+        counts = key.map(key.value_counts())
+        g2 = g[counts.to_numpy() > 1]
+        if len(g2) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=str),
+                    "id_b": pd.Series(dtype=str),
+                    "hamming": pd.Series(dtype="int64"),
+                    "capped": pd.Series(dtype=bool),
+                }
+            )
+        outs = []
+        for _, sub in g2.groupby(["band_id", "band_val"], sort=False):
+            outs.append(
+                simhash_bucket_pairs(
+                    sub, id_col="image_id", max_hamming=max_hamming
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    banded = ds.map_batches(band_rows_bucketed, batch_format="pyarrow")
+    pairs = banded.groupby("bucket").map_groups(bucket_fn, batch_format="pandas")
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    out = (
+        df.drop(columns=["capped"])
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
+
+
+def sql_phash_neardup(images_source: str, max_hamming: int = 3) -> str:
+    return f"""
+WITH b AS (
+  SELECT image_id, phash, g.g AS band_id,
+         (phash >> (g.g * 16)) & 65535 AS band_val
+  FROM {images_source} CROSS JOIN generate_series(0, 3) g(g)
+)
+SELECT DISTINCT a.image_id AS id_a, c.image_id AS id_b,
+       bit_count(xor(a.phash, c.phash)) AS hamming
+FROM b a JOIN b c
+  ON a.band_id = c.band_id AND a.band_val = c.band_val
+ AND a.image_id < c.image_id
+WHERE bit_count(xor(a.phash, c.phash)) <= {max_hamming}
+"""
+
+
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: banded exact-match blocking + in-bucket vectorized
     hamming verification, fully in-dataset (the 64-bit signature travels

@@ -542,6 +542,7 @@ QUERIES = {
     "dedup_clusters": mlprep.q_dedup_clusters,
     "caption_redact": mlprep.q_caption_redact,
     "simhash_neardup": mlprep.q_simhash_neardup,
+    "phash_neardup": mlprep.q_phash_neardup,
     "embedding_neardup": mlprep.q_embedding_neardup,
     "semantic_dedup": mlprep.q_semantic_dedup,
     "kmeans": mlprep.q_kmeans,
@@ -627,6 +628,7 @@ ORACLE_SQL = {
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
+    "phash_neardup": mlprep.sql_phash_neardup(images_sql_source()),
     "caption_redact": mlprep.sql_caption_redact(images_sql_source()),
     "embedding_neardup": mlprep.SQL_EMB_NEARDUP,
     "langid": mlprep.SQL_LANGID,
