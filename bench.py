@@ -43,7 +43,7 @@ def run_benchmarks() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from texel_ray.pipelines import mlprep, relational, spatial
+    from texel_ray.pipelines import mlprep, queries, relational, spatial
     from texel_ray.pipelines.flagship import tile_counts
     from texel_ray.pipelines.queries import q_dedup_exact, q_pip_join_rect, q_tile_assign
     from texel_ray.sources.images import ensure_images_for_sf_dir, sf_of_dir
@@ -87,6 +87,10 @@ def run_benchmarks() -> dict:
 
     timed("tile_assign_z8", lambda: q_tile_assign(SF_DIR, 8))
     timed("pip_join_rect", lambda: q_pip_join_rect(SF_DIR))
+    timed(
+        "pip_join_cover",
+        lambda: queries.q_pip_join_cover(SF_DIR, num_partitions=16),
+    )
     timed("dedup_exact", lambda: q_dedup_exact(SF_DIR))
     timed("tilecut_z13", lambda: spatial.q_tilecut(SF_DIR))
     timed("snap_regions", lambda: spatial.q_snap_regions(SF_DIR))

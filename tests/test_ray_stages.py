@@ -413,3 +413,58 @@ def test_sfv_roundtrip_and_frame_sampling():
     )
     with pytest.raises(NotImplementedError):
         VideoFrameSample()(bad)
+
+
+def test_cover_join_explode_unique_and_complete():
+    """Cell-cover explode: every (cell, region) pair appears exactly once,
+    and a region is registered in every cell its bbox overlaps — so the
+    shuffle join can never duplicate or miss a candidate pair."""
+    from texel_ray.stages.pip_join import (
+        COVER_X0,
+        COVER_Y0,
+        cover_cell_key,
+        explode_region_cover,
+    )
+
+    regions = generate_regions_table()
+    cell = 3.0
+    cover = explode_region_cover(regions, cell)
+    keys = list(
+        zip(cover["cover_cell"].to_pylist(), cover["region_id"].to_pylist())
+    )
+    assert len(keys) == len(set(keys))
+    # probe: any point inside a region's bbox lands on a registered cell
+    rng = np.random.default_rng(7)
+    reg = {rid: set() for rid in regions["region_id"].to_pylist()}
+    for c, rid in keys:
+        reg[rid].add(c)
+    minx = regions["minx"].to_numpy()
+    miny = regions["miny"].to_numpy()
+    maxx = regions["maxx"].to_numpy()
+    maxy = regions["maxy"].to_numpy()
+    rid_arr = regions["region_id"].to_numpy()
+    for i in range(len(rid_arr)):
+        px = rng.uniform(minx[i], maxx[i], 20)
+        py = rng.uniform(miny[i], maxy[i], 20)
+        got = cover_cell_key(px, py, cell)
+        assert set(got.tolist()) <= reg[rid_arr[i]]
+
+
+def test_pip_cover_join_matches_broadcast(ray_session):
+    """The shuffle (cell-cover hash join) and broadcast PIP paths must
+    produce identical per-region counts."""
+    from texel_ray.pipelines.queries import q_pip_join_cover, q_pip_join_poly
+
+    a = (
+        q_pip_join_cover(SF_DIR)
+        .to_pandas()
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_pip_join_poly(SF_DIR)
+        .to_pandas()
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -420,6 +420,53 @@ def q_pip_join_poly(sf_dir: str):
     return partial_count_groupby(ds, ["region_id"], alias="n")
 
 
+def q_pip_join_cover(sf_dir: str, cell: float = 3.0, num_partitions: int = 4):
+    """PIP join via the SHUFFLE path (cell-cover hash join): the scale
+    formulation for a polygon dimension table too large to broadcast.
+
+    Polygons explode to one row per coarse lon/lat cell their bbox
+    overlaps; each point carries its single containing cell; a standard
+    hash-partitioned ``Dataset.join`` on the cell key yields each
+    candidate (point, polygon) pair exactly once; a stateless actor-pool
+    confirm stage runs the same even-odd kernel as the broadcast joiner.
+    Same output and same exact SQL oracle as ``pip_join_poly`` — the two
+    paths must agree bit-for-bit.
+    """
+    import ray
+
+    from ..sources.regions import generate_regions_table
+    from ..stages.pip_join import PIPConfirm, cover_cell_key, explode_region_cover
+    from ..stages.agg import partial_count_groupby
+
+    cover = explode_region_cover(generate_regions_table(), cell)
+    regions_ds = ray.data.from_arrow(cover)
+
+    pts = images_src.read_images(sf_dir, columns=["lon", "lat"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = cover_cell_key(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            cell,
+        )
+        return batch.append_column("cover_cell", pa.array(key))
+
+    pts = pts.map_batches(assign, batch_format="pyarrow")
+    joined = pts.join(
+        regions_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cover_cell",),
+    )
+    confirmed = joined.map_batches(
+        PIPConfirm,
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+    return partial_count_groupby(confirmed, ["region_id"], alias="n")
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup on phash: one representative (min image_id) per hash.
 
@@ -529,6 +576,7 @@ QUERIES = {
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
+    "pip_join_cover": q_pip_join_cover,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
     "region_extents": q_region_extents,
@@ -607,6 +655,7 @@ ORACLE_SQL = {
     "tile_metrics_z8": sql_tile_metrics(8),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
+    "pip_join_cover": sql_pip_join_poly(),
     "pip_anti_join": sql_pip_anti_join(),
     "region_extents": sql_region_extents(),
     "dedup_exact": sql_dedup_exact(),

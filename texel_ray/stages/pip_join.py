@@ -31,6 +31,30 @@ import pyarrow as pa
 from ..core.geom import wkb_decode
 
 
+def evenodd_contains(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """Even-odd crossing-number test, vectorized over (points x edges).
+
+    The one exact-containment kernel shared by every PIP path (broadcast
+    joiner, anti join, shuffle cover join) so their semantics can never
+    drift apart."""
+    pyv = py[:, None]
+    pxv = px[:, None]
+    crosses = (y1[None, :] > pyv) != (y2[None, :] > pyv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (pyv - y1[None, :]) / (y2 - y1)[None, :] + x1[
+            None, :
+        ]
+    hits = crosses & (pxv < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
 class PIPJoiner:
     def __init__(
         self,
@@ -101,16 +125,7 @@ class PIPJoiner:
                 & (py <= self.maxy[poly_i])
             )
         x1, y1, x2, y2 = self.edges[poly_i]
-        # even-odd crossing number, vectorized over (points x edges)
-        pyv = py[:, None]
-        pxv = px[:, None]
-        crosses = (y1[None, :] > pyv) != (y2[None, :] > pyv)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1)[None, :] * (pyv - y1[None, :]) / (y2 - y1)[None, :] + x1[
-                None, :
-            ]
-        hits = crosses & (pxv < xint)
-        return (hits.sum(axis=1) % 2).astype(bool)
+        return evenodd_contains(x1, y1, x2, y2, px, py)
 
     def _grid_bbox_candidates(self, px: np.ndarray, py: np.ndarray):
         """(point_idx, region_idx) bbox-candidate pairs via the cell grid:
@@ -245,3 +260,135 @@ def contains_any(self: "PIPJoiner", px: np.ndarray, py: np.ndarray) -> np.ndarra
                 inside[idx[hit]] = True
     return inside
 
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-path spatial join (cell cover): the scale path for a HUGE polygon
+# dimension table. The broadcast PIPJoiner above assumes the polygon side
+# fits in every actor; when it does not (10^6+ admin/tile-boundary polygons),
+# the textbook distributed formulation is a hash join on a space-grid key:
+#
+#   polygons  -> explode to one row per coarse grid cell their bbox overlaps
+#   points    -> one row, keyed by the single cell that contains them
+#   Dataset.join(on=cover_cell)  -> candidate (point, polygon) pairs
+#   exact even-odd confirm per joined batch
+#
+# Each point lives in exactly ONE cell and a polygon is registered at most
+# once per cell, so every candidate pair appears exactly once — no dedup
+# exchange is needed after the join. Both sides stream through a standard
+# hash-partitioned join; nothing is broadcast and no actor holds the whole
+# dimension table. Skewed cells (urban areas) are handled by the join's
+# hash partitioning plus the confirm stage being stateless map_batches.
+# ---------------------------------------------------------------------------
+
+COVER_X0, COVER_Y0 = -180.0, -90.0
+
+
+def cover_cell_key(px: np.ndarray, py: np.ndarray, cell: float) -> np.ndarray:
+    """int64 grid key ``(cx << 32) | cy`` on a fixed lon/lat origin."""
+    cx = np.floor((np.asarray(px, np.float64) - COVER_X0) / cell).astype(np.int64)
+    cy = np.floor((np.asarray(py, np.float64) - COVER_Y0) / cell).astype(np.int64)
+    return (cx << 32) | (cy & np.int64(0xFFFFFFFF))
+
+
+def explode_region_cover(regions: pa.Table, cell: float) -> pa.Table:
+    """One row per (cover_cell, region) for every coarse cell the region's
+    bbox overlaps. Dimension-sized Python loop (runs once, on the driver or
+    in a read task — never per point batch)."""
+    rid = regions["region_id"].to_numpy()
+    minx = regions["minx"].to_numpy()
+    miny = regions["miny"].to_numpy()
+    maxx = regions["maxx"].to_numpy()
+    maxy = regions["maxy"].to_numpy()
+    kinds = regions["kind"].to_pylist()
+    wkbs = regions["geom_wkb"].to_pylist()
+    out_cell, out_i = [], []
+    for i in range(len(rid)):
+        cx0 = int(np.floor((minx[i] - COVER_X0) / cell))
+        cx1 = int(np.floor((maxx[i] - COVER_X0) / cell))
+        cy0 = int(np.floor((miny[i] - COVER_Y0) / cell))
+        cy1 = int(np.floor((maxy[i] - COVER_Y0) / cell))
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                out_cell.append((cx << 32) | (cy & 0xFFFFFFFF))
+                out_i.append(i)
+    idx = np.asarray(out_i, dtype=np.int64)
+    return pa.table(
+        {
+            "cover_cell": pa.array(np.asarray(out_cell, dtype=np.int64)),
+            "region_id": pa.array(rid[idx]),
+            "kind": pa.array([kinds[i] for i in out_i], pa.string()),
+            "r_minx": pa.array(minx[idx]),
+            "r_miny": pa.array(miny[idx]),
+            "r_maxx": pa.array(maxx[idx]),
+            "r_maxy": pa.array(maxy[idx]),
+            "geom_wkb": pa.array([wkbs[i] for i in out_i], pa.binary()),
+        }
+    )
+
+
+class PIPConfirm:
+    """Exact containment confirm on the candidate pairs out of the cover
+    join. Stateless per pair; the per-region edge arrays are decoded from
+    WKB once per actor (keyed by region_id) and reused across batches."""
+
+    def __init__(
+        self,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        keep_columns: list[str] | None = None,
+    ):
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.keep_columns = keep_columns if keep_columns is not None else []
+        self._edges: dict[int, tuple] = {}
+
+    def _edges_for(self, region_id: int, wkb: bytes):
+        e = self._edges.get(region_id)
+        if e is None:
+            _, rings = wkb_decode(wkb)
+            ring = rings[0]
+            pts = np.asarray(ring + [ring[0]], dtype=np.float64)
+            e = (pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1])
+            self._edges[region_id] = e
+        return e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_names = [*self.keep_columns, "region_id"]
+        if batch.num_rows == 0:
+            cols = [batch[c].slice(0, 0) for c in self.keep_columns]
+            return pa.table([*cols, pa.array([], pa.int64())], names=out_names)
+        px = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        py = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        rid = batch["region_id"].to_numpy(zero_copy_only=False)
+        is_rect = pa.compute.equal(batch["kind"], "rect").to_numpy(
+            zero_copy_only=False
+        )
+        inside = np.zeros(len(px), dtype=bool)
+        # rect fast path: inclusive bbox (the SQL oracle's semantics)
+        r = np.nonzero(is_rect)[0]
+        if len(r):
+            inside[r] = (
+                (px[r] >= batch["r_minx"].to_numpy(zero_copy_only=False)[r])
+                & (px[r] <= batch["r_maxx"].to_numpy(zero_copy_only=False)[r])
+                & (py[r] >= batch["r_miny"].to_numpy(zero_copy_only=False)[r])
+                & (py[r] <= batch["r_maxy"].to_numpy(zero_copy_only=False)[r])
+            )
+        # general polygons: group pair-rows by region, one even-odd call each
+        p = np.nonzero(~is_rect)[0]
+        if len(p):
+            wkb_col = batch["geom_wkb"]
+            order = p[np.argsort(rid[p], kind="stable")]
+            bnd = np.nonzero(np.diff(rid[order]) != 0)[0] + 1
+            starts = np.concatenate(([0], bnd))
+            ends = np.concatenate((bnd, [len(order)]))
+            for s, e in zip(starts, ends):
+                idx = order[s:e]
+                x1, y1, x2, y2 = self._edges_for(
+                    int(rid[idx[0]]), wkb_col[int(idx[0])].as_py()
+                )
+                inside[idx] = evenodd_contains(x1, y1, x2, y2, px[idx], py[idx])
+        take = pa.array(np.nonzero(inside)[0])
+        cols = [batch[c].take(take) for c in self.keep_columns]
+        cols.append(batch["region_id"].take(take))
+        return pa.table(cols, names=out_names)
