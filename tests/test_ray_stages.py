@@ -135,15 +135,20 @@ def test_pip_joiner_grid_index_matches_dense_path():
             "lat": pa.array(rng.uniform(-80, 80, 5000)),
         }
     )
-    grid = PIPJoiner(regions=regions, keep_columns=["pid"], grid_threshold=512)
-    dense = PIPJoiner(regions=regions, keep_columns=["pid"], grid_threshold=10**9)
-    assert grid.use_grid and not dense.use_grid
+    grid = PIPJoiner(regions=regions, keep_columns=["pid"], index="grid")
+    tree = PIPJoiner(regions=regions, keep_columns=["pid"], grid_threshold=512)
+    dense = PIPJoiner(regions=regions, keep_columns=["pid"], index="dense")
+    # auto above grid_threshold resolves to the STR tree
+    assert grid.use_grid and tree.index == "strtree" and dense.index == "dense"
     out_g = grid(pts)
+    out_t = tree(pts)
     out_d = dense(pts)
     pairs_g = list(zip(out_g["pid"].to_pylist(), out_g["region_id"].to_pylist()))
+    pairs_t = list(zip(out_t["pid"].to_pylist(), out_t["region_id"].to_pylist()))
     pairs_d = list(zip(out_d["pid"].to_pylist(), out_d["region_id"].to_pylist()))
     assert len(pairs_g) > 0
     assert pairs_g == pairs_d  # identical pairs AND identical row order
+    assert pairs_t == pairs_d
 
 
 def test_knn_all_matches_bruteforce(ray_session):

@@ -5,9 +5,9 @@ big fact side we give every actor its own spatial index, built ONCE in
 ``__init__`` (the reference's in-record inner->outer PIP test
 ``snap/snap.go:277-324`` lifted to a dataset-level join):
 
-- bbox arrays for a vectorized candidate filter (numpy broadcast
-  compare — the STRtree role for a few hundred polygons; swap in a real
-  tree if the dimension table grows),
+- a candidate filter over polygon bboxes: dense numpy broadcast compare
+  for a few hundred polygons, a packed STR R-tree (``core/strtree.py``)
+  or uniform cell grid above that — all three produce identical pairs,
 - per-polygon edge arrays for an exact, vectorized even-odd
   crossing-number test on the candidates.
 
@@ -64,7 +64,13 @@ class PIPJoiner:
         lat_col: str = "lat",
         keep_columns: list[str] | None = None,
         grid_threshold: int = 512,
+        index: str = "auto",
     ):
+        """``index``: candidate-filter structure — ``dense`` (N x P bbox
+        mask, cheapest for a few hundred polygons), ``grid`` (uniform
+        cell grid), ``strtree`` (packed STR R-tree, the general large-P
+        path), or ``auto`` (dense below ``grid_threshold`` polygons,
+        strtree above)."""
         if regions is None:
             if regions_path is None:
                 from ..sources.regions import regions_parquet_path
@@ -92,11 +98,19 @@ class PIPJoiner:
             ring = rings[0]
             pts = np.asarray(ring + [ring[0]], dtype=np.float64)
             self.edges.append((pts[:-1, 0], pts[:-1, 1], pts[1:, 0], pts[1:, 1]))
-        # spatial index over polygon bboxes (the STRtree role): a uniform
-        # grid keyed by cell, built once per actor, used instead of the
-        # dense (points x polygons) mask when the dimension table is large
-        # — the dense mask is O(N*P) memory, a scale-killer at 10^5 regions.
-        self.use_grid = len(self.region_id) > grid_threshold
+        # spatial index over polygon bboxes, built once per actor, used
+        # instead of the dense (points x polygons) mask when the dimension
+        # table is large — the dense mask is O(N*P) memory, a scale-killer
+        # at 10^5 regions. Default large-P structure is the packed STR
+        # R-tree (core/strtree.py); the uniform grid remains selectable.
+        if index == "auto":
+            index = "dense" if len(self.region_id) <= grid_threshold else "strtree"
+        self.index = index
+        self.use_grid = index == "grid"
+        if index == "strtree":
+            from ..core.strtree import STRtree
+
+            self.tree = STRtree(self.minx, self.miny, self.maxx, self.maxy)
         if self.use_grid:
             w = self.maxx - self.minx
             h = self.maxy - self.miny
@@ -126,6 +140,14 @@ class PIPJoiner:
             )
         x1, y1, x2, y2 = self.edges[poly_i]
         return evenodd_contains(x1, y1, x2, y2, px, py)
+
+    def _bbox_candidates(self, px: np.ndarray, py: np.ndarray):
+        """(point_idx, region_idx) bbox-candidate pairs via the configured
+        index structure (grid or STR tree) — identical contract: every
+        pair whose point lies in the region's closed bbox, exactly once."""
+        if self.index == "strtree":
+            return self.tree.query_points(px, py)
+        return self._grid_bbox_candidates(px, py)
 
     def _grid_bbox_candidates(self, px: np.ndarray, py: np.ndarray):
         """(point_idx, region_idx) bbox-candidate pairs via the cell grid:
@@ -166,8 +188,8 @@ class PIPJoiner:
 
         out_point_idx = []
         out_region = []
-        if self.use_grid:
-            cand_p, cand_r = self._grid_bbox_candidates(px, py)
+        if self.index != "dense":
+            cand_p, cand_r = self._bbox_candidates(px, py)
             # exact even-odd test per polygon over its candidate points
             order = np.argsort(cand_r, kind="stable")
             cand_p, cand_r = cand_p[order], cand_r[order]
@@ -224,8 +246,8 @@ def contains_any(self: "PIPJoiner", px: np.ndarray, py: np.ndarray) -> np.ndarra
     """Boolean mask: point is inside AT LEAST one region (same exact
     even-odd semantics and bbox/grid candidate pruning as __call__)."""
     inside = np.zeros(len(px), dtype=bool)
-    if self.use_grid:
-        cand_p, cand_r = self._grid_bbox_candidates(px, py)
+    if self.index != "dense":
+        cand_p, cand_r = self._bbox_candidates(px, py)
         order = np.argsort(cand_r, kind="stable")
         cand_p, cand_r = cand_p[order], cand_r[order]
         bnd = np.nonzero(np.diff(cand_r) != 0)[0] + 1
