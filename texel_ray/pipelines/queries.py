@@ -420,6 +420,42 @@ def q_pip_join_poly(sf_dir: str):
     return partial_count_groupby(ds, ["region_id"], alias="n")
 
 
+def q_pip_join_manyrect(sf_dir: str):
+    """PIP join against a 20,000-rectangle dimension table: the packed
+    STR R-tree candidate index (``index='auto'`` resolves to strtree above
+    512 polygons) exercised on the driver surface — the dense N x P mask
+    would be 60k x 20k booleans per batch here. Exact SQL oracle: DuckDB
+    range join over the same deterministic parquet."""
+    from ..sources.regions import dense_rects_parquet_path
+    from ..stages.agg import partial_count_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={
+            "regions_path": dense_rects_parquet_path(),
+            "keep_columns": [],
+        },
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(2, 16),
+    )
+    return partial_count_groupby(ds, ["region_id"], alias="n")
+
+
+def sql_pip_join_manyrect() -> str:
+    from ..sources.regions import dense_rects_parquet_path
+
+    return f"""
+SELECT r.region_id AS region_id, count(*) AS n
+FROM {images_sql_source()} i
+JOIN read_parquet('{dense_rects_parquet_path()}') r
+  ON i.lon >= r.minx AND i.lon <= r.maxx
+ AND i.lat >= r.miny AND i.lat <= r.maxy
+GROUP BY 1
+"""
+
+
 def q_pip_join_cover(sf_dir: str, cell: float = 3.0, num_partitions: int = 4):
     """PIP join via the SHUFFLE path (cell-cover hash join): the scale
     formulation for a polygon dimension table too large to broadcast.
@@ -577,6 +613,7 @@ QUERIES = {
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
+    "pip_join_manyrect": q_pip_join_manyrect,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
     "region_extents": q_region_extents,
@@ -656,6 +693,7 @@ ORACLE_SQL = {
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
+    "pip_join_manyrect": sql_pip_join_manyrect(),
     "pip_anti_join": sql_pip_anti_join(),
     "region_extents": sql_region_extents(),
     "dedup_exact": sql_dedup_exact(),

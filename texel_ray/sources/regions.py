@@ -110,3 +110,51 @@ def regions_parquet_path() -> str:
 
         os.replace(tmp, path)
     return str(path)
+
+
+def generate_dense_rects(n: int = 20000, seed: int = 1234) -> pa.Table:
+    """LARGE rectangle dimension table for the STR-tree PIP path: too many
+    polygons for the dense mask, enough to make a real candidate index
+    matter. Deterministic from the seed — workers regenerate it instead of
+    shipping it. Same schema as ``generate_regions_table``."""
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-179.0, 179.0, n)
+    cy = rng.uniform(-85.0, 85.0, n)
+    w = rng.uniform(0.1, 1.0, n)
+    h = rng.uniform(0.1, 1.0, n)
+    minx, maxx = cx - w, cx + w
+    miny, maxy = cy - h, cy + h
+    wkb = [
+        wkb_encode_polygon(
+            [[(minx[i], miny[i]), (maxx[i], miny[i]), (maxx[i], maxy[i]), (minx[i], maxy[i])]]
+        )
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "region_id": pa.array(np.arange(n, dtype=np.int64)),
+            "name": pa.array([f"rect_{i}" for i in range(n)], pa.string()),
+            "kind": pa.array(["rect"] * n, pa.string()),
+            "minx": pa.array(minx),
+            "miny": pa.array(miny),
+            "maxx": pa.array(maxx),
+            "maxy": pa.array(maxy),
+            "geom_wkb": pa.array(wkb, pa.binary()),
+        }
+    )
+
+
+def dense_rects_parquet_path() -> str:
+    import pyarrow.parquet as pq
+
+    from .images import DATA_DIR
+
+    path = DATA_DIR / "dense_rects_v1.parquet"
+    if not path.exists():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(generate_dense_rects(), tmp)
+        import os
+
+        os.replace(tmp, path)
+    return str(path)

@@ -190,7 +190,14 @@ class PIPJoiner:
         out_region = []
         if self.index != "dense":
             cand_p, cand_r = self._bbox_candidates(px, py)
-            # exact even-odd test per polygon over its candidate points
+            # rect candidates ARE matches (bbox hit = containment) — accept
+            # wholesale, no per-region dispatch; only general polygons need
+            # the exact even-odd pass, grouped by region
+            rect = self.is_rect[cand_r]
+            if rect.any():
+                out_point_idx.append(cand_p[rect])
+                out_region.append(cand_r[rect])
+            cand_p, cand_r = cand_p[~rect], cand_r[~rect]
             order = np.argsort(cand_r, kind="stable")
             cand_p, cand_r = cand_p[order], cand_r[order]
             bnd = np.nonzero(np.diff(cand_r) != 0)[0] + 1
@@ -199,9 +206,8 @@ class PIPJoiner:
             for s, e in zip(starts, ends):
                 poly_i = int(cand_r[s])
                 idx = cand_p[s:e]
-                if not self.is_rect[poly_i]:
-                    inside = self._contains(poly_i, px[idx], py[idx])
-                    idx = idx[inside]
+                inside = self._contains(poly_i, px[idx], py[idx])
+                idx = idx[inside]
                 if len(idx):
                     out_point_idx.append(np.sort(idx))
                     out_region.append(np.full(len(idx), poly_i, dtype=np.int64))
@@ -230,7 +236,9 @@ class PIPJoiner:
 
         point_idx = np.concatenate(out_point_idx)
         region_idx = np.concatenate(out_region)
-        order = np.argsort(point_idx, kind="stable")
+        # canonical (point, region) order — identical across dense/grid/
+        # strtree paths regardless of candidate emission order
+        order = np.lexsort((region_idx, point_idx))
         point_idx = point_idx[order]
         region_idx = region_idx[order]
 

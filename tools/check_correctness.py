@@ -46,7 +46,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    only = set(args)  # remaining args = query-name filter
     import ray
 
     ray.init(
@@ -73,6 +77,8 @@ def main() -> int:
 
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
