@@ -92,6 +92,7 @@ def run_benchmarks() -> dict:
         lambda: queries.q_pip_join_cover(SF_DIR, num_partitions=16),
     )
     timed("pip_join_manyrect", lambda: queries.q_pip_join_manyrect(SF_DIR))
+    timed("rasterize_regions", lambda: queries.q_rasterize_regions(SF_DIR))
     timed("dedup_exact", lambda: q_dedup_exact(SF_DIR))
     timed("tilecut_z13", lambda: spatial.q_tilecut(SF_DIR))
     timed("snap_regions", lambda: spatial.q_snap_regions(SF_DIR))

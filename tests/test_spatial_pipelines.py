@@ -185,3 +185,43 @@ def test_resumable_write_replaces_crashed_partition(ray_session, tmp_path):
     got = pq_.read_table(str(out)).to_pandas()
     assert len(got) == 10  # stale rows replaced, not appended
     assert 999 not in set(got["v"])
+
+
+def test_rasterize_regions_rect_counts_independent(ray_session):
+    """Vector->raster burn: every rect region's burned-pixel count must
+    equal the closed-form lattice count (centers at -180 + (px+0.5)*res
+    inside the inclusive bbox), computed here without any PIP code; the
+    burned pixel bbox must bound the count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from texel_ray.pipelines.queries import q_rasterize_regions
+    from texel_ray.sources.regions import regions_parquet_path
+
+    res = 1.0
+    out = q_rasterize_regions("/root/testdata/sf0.001", res=res).to_pandas()
+    out = out.set_index("region_id")
+    regions = pq.read_table(regions_parquet_path()).to_pandas()
+
+    checked = 0
+    for r in regions.itertuples():
+        if r.kind != "rect":
+            continue
+        # closed-form: px with -180 + (px+.5)*res in [minx, maxx] (inclusive,
+        # matching both the joiner's bbox test and the SQL oracle)
+        px = np.arange(360)
+        py = np.arange(170)
+        cx = -180.0 + (px + 0.5) * res
+        cy = -85.0 + (py + 0.5) * res
+        n = int(((cx >= r.minx) & (cx <= r.maxx)).sum()) * int(
+            ((cy >= r.miny) & (cy <= r.maxy)).sum()
+        )
+        if n == 0:
+            assert r.region_id not in out.index
+            continue
+        row = out.loc[r.region_id]
+        assert int(row["n_px"]) == n, (r.region_id, r.name)
+        area = (row["px_max"] - row["px_min"] + 1) * (row["py_max"] - row["py_min"] + 1)
+        assert row["n_px"] <= area
+        checked += 1
+    assert checked >= 20  # urban + world-grid rects actually exercised

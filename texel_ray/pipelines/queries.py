@@ -456,6 +456,131 @@ GROUP BY 1
 """
 
 
+def q_rasterize_regions(sf_dir: str, res: float = 1.0):
+    """Vector -> raster burn (the inverse of ``vectorize_raster``): the
+    region polygons rasterized onto a world lon/lat pixel grid at ``res``
+    degrees. Each pixel CENTER is tested against the regions (same exact
+    even-odd / bbox semantics as every PIP path); per region we emit the
+    burned pixel count and the burned bbox in pixel space. The grid is
+    GENERATED as a Dataset (``ray.data.range`` -> vectorized center
+    coords), so resolution scales by adding blocks, not driver memory —
+    at 1s-of-arc resolution this is ~10^9 pixels streaming through the
+    same broadcast joiner. Exact SQL oracle: generate_series lattice with
+    the identical center formula, inclusive bbox for rects, half-plane
+    conditions for the convex hexagons."""
+    import ray.data
+
+    nx = int(round(360.0 / res))
+    ny = int(round(170.0 / res))
+
+    def centers(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy()
+        px = i % nx
+        py = i // nx
+        return pa.table(
+            {
+                "px": pa.array(px),
+                "py": pa.array(py),
+                "lon": pa.array(-180.0 + (px + 0.5) * res),
+                "lat": pa.array(-85.0 + (py + 0.5) * res),
+            }
+        )
+
+    ds = ray.data.range(nx * ny, override_num_blocks=16)
+    ds = ds.map_batches(centers, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": ["px", "py"]},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(2, 8),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["region_id"]).aggregate(
+            [
+                ("__one", "sum"),
+                ("px", "min"),
+                ("px", "max"),
+                ("py", "min"),
+                ("py", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["region_id", "n_px", "px_min", "px_max", "py_min", "py_max"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("region_id").aggregate(
+        Sum("n_px", alias_name="n_px"),
+        Min("px_min", alias_name="px_min"),
+        Max("px_max", alias_name="px_max"),
+        Min("py_min", alias_name="py_min"),
+        Max("py_max", alias_name="py_max"),
+    )
+    return out
+
+
+def sql_rasterize_regions(res: float = 1.0) -> str:
+    """Mirror of q_rasterize_regions: same lattice, same center formula,
+    inclusive bbox join for rects + half-plane hexagon conditions (the
+    sql_pip_join_poly construction) over the generated grid."""
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    nx = int(round(360.0 / res))
+    ny = int(round(170.0 / res))
+    regions = generate_regions_table()
+    hex_selects = []
+    for rid, kind, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        ring = rings[0]  # CCW convex hexagon
+        conds = []
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0"
+            )
+        hex_selects.append(
+            f"SELECT {rid} AS region_id, px, py FROM grid "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    hex_sql = "\nUNION ALL\n".join(hex_selects)
+    return f"""
+WITH grid AS (
+    SELECT CAST(i % {nx} AS BIGINT) AS px,
+           CAST(i // {nx} AS BIGINT) AS py,
+           -180.0 + (CAST(i % {nx} AS DOUBLE) + 0.5) * {res!r} AS lon,
+           -85.0 + (CAST(i // {nx} AS DOUBLE) + 0.5) * {res!r} AS lat
+    FROM generate_series(0, {nx * ny - 1}) t(i)
+), pairs AS (
+    SELECT r.region_id AS region_id, g.px, g.py
+    FROM grid g
+    JOIN {regions_sql_source()} r
+      ON r.kind = 'rect'
+     AND g.lon >= r.minx AND g.lon <= r.maxx
+     AND g.lat >= r.miny AND g.lat <= r.maxy
+    UNION ALL
+    {hex_sql}
+)
+SELECT region_id, count(*) AS n_px,
+       min(px) AS px_min, max(px) AS px_max,
+       min(py) AS py_min, max(py) AS py_max
+FROM pairs GROUP BY 1
+"""
+
+
 def q_pip_join_cover(sf_dir: str, cell: float = 3.0, num_partitions: int = 4):
     """PIP join via the SHUFFLE path (cell-cover hash join): the scale
     formulation for a polygon dimension table too large to broadcast.
@@ -614,6 +739,7 @@ QUERIES = {
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
     "pip_join_manyrect": q_pip_join_manyrect,
+    "rasterize_regions": q_rasterize_regions,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
     "region_extents": q_region_extents,
@@ -694,6 +820,7 @@ ORACLE_SQL = {
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
     "pip_join_manyrect": sql_pip_join_manyrect(),
+    "rasterize_regions": sql_rasterize_regions(),
     "pip_anti_join": sql_pip_anti_join(),
     "region_extents": sql_region_extents(),
     "dedup_exact": sql_dedup_exact(),
