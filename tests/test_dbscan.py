@@ -102,3 +102,77 @@ def test_border_point_tie_is_deterministic(ray_session):
     got = _run(ids, lon, lat, eps=0.016, min_pts=3)
     want = brute_dbscan(ids, lon, lat, 0.016, 3)
     assert got == want
+
+
+def _group_table(pts, tcx, tcy):
+    """Donated rows for ONE segment: every point targeted at (tcx, tcy)."""
+    ids, lon, lat, core = zip(*pts)
+    return pa.table(
+        {
+            "image_id": pa.array(list(ids)),
+            "lon": pa.array(list(lon)),
+            "lat": pa.array(list(lat)),
+            "core": pa.array(list(core)),
+            "tcx": pa.array([tcx] * len(pts), pa.int64()),
+            "tcy": pa.array([tcy] * len(pts), pa.int64()),
+        }
+    )
+
+
+def test_labeler_labels_are_row_order_independent():
+    """The same cell is labeled independently in up to 9 shuffle groups,
+    and Ray Data guarantees no row order within a group — so CellLabeler's
+    provisional component labels must be canonical (id-derived), not
+    positional. Permuting the group's rows must not change any emitted
+    assignment or edge label."""
+    from texel_ray.stages.dbscan import CellLabeler
+
+    eps = 1.0
+    # cell (0,0): two separate core components A (near origin corner) and
+    # B (near far corner), > eps apart; cell (1,1): two components C1
+    # (close enough to B for a cross-cell edge) and C2 (isolated).
+    pts = (
+        [(f"a{i}", 0.05 + 0.02 * i, 0.05, True) for i in range(3)]
+        + [(f"b{i}", 0.95 - 0.02 * i, 0.95, True) for i in range(3)]
+        + [(f"c{i}", 1.05 + 0.02 * i, 1.05, True) for i in range(3)]
+        + [(f"d{i}", 1.90 - 0.02 * i, 1.90, True) for i in range(3)]
+    )
+    labeler = CellLabeler(eps)
+    group1 = _group_table(pts, 0, 0)
+    base = labeler(group1).to_pandas().sort_values(
+        ["kind", "image_id", "label", "label_b"]
+    ).reset_index(drop=True)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        perm = rng.permutation(len(pts))
+        shuffled = labeler(group1.take(pa.array(perm))).to_pandas().sort_values(
+            ["kind", "image_id", "label", "label_b"]
+        ).reset_index(drop=True)
+        assert shuffled.equals(base)
+
+    # cross-group consistency: cell (1,1)'s labels as seen from home
+    # (0,0)'s EDGES must match its labels in home (1,1)'s ASSIGNMENTS,
+    # even when the two groups present the rows in different orders.
+    perm = rng.permutation(len(pts))
+    group2 = _group_table(pts, 1, 1).take(pa.array(perm))
+    out2 = labeler(group2).to_pandas()
+    c_labels = set(
+        out2[(out2["kind"] == "A") & out2["image_id"].str.startswith("c")]["label"]
+    )
+    assert len(c_labels) == 1  # C1 is one component
+    edges = base[base["kind"] == "E"]
+    assert len(edges) > 0
+    assert set(edges["label_b"]) <= c_labels | set(
+        out2[out2["kind"] == "A"]["label"]
+    )
+    assert set(edges["label_b"]) == c_labels
+
+
+def test_eps_too_small_for_label_packing_raises(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"image_id": ["x"], "lon": [0.0], "lat": [0.0]})
+    )
+    with pytest.raises(ValueError, match="21-bit"):
+        dbscan(ds, eps=1e-5, min_pts=3)

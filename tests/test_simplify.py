@@ -189,3 +189,12 @@ def _shapes_cache():
         _, rings = wkb_decode(buf)
         out.append((sid, rings))
     return out
+
+
+def test_holes_cannot_outlive_their_shell():
+    """If the OUTER ring collapses under the threshold, the whole
+    feature vanishes — a surviving hole must not be promoted to shell."""
+    tiny_outer = [(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)]  # area 40
+    big_hole = [(0.0, 0.0), (0.0, 100.0), (100.0, 100.0), (100.0, 0.0)]
+    out = simplify_rings([tiny_outer, big_hole], min_area=1e3)
+    assert out == []

@@ -199,6 +199,11 @@ def simplify_rings(
             heapq.heappush(heap, (area_of(j), j, int(version[j])))
 
     out: list[list[tuple[float, float]]] = []
+    # holes cannot outlive their shell: if the OUTER ring (index 0)
+    # collapsed under the threshold, the whole feature vanishes —
+    # otherwise a surviving hole would be misread downstream as the shell
+    if ring_slices and ring_count[0] < 3:
+        return out
     for rid, (s, e) in enumerate(ring_slices):
         if ring_count[rid] < 3:
             continue

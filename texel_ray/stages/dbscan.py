@@ -293,6 +293,15 @@ class CellLabeler:
                 m = np.nonzero(cell_key == k)[0]
                 if len(m) == 0:
                     continue
+                # CANONICAL ORDER: the same cell is labeled independently
+                # in up to 9 different shuffle groups (its home segment
+                # emits assignments, neighbor segments emit edges naming
+                # its labels), and _local_components labels a component by
+                # the minimum POSITIONAL index of its cores — so the cell's
+                # rows must be presented in an order every group agrees
+                # on. Ray Data's shuffle guarantees no such order; sorting
+                # by point id here makes comp ids order-independent.
+                m = m[np.argsort(ids[m], kind="stable")]
                 comp = _local_components(lon[m], lat[m], core[m], eps2)
                 has = comp >= 0
                 if has.any():
@@ -382,6 +391,14 @@ def dbscan(ds, eps: float, min_pts: int, id_col: str = "image_id"):
     so the two downstream consumers (driver edge pull + assignment
     relabel) don't re-execute the pipeline; the raw image rows stream
     through exactly once."""
+    # pack_label packs cell coords into 21-bit fields around _OFF=2^20;
+    # lon in [-180, 180] gives |cell| <= 180/eps + 1 (donation adds +-1),
+    # so eps below ~1.72e-4 deg would silently alias label fields.
+    if not (eps > 0.0) or np.floor(180.0 / eps) + 1 >= _OFF:
+        raise ValueError(
+            f"eps={eps} too small for 21-bit cell label packing "
+            f"(need floor(180/eps)+1 < 2^20, i.e. eps > ~1.72e-4 deg)"
+        )
     flagger = CoreFlagger(eps, min_pts, id_col)
     labeler = CellLabeler(eps, id_col)
 
