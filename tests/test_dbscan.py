@@ -176,3 +176,72 @@ def test_eps_too_small_for_label_packing_raises(ray_session):
     )
     with pytest.raises(ValueError, match="21-bit"):
         dbscan(ds, eps=1e-5, min_pts=3)
+
+
+def test_dense_cell_kernels_exact(ray_session):
+    """Blobs big enough to push every segment past _DENSE (512): the
+    sub-grid counting/components/edge/border kernels must agree with the
+    brute-force reference exactly."""
+    rng = np.random.default_rng(42)
+    blobs = [(-5.0, 2.0, 1500), (0.03, 0.01, 1200), (0.05, 0.03, 1000)]
+    lon = np.concatenate(
+        [rng.normal(bx, 0.008, n) for bx, _, n in blobs]
+        + [rng.uniform(-20, 20, 800)]
+    )
+    lat = np.concatenate(
+        [rng.normal(by, 0.008, n) for _, by, n in blobs]
+        + [rng.uniform(-20, 20, 800)]
+    )
+    ids = np.array([f"d{i:05d}" for i in range(len(lon))])
+    got = _run(ids, lon, lat, eps=0.02, min_pts=10)
+    want = brute_dbscan(ids, lon, lat, 0.02, 10)
+    assert got == want
+
+
+def test_dense_kernels_match_matrix_kernels():
+    """Kernel-level parity: the sub-grid fast paths return bit-identical
+    results to the chunked matrix paths on random dense inputs."""
+    import texel_ray.stages.dbscan as D
+
+    rng = np.random.default_rng(3)
+    eps = 0.02
+    eps2 = eps * eps
+    # counting
+    lon = rng.uniform(0, 0.06, 4000)
+    lat = rng.uniform(0, 0.06, 4000)
+    res = rng.choice(4000, 1000, replace=False)
+    flags = D._count_cores_dense(lon, lat, res, eps, 10)
+    cnt = D._neighbor_counts(lon[res], lat[res], lon, lat, eps2)
+    assert np.array_equal(flags, cnt >= 10)
+    # components: dense route vs iterative route
+    clon = np.concatenate([rng.normal(x, 0.0008, 400) for x in rng.uniform(0, 0.02, 5)])
+    clat = np.concatenate([rng.normal(y, 0.0008, 400) for y in rng.uniform(0, 0.02, 5)])
+    core = rng.random(len(clon)) < 0.9
+    got = D._local_components(clon, clat, core, 0.002**2)
+    old = D._DENSE
+    try:
+        D._DENSE = 10**9
+        want = D._local_components(clon, clat, core, 0.002**2)
+    finally:
+        D._DENSE = old
+    assert np.array_equal(got, want)
+    # edges
+    alon = rng.uniform(0.0, 0.02, 1500); alat = rng.uniform(0.0, 0.02, 1500)
+    blon = rng.uniform(0.02, 0.04, 1200); blat = rng.uniform(0.0, 0.04, 1200)
+    alab = rng.integers(0, 4, 1500); blab = rng.integers(10, 15, 1200)
+    pa_, pb_ = D._edge_pairs_dense(alon, alat, alab, blon, blat, blab, eps)
+    Dm = (alon[:, None] - blon[None, :]) ** 2 + (alat[:, None] - blat[None, :]) ** 2
+    ii, jj = np.nonzero(Dm <= eps2)
+    assert set(zip(pa_.tolist(), pb_.tolist())) == set(
+        zip(alab[ii].tolist(), blab[jj].tolist())
+    )
+    # nearest core with forced exact ties (rounded coords)
+    blon2 = rng.uniform(0, 0.06, 800); blat2 = rng.uniform(0, 0.06, 800)
+    clon2 = rng.uniform(0, 0.06, 2000).round(3)
+    clat2 = rng.uniform(0, 0.06, 2000).round(3)
+    bp = D._nearest_core_dense(blon2, blat2, clon2, clat2, eps)
+    Dm = (blon2[:, None] - clon2[None, :]) ** 2 + (blat2[:, None] - clat2[None, :]) ** 2
+    Dm[Dm > eps2] = np.inf
+    best = np.argmin(Dm, axis=1)
+    ok = np.isfinite(Dm[np.arange(800), best])
+    assert np.array_equal(bp, np.where(ok, best, -1))

@@ -37,10 +37,19 @@ Distribution scheme (two groupby exchanges, no row-level join):
    groupby(root).min(id) gives the deterministic cluster ids, mapped
    back over the assignments via broadcast dict.
 
-Dense-cell safety: all pairwise work is chunked (`_CHUNK` rows of the
-d2 matrix at a time), so a worst-case urban cell costs compute, never
-memory. (If a single eps-cell ever holds ~10^5+ points the knn_all
-sub-grid kernel shape applies; documented, not needed at bench scale.)
+Dense-cell safety: every kernel that would otherwise be quadratic in
+points-per-cell (neighbor counts, local components, cross-cell edges,
+border nearest-core) switches above `_DENSE` to a SUB-GRID pass: the
+segment's points are bucketed on a grid of side eps/q, sub-cell PAIRS
+are classified conservatively by their min/max possible point distance
+('inside' pairs — every cross pair within eps — contribute without any
+distance computation; 'excluded' pairs are dropped; only the
+eps-straddling boundary band is measured exactly), so a 10^5-point
+urban cell costs ~n x band instead of n^2, and in saturated regions
+the inside-count alone certifies cores with no pair work at all.
+Results are bit-identical to the matrix path (the bounds are
+conservative under float slop: misclassification can only move a pair
+into the exact-check class, never produce a wrong answer).
 """
 
 from __future__ import annotations
@@ -50,6 +59,9 @@ import pyarrow as pa
 
 _CHUNK = 1024
 _OFF = 1 << 20  # cell coordinate offset for label packing
+_DENSE = 512  # segment/cell size above which the sub-grid kernels engage
+_DENSE_PAIRS = 1 << 18  # pair-matrix volume above which edges/borders go dense
+_K = 1 << 32  # sub-cell key stride (|sub coords| < 2^31 by the eps guard)
 
 
 def pack_label(cx: int, cy: int, comp: int) -> int:
@@ -117,6 +129,367 @@ def _neighbor_counts(
     return counts
 
 
+_OFFSET_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _offset_classes(q: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sub-cell offset classification for sub-grid side t = eps/q.
+
+    For two sub-cells (di, dj) apart, the cross-point distance lies in
+    [max(0,|di|-1)*t, (|di|+1)*t] per axis. Offsets whose MAX bound is
+    <= eps are 'inside' (every cross pair within eps — no distances
+    needed); offsets whose MIN bound is > eps can hold no pair and are
+    dropped; the rest are the 'boundary' band needing exact checks.
+    Comparisons run on exact integers against q^2 with a one-unit slack
+    (>= t^2 absolute margin), so float slop in the floor-bucketing can
+    only demote a pair into the exact-check class."""
+    got = _OFFSET_CACHE.get(q)
+    if got is not None:
+        return got
+    rng = np.arange(-(q + 1), q + 2, dtype=np.int64)
+    di = np.repeat(rng, len(rng))
+    dj = np.tile(rng, len(rng))
+    mn2 = np.maximum(np.abs(di) - 1, 0) ** 2 + np.maximum(np.abs(dj) - 1, 0) ** 2
+    mx2 = (np.abs(di) + 1) ** 2 + (np.abs(dj) + 1) ** 2
+    q2 = q * q
+    inside = mx2 <= q2 - 1
+    excl = mn2 >= q2 + 1
+    bd = ~inside & ~excl
+    got = (di[inside] * _K + dj[inside], di[bd] * _K + dj[bd])
+    _OFFSET_CACHE[q] = got
+    return got
+
+
+_RING_CACHE: dict[int, np.ndarray] = {}
+
+
+def _ring_offsets(r: int) -> np.ndarray:
+    """Packed key offsets of the Chebyshev-radius-r sub-cell ring."""
+    got = _RING_CACHE.get(r)
+    if got is not None:
+        return got
+    if r == 0:
+        got = np.zeros(1, dtype=np.int64)
+    else:
+        offs = []
+        for di in range(-r, r + 1):
+            for dj in range(-r, r + 1):
+                if max(abs(di), abs(dj)) == r:
+                    offs.append(di * _K + dj)
+        got = np.asarray(offs, dtype=np.int64)
+    _RING_CACHE[r] = got
+    return got
+
+
+def _subgrid_runs(lon: np.ndarray, lat: np.ndarray, t: float):
+    """Bucket points on the global grid of side t; return (key, order,
+    run starts, run ends, run keys) with runs sorted by packed key."""
+    sx = np.floor(lon / t).astype(np.int64)
+    sy = np.floor(lat / t).astype(np.int64)
+    key = sx * _K + sy
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    bnd = np.nonzero(np.diff(ks))[0] + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(ks)]))
+    return key, order, starts, ends, ks[starts]
+
+
+def _grid_q(n: int) -> int:
+    """Sub-grid resolution: ~32 points per sub-cell, clamped."""
+    return int(np.clip(np.sqrt(n / 32.0), 4.0, 32.0))
+
+
+def _any_pair_within(ax, ay, bx, by, eps2: float) -> bool:
+    """True iff some cross pair is within eps (chunked, early exit)."""
+    for s in range(0, len(ax), 256):
+        d2 = (ax[s : s + 256, None] - bx[None, :]) ** 2 + (
+            ay[s : s + 256, None] - by[None, :]
+        ) ** 2
+        if (d2 <= eps2).any():
+            return True
+    return False
+
+
+def _count_cores_dense(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    res_local: np.ndarray,
+    eps: float,
+    min_pts: int,
+) -> np.ndarray:
+    """Core flags for the `res_local` rows of ONE dense segment without
+    the residents x ring-points matrix: 'inside' sub-cell pairs add
+    their run lengths outright, and the boundary band is measured only
+    for residents whose inside-count hasn't already reached min_pts
+    (in saturated neighborhoods that's nobody)."""
+    n = len(lon)
+    q = _grid_q(n)
+    t = eps / q
+    eps2 = eps * eps
+    key, order, starts, ends, rkeys = _subgrid_runs(lon, lat, t)
+    rlens = ends - starts
+    nk = len(rkeys)
+    ins_k, bd_k = _offset_classes(q)
+    core = np.zeros(len(res_local), dtype=bool)
+    rk = key[res_local]
+    ro = np.argsort(rk, kind="stable")
+    rks = rk[ro]
+    gb = np.nonzero(np.diff(rks))[0] + 1
+    gstarts = np.concatenate(([0], gb))
+    gends = np.concatenate((gb, [len(res_local)]))
+    for gs, ge in zip(gstarts, gends):
+        u = rks[gs]
+        grp = ro[gs:ge]
+        tk = u + ins_k
+        pos = np.searchsorted(rkeys, tk)
+        np.minimum(pos, nk - 1, out=pos)
+        hit = rkeys[pos] == tk
+        inside = int(rlens[pos[hit]].sum())
+        if inside >= min_pts:
+            core[grp] = True
+            continue
+        tk = u + bd_k
+        pos = np.searchsorted(rkeys, tk)
+        np.minimum(pos, nk - 1, out=pos)
+        bidx = pos[rkeys[pos] == tk]
+        if len(bidx) == 0:
+            continue
+        cand = np.concatenate([order[starts[i] : ends[i]] for i in bidx])
+        rr = res_local[grp]
+        cnt = _neighbor_counts(lon[rr], lat[rr], lon[cand], lat[cand], eps2)
+        core[grp] = (inside + cnt) >= min_pts
+    return core
+
+
+def _propagate_min(nk: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
+    """Min-label propagation with pointer jumping over an edge list;
+    converges to label = min reachable node index."""
+    labels = np.arange(nk)
+    while True:
+        new = labels.copy()
+        if len(ei):
+            np.minimum.at(new, ei, labels[ej])
+            np.minimum.at(new, ej, labels[ei])
+        new = np.minimum(new, new[new])
+        while True:
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def _components_dense(clon: np.ndarray, clat: np.ndarray, eps: float) -> np.ndarray:
+    """Connected components of core points within ONE cell via sub-cell
+    contraction: same-sub-cell points are mutually within eps (t <=
+    eps/4), 'inside' sub-cell pairs union outright (vectorized edge
+    list), and only eps-straddling pairs whose endpoints are still in
+    different provisional components run an any-pair check. Returns the
+    min-member-index label per point — _local_components' convention."""
+    n = len(clon)
+    eps2 = eps * eps
+    q = _grid_q(n)
+    t = eps / q
+    key, order, starts, ends, rkeys = _subgrid_runs(clon, clat, t)
+    nk = len(rkeys)
+    ins_k, bd_k = _offset_classes(q)
+    tk = (rkeys[:, None] + ins_k[None, :]).ravel()
+    pos = np.searchsorted(rkeys, tk)
+    np.minimum(pos, nk - 1, out=pos)
+    hit = rkeys[pos] == tk
+    ei = np.repeat(np.arange(nk), len(ins_k))[hit]
+    ej = pos[hit]
+    m = ej > ei
+    labels = _propagate_min(nk, ei[m], ej[m])
+    tk = (rkeys[:, None] + bd_k[None, :]).ravel()
+    pos = np.searchsorted(rkeys, tk)
+    np.minimum(pos, nk - 1, out=pos)
+    hit = rkeys[pos] == tk
+    bi = np.repeat(np.arange(nk), len(bd_k))[hit]
+    bj = pos[hit]
+    m = (bj > bi) & (labels[bi] != labels[bj])
+    bi, bj = bi[m], bj[m]
+    if len(bi):
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            r = a
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[a] != r:
+                parent[a], a = r, parent[a]
+            return r
+
+        for i, j in zip(bi.tolist(), bj.tolist()):
+            ra, rb = find(int(labels[i])), find(int(labels[j]))
+            if ra == rb:
+                continue
+            a = order[starts[i] : ends[i]]
+            b = order[starts[j] : ends[j]]
+            if _any_pair_within(clon[a], clat[a], clon[b], clat[b], eps2):
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = np.asarray([find(int(v)) for v in labels.tolist()], dtype=np.int64)
+    run_id = np.zeros(n, dtype=np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    sub_of_point = np.empty(n, dtype=np.int64)
+    sub_of_point[order] = run_id
+    comp_of_point = labels[sub_of_point]
+    minidx = np.full(nk, n, dtype=np.int64)
+    np.minimum.at(minidx, comp_of_point, np.arange(n))
+    return minidx[comp_of_point]
+
+
+def _run_label_info(lab, order, starts):
+    """Per sub-cell run: (first label, is-the-run-uniformly-labeled)."""
+    sl = lab[order]
+    first = sl[starts]
+    nruns = len(starts)
+    run_id = np.zeros(len(sl), dtype=np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    uniform = np.ones(nruns, dtype=bool)
+    uniform[np.unique(run_id[sl != first[run_id]])] = False
+    return first, uniform
+
+
+def _edge_pairs_dense(alon, alat, alab, blon, blat, blab, eps: float):
+    """Unique (label_a, label_b) pairs with some cross pair within eps:
+    'inside' sub-cell pairs emit their label products outright (bulk
+    vectorized for the uniform-label majority), boundary pairs are
+    verified only when they could add a pair not already emitted."""
+    eps2 = eps * eps
+    q = _grid_q(len(alon) + len(blon))
+    t = eps / q
+    keyA, orderA, startsA, endsA, rkeysA = _subgrid_runs(alon, alat, t)
+    keyB, orderB, startsB, endsB, rkeysB = _subgrid_runs(blon, blat, t)
+    nA, nB = len(rkeysA), len(rkeysB)
+    ins_k, bd_k = _offset_classes(q)
+    firstA, unifA = _run_label_info(alab, orderA, startsA)
+    firstB, unifB = _run_label_info(blab, orderB, startsB)
+    out: set[tuple[int, int]] = set()
+
+    tk = (rkeysA[:, None] + ins_k[None, :]).ravel()
+    pos = np.searchsorted(rkeysB, tk)
+    np.minimum(pos, nB - 1, out=pos)
+    hit = rkeysB[pos] == tk
+    ai = np.repeat(np.arange(nA), len(ins_k))[hit]
+    bj = pos[hit]
+    uu = unifA[ai] & unifB[bj]
+    if uu.any():
+        pairs = np.unique(
+            np.stack([firstA[ai[uu]], firstB[bj[uu]]], axis=1), axis=0
+        )
+        out.update((int(a), int(b)) for a, b in pairs)
+    for i, j in zip(ai[~uu].tolist(), bj[~uu].tolist()):
+        ula = np.unique(alab[orderA[startsA[i] : endsA[i]]])
+        ulb = np.unique(blab[orderB[startsB[j] : endsB[j]]])
+        out.update((int(a), int(b)) for a in ula for b in ulb)
+
+    tk = (rkeysA[:, None] + bd_k[None, :]).ravel()
+    pos = np.searchsorted(rkeysB, tk)
+    np.minimum(pos, nB - 1, out=pos)
+    hit = rkeysB[pos] == tk
+    ai = np.repeat(np.arange(nA), len(bd_k))[hit]
+    bj = pos[hit]
+    # vectorized skip: uniform-label boundary pairs whose label pair the
+    # inside pass already emitted need no distance check (the common
+    # case in a dense cluster — this drops ~all of the loop below)
+    uu = unifA[ai] & unifB[bj]
+    if uu.any():
+        pr = np.stack([firstA[ai[uu]], firstB[bj[uu]]], axis=1)
+        upr, inv = np.unique(pr, axis=0, return_inverse=True)
+        known = np.asarray([(int(a), int(b)) in out for a, b in upr])
+        drop = np.zeros(len(ai), dtype=bool)
+        drop[np.nonzero(uu)[0][known[inv]]] = True
+        ai, bj = ai[~drop], bj[~drop]
+    for i, j in zip(ai.tolist(), bj.tolist()):
+        if (
+            unifA[i]
+            and unifB[j]
+            and (int(firstA[i]), int(firstB[j])) in out
+        ):
+            continue
+        arun = orderA[startsA[i] : endsA[i]]
+        brun = orderB[startsB[j] : endsB[j]]
+        ula = [int(v) for v in np.unique(alab[arun])]
+        ulb = [int(v) for v in np.unique(blab[brun])]
+        if all((a, b) in out for a in ula for b in ulb):
+            continue
+        D = (alon[arun][:, None] - blon[brun][None, :]) ** 2 + (
+            alat[arun][:, None] - blat[brun][None, :]
+        ) ** 2
+        ii, jj = np.nonzero(D <= eps2)
+        out.update(
+            zip(alab[arun[ii]].tolist(), blab[brun[jj]].tolist())
+        )
+    if not out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    arr = np.asarray(sorted(out), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def _nearest_core_dense(blon, blat, clon, clat, eps: float) -> np.ndarray:
+    """Nearest-core POSITION (into the id-sorted core arrays) for each
+    border point via expanding sub-cell rings; -1 if none within eps.
+    Candidates are position-sorted so equal-d2 ties resolve to the
+    smallest position — identical to the matrix path's first-argmin."""
+    eps2 = eps * eps
+    q = _grid_q(len(clon))
+    t = eps / q
+    key, order, starts, ends, rkeys = _subgrid_runs(clon, clat, t)
+    nk = len(rkeys)
+    best_pos = np.full(len(blon), -1, dtype=np.int64)
+    bx = np.floor(blon / t).astype(np.int64)
+    by = np.floor(blat / t).astype(np.int64)
+    bkey = bx * _K + by
+    bo = np.argsort(bkey, kind="stable")
+    bks = bkey[bo]
+    gb = np.nonzero(np.diff(bks))[0] + 1
+    gstarts = np.concatenate(([0], gb))
+    gends = np.concatenate((gb, [len(bo)]))
+    for gs, ge in zip(gstarts, gends):
+        grp = bo[gs:ge]
+        u = bks[gs]
+        gl, gt = blon[grp], blat[grp]
+        gbest = np.full(len(grp), np.inf)
+        gpos = np.full(len(grp), -1, dtype=np.int64)
+        for r in range(0, q + 3):
+            rm2 = 0.0 if r <= 1 else (((r - 1) * t) ** 2) * (1.0 - 1e-9)
+            if rm2 > eps2:
+                break
+            active = np.nonzero(gbest >= rm2)[0]
+            if len(active) == 0:
+                break
+            tk = u + _ring_offsets(r)
+            pos = np.searchsorted(rkeys, tk)
+            np.minimum(pos, nk - 1, out=pos)
+            hidx = pos[rkeys[pos] == tk]
+            if len(hidx) == 0:
+                continue
+            cand = np.sort(
+                np.concatenate([order[starts[i] : ends[i]] for i in hidx])
+            )
+            D = (gl[active][:, None] - clon[cand][None, :]) ** 2 + (
+                gt[active][:, None] - clat[cand][None, :]
+            ) ** 2
+            D[D > eps2] = np.inf
+            am = np.argmin(D, axis=1)
+            dmin = D[np.arange(len(active)), am]
+            cp = cand[am]
+            better = (dmin < gbest[active]) | (
+                np.isfinite(dmin) & (dmin == gbest[active]) & (cp < gpos[active])
+            )
+            upd = active[better]
+            gbest[upd] = dmin[better]
+            gpos[upd] = cp[better]
+        best_pos[grp] = np.where(np.isfinite(gbest), gpos, -1)
+    return best_pos
+
+
 class CoreFlagger:
     """Round 1 map_groups fn over one BUCKET: for every home cell hashed
     into the bucket, exact neighbor counts for its residents; emits the
@@ -155,14 +528,21 @@ class CoreFlagger:
         ]
         for j in np.nonzero(lengths >= self.min_pts)[0]:
             seg = order[starts[j] : ends[j]]
-            res = seg[res_mask[seg]]
+            res_local = np.nonzero(res_mask[seg])[0]
+            res = seg[res_local]
             if len(res) == 0:
                 continue
-            cnt = _neighbor_counts(
-                lon[res], lat[res], lon[seg], lat[seg], self.eps2
-            )
+            if len(seg) >= _DENSE:
+                flags = _count_cores_dense(
+                    lon[seg], lat[seg], res_local, self.eps, self.min_pts
+                )
+            else:
+                cnt = _neighbor_counts(
+                    lon[res], lat[res], lon[seg], lat[seg], self.eps2
+                )
+                flags = cnt >= self.min_pts
             keep_idx.append(res)
-            keep_core.append(cnt >= self.min_pts)
+            keep_core.append(flags)
         keep_idx = [a for a in keep_idx if len(a)]
         keep_core = [a for a in keep_core if len(a)]
         if not keep_idx:
@@ -202,6 +582,9 @@ def _local_components(
         return comp
     if n == 1:
         comp[idx] = 0
+        return comp
+    if n >= _DENSE:
+        comp[idx] = _components_dense(lon[idx], lat[idx], float(np.sqrt(eps2)))
         return comp
     clon, clat = lon[idx], lat[idx]
     labels = np.arange(n)
@@ -325,20 +708,28 @@ class CellLabeler:
                 forward = (cx[oidx] > hcx) | ((cx[oidx] == hcx) & (cy[oidx] > hcy))
                 oidx = oidx[forward]
             if len(rcore) and len(oidx):
-                olon, olat = lon[oidx], lat[oidx]
-                for s in range(0, len(rcore), _CHUNK):
-                    e = min(s + _CHUNK, len(rcore))
-                    sub = rcore[s:e]
-                    d2 = (lon[sub][:, None] - olon[None, :]) ** 2 + (
-                        lat[sub][:, None] - olat[None, :]
-                    ) ** 2
-                    ii, jj = np.nonzero(d2 <= eps2)
-                    if len(ii):
-                        la = label[sub[ii]]
-                        lb = label[oidx[jj]]
-                        pairs = np.unique(np.stack([la, lb], axis=1), axis=0)
-                        edge_a.extend(pairs[:, 0])
-                        edge_b.extend(pairs[:, 1])
+                if len(rcore) * len(oidx) >= _DENSE_PAIRS:
+                    pa_, pb_ = _edge_pairs_dense(
+                        lon[rcore], lat[rcore], label[rcore],
+                        lon[oidx], lat[oidx], label[oidx], eps,
+                    )
+                    edge_a.extend(pa_)
+                    edge_b.extend(pb_)
+                else:
+                    olon, olat = lon[oidx], lat[oidx]
+                    for s in range(0, len(rcore), _CHUNK):
+                        e = min(s + _CHUNK, len(rcore))
+                        sub = rcore[s:e]
+                        d2 = (lon[sub][:, None] - olon[None, :]) ** 2 + (
+                            lat[sub][:, None] - olat[None, :]
+                        ) ** 2
+                        ii, jj = np.nonzero(d2 <= eps2)
+                        if len(ii):
+                            la = label[sub[ii]]
+                            lb = label[oidx[jj]]
+                            pairs = np.unique(np.stack([la, lb], axis=1), axis=0)
+                            edge_a.extend(pairs[:, 0])
+                            edge_b.extend(pairs[:, 1])
             # border points: nearest core neighbor's label, tie -> min id
             rbord = ridx[~core[ridx]]
             cidx = np.nonzero(core)[0]
@@ -350,18 +741,27 @@ class CellLabeler:
                 cord = np.argsort(cid, kind="stable")  # tie-break by id
                 cidx_o = cidx[cord]
                 clon, clat = clon[cord], clat[cord]
-                for s in range(0, len(rbord), _CHUNK):
-                    e = min(s + _CHUNK, len(rbord))
-                    sub = rbord[s:e]
-                    d2 = (lon[sub][:, None] - clon[None, :]) ** 2 + (
-                        lat[sub][:, None] - clat[None, :]
-                    ) ** 2
-                    d2[d2 > eps2] = np.inf
-                    best = np.argmin(d2, axis=1)  # first min = smallest id
-                    ok = np.isfinite(d2[np.arange(len(sub)), best])
-                    out_id.extend(ids[sub[ok]])
-                    out_label.extend(label[cidx_o[best[ok]]])
+                if len(rbord) * len(cidx) >= _DENSE_PAIRS:
+                    bp = _nearest_core_dense(
+                        lon[rbord], lat[rbord], clon, clat, eps
+                    )
+                    ok = bp >= 0
+                    out_id.extend(ids[rbord[ok]])
+                    out_label.extend(label[cidx_o[bp[ok]]])
                     out_kind.extend(["A"] * int(ok.sum()))
+                else:
+                    for s in range(0, len(rbord), _CHUNK):
+                        e = min(s + _CHUNK, len(rbord))
+                        sub = rbord[s:e]
+                        d2 = (lon[sub][:, None] - clon[None, :]) ** 2 + (
+                            lat[sub][:, None] - clat[None, :]
+                        ) ** 2
+                        d2[d2 > eps2] = np.inf
+                        best = np.argmin(d2, axis=1)  # first min = smallest id
+                        ok = np.isfinite(d2[np.arange(len(sub)), best])
+                        out_id.extend(ids[sub[ok]])
+                        out_label.extend(label[cidx_o[best[ok]]])
+                        out_kind.extend(["A"] * int(ok.sum()))
 
         n_assign = len(out_id)
         label_b_col = np.concatenate(
