@@ -4,13 +4,18 @@ The evaluation container has no PIL/libjpeg/OpenCV, so:
 
 - ``png``: a real, self-contained PNG codec (RGB8, zlib DEFLATE) —
   bit-exact roundtrip, valid files readable by any external PNG reader.
-- ``jpeg``: STUB for a real JPEG codec. We stand in a deterministic
-  lossy codec ("FJPG"): uniform quantization of RGB samples (step 4)
-  + zlib. It exercises the same pipeline contract a real JPEG would —
-  decode -> pixels whose PSNR vs the original is >= 40 dB — without the
-  DCT. Swap `encode_fake_jpeg`/`decode_fake_jpeg` for a real libjpeg
-  binding in production; the Ray-side plumbing (binary column in, HxWx3
-  uint8 out, PSNR invariant) is real and tested.
+- ``jpeg`` DECODE: a real pure-numpy baseline JPEG decoder (ITU-T
+  T.81: SOF0/SOF1 frames, huffman entropy decode via a flat 16-bit
+  prefix table, restart intervals, any 1x1/2x1/2x2 subsampling,
+  batched float IDCT) — real third-party JFIF files decode; pinned in
+  tests/test_jpeg.py against a CPython-test-suite fixture with a raw
+  PPM ground-truth sibling. Progressive (SOF2) raises a documented
+  NotImplementedError.
+- ``jpeg`` ENCODE: the deterministic lossy stand-in ("FJPG": uniform
+  quantization step 4 + zlib, PSNR >= 40 dB) — the synthetic corpus
+  uses it, and ``decode_image`` dispatches on the payload magic (SOI
+  -> real decoder, FJPG -> stand-in), so real corpora and the
+  synthetic table coexist.
 
 All functions operate on ``numpy`` uint8 arrays of shape (h, w, 3).
 """
@@ -136,10 +141,276 @@ def decode_fake_jpeg(buf: bytes) -> np.ndarray:
     return np.minimum(arr.astype(np.uint16) * q + q // 2, 255).astype(np.uint8)
 
 
+# ---- real baseline JPEG decoder (pure numpy, ITU-T T.81) ------------------
+#
+# Decodes baseline DCT JFIF/JPEG: SOF0/SOF1, multiple DQT/DHT tables,
+# restart intervals, arbitrary H/V chroma subsampling (1x1, 2x1, 2x2),
+# 1- or 3-component scans. Written from the published T.81 spec — no
+# libjpeg code. The encoder side deliberately stays the deterministic
+# FJPG stand-in (an encoder is not needed to ingest real corpora).
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 type-III DCT basis: block = C^T @ coeffs @ C with orthonormal C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with FF00
+    byte-unstuffing and restart-marker awareness. peek/skip support the
+    flat 16-bit-prefix huffman lookup (one table probe per symbol)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # marker reached: T.81 pads the tail with 1-bits
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                self.pos += 1
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self):
+        """Consume a RSTn marker at a byte boundary; reset bit state."""
+        self.acc = 0
+        self.nbits = 0
+        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = self.buf[self.pos + 1]
+        if 0xD0 <= m <= 0xD7:
+            self.pos += 2
+
+
+def _build_huffman(bits_counts, symbols):
+    """(BITS, HUFFVAL) -> flat 2^16 lookup: 16-bit prefix -> packed
+    (code length << 8 | symbol), per the T.81 C.2 canonical code order."""
+    flat = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            flat[lo:hi] = (length << 8) | symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return flat
+
+
+def _huff_decode(r: _BitReader, flat) -> int:
+    entry = int(flat[r.peek16()])
+    if entry == 0:
+        raise ValueError("invalid JPEG huffman code")
+    r.skip(entry >> 8)
+    return entry & 0xFF
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> RGB8 (h, w, 3) (grayscale replicated)."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        data = buf[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(data[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(data[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = vals
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                counts = list(data[p + 1 : p + 17])
+                n = sum(counts)
+                syms = list(data[p + 17 : p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(counts, syms)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline + ext. seq.)
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = data[6 + c * 3], data[7 + c * 3], data[8 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline (SOF0/SOF1) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = data[1 + c * 2], data[2 + c * 2]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+            # phase 1: pure huffman/bit decode into per-component
+            # (nblocks, 64) coefficient arrays — no numpy in the loop
+            nmcu = mcuy * mcux
+            coefs = [
+                np.zeros((nmcu * comp["v"] * comp["h"], 64), dtype=np.int32)
+                for comp, _, _ in scan
+            ]
+            zig = _ZIGZAG.tolist()
+            r = _BitReader(buf, pos)
+            pred = [0] * ns
+            nblk = [0] * ns
+            mcu_count = 0
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        r.restart()
+                        pred = [0] * ns
+                    for ci, (comp, td, ta) in enumerate(scan):
+                        dct = huff_dc[td]
+                        act = huff_ac[ta]
+                        carr = coefs[ci]
+                        for _b in range(comp["v"] * comp["h"]):
+                            t = _huff_decode(r, dct)
+                            if t:
+                                pred[ci] += _extend(r.bits(t), t)
+                            row = carr[nblk[ci]]
+                            row[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(r, act)
+                                ssss = rs & 15
+                                if ssss == 0:
+                                    if rs == 0xF0:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                row[zig[k]] = _extend(r.bits(ssss), ssss)
+                                k += 1
+                            nblk[ci] += 1
+                    mcu_count += 1
+            # phase 2: batched dequant + IDCT + MCU-order scatter per
+            # component (one einsum instead of per-block matmuls)
+            h, w = frame["h"], frame["w"]
+            full = []
+            for ci, (comp, _, _) in enumerate(scan):
+                blocks = coefs[ci].reshape(-1, 8, 8) * qt[comp["tq"]][None]
+                px = np.einsum(
+                    "ki,nij,jl->nkl", _DCT_C.T, blocks.astype(np.float32), _DCT_C
+                ) + np.float32(128.0)
+                v, hh = comp["v"], comp["h"]
+                plane = (
+                    px.reshape(mcuy, mcux, v, hh, 8, 8)
+                    .transpose(0, 2, 4, 1, 3, 5)
+                    .reshape(mcuy * v * 8, mcux * hh * 8)
+                )
+                ry, rx = vmax // v, hmax // hh
+                if ry > 1 or rx > 1:
+                    plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+                full.append(plane[:h, :w])
+            if ns == 1:
+                y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+                return np.stack([y, y, y], axis=2)
+            y, cb, cr = full[0], full[1] - np.float32(128.0), full[2] - np.float32(128.0)
+            rgb = np.empty((h, w, 3), dtype=np.float32)
+            rgb[:, :, 0] = y + np.float32(1.402) * cr
+            rgb[:, :, 1] = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+            rgb[:, :, 2] = y + np.float32(1.772) * cb
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        elif marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos -= seglen  # parameterless markers carry no length field
+            pos += 0
+    raise ValueError("no SOS scan found in JPEG")
+
+
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(buf)
     if fmt == "jpeg":
+        # real JFIF/JPEG payloads (SOI marker) decode with the baseline
+        # T.81 decoder; the synthetic corpus's FJPG stand-in keeps its
+        # deterministic path
+        if bytes(buf[:2]) == b"\xff\xd8":
+            return decode_jpeg(buf)
         return decode_fake_jpeg(buf)
     raise NotImplementedError(f"unsupported image format: {fmt}")
 

@@ -66,6 +66,34 @@ def curate_documents(sf_dir: str, quality_threshold: float = 0.35):
     )
 
 
+def _sql_curate_documents() -> str:
+    """Fully recomputing DuckDB oracle for curate_documents: exact-Jaccard
+    near-dup victims (the minhash oracle's own pair set), the mirrored
+    text-features quality expression, and the Knuth-hash split rule with
+    the uint64 wraparound done in HUGEINT arithmetic."""
+    from .mlprep import SQL_MINHASH_NEARDUP, SQL_TEXT_FEATURES
+
+    return f"""
+WITH victims AS (
+  SELECT DISTINCT id_b FROM ({SQL_MINHASH_NEARDUP})
+), feats AS (
+  {SQL_TEXT_FEATURES}
+), kept AS (
+  SELECT doc_id, n_chars FROM feats
+  WHERE quality_score >= 0.35
+    AND doc_id NOT IN (SELECT id_b FROM victims)
+)
+SELECT CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) % 100 < 10
+            THEN 'test' ELSE 'train' END AS split,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       count(*) AS n_docs
+FROM kept GROUP BY 1
+"""
+
+
+SQL_CURATE_DOCUMENTS = _sql_curate_documents()
+
+
 def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
     """images -> decode + brightness gate (too dark/bright dropped) ->
     visual near-dup removal -> tile assignment of survivors at z8 ->

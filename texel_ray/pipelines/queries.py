@@ -871,14 +871,26 @@ ORACLE_SQL = {
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,
     "pack_sequences": mlprep.SQL_PACK_SEQUENCES,
+    # fully recomputing composition oracle: exact-Jaccard victims +
+    # mirrored text-features quality + HUGEINT-wraparound split hash
+    "curate_documents": curate.SQL_CURATE_DOCUMENTS,
 }
 
 # Golden-parquet oracles (tools/make_query_goldens.py) for queries SQL
-# cannot recompute: image decode, HLL sketches, IVF probing, snap/tile
-# kernels. simhash_neardup's golden is an INDEPENDENT brute-force
-# reference (all-pairs hamming; band blocking is exact by pigeonhole);
-# the rest pin the sf0.01 pipeline output whose kernels are separately
-# golden/pytest-pinned. Valid at the driver's compare scale (sf0.01).
+# cannot recompute (image decode, sketches, IVF probing, snap/tile
+# kernels). Two classes, documented per name in the tool's INDEPENDENT
+# dict vs REGRESSION_PIN list:
+# - INDEPENDENT goldens are recomputed by a from-scratch single-node
+#   reference sharing no distributed blocking/shuffle code with the
+#   pipeline (simhash/h3_compact/dbscan since round 2; round 3 added
+#   image_stats, image_resize, image_augment, audio_features,
+#   curate_audio, image_embed_neardup, zonal_stats, region_hulls,
+#   tile_pyramid, curate_images, s2_cells — e.g. stdlib-wave audio
+#   parse, gift-wrapping hulls, scalar bit-by-bit S2 Hilbert walk,
+#   half-plane PIP membership);
+# - REGRESSION_PIN goldens commit the pipeline's own sf0.01 output
+#   (determinism/non-drift only), each justified in the tool.
+# Valid at the driver's compare scale (sf0.01).
 _GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "tests",
@@ -893,7 +905,6 @@ for _name in (
     "approx_distinct",
     "image_stats",
     "image_embed_neardup",
-    "curate_documents",
     "curate_images",
     "image_resize",
     "quantiles_quality",
@@ -907,24 +918,13 @@ for _name in (
     "range_partition_orders",
     "snap_deadletter",
     "video_frames",
-    # independent golden: pure-Python set-based compact in the tool
     "h3_compact",
-    # independent golden: single-node brute-force DBSCAN in golden_util
     "dbscan",
-    # VW kernel pinned by tests/test_simplify.py invariants; golden pins
-    # the full simplified geometry at sf-independent shape corpus
     "simplify_shapes",
-    # zonal decode aggregates (PIP membership separately oracle-exact)
     "zonal_stats",
-    # marching-squares kernel pinned by shape tests; golden pins the
-    # traced geometry via per-image vertex-stream CRCs
     "vectorize_raster",
-    # overview pyramid: decode golden + conservation invariants pytest
     "tile_pyramid",
-    # convex hulls are not SQL-expressible; kernel pytest-pinned
     "region_hulls",
-    # simplify->snap->clip composition; each stage kernel separately
-    # pinned, golden pins the end-to-end tile stats
     "vector_chain",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")

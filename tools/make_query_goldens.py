@@ -30,47 +30,50 @@ OUT_DIR = os.path.join(
     "golden_queries",
 )
 
-# queries whose golden is the pipeline's own committed sf0.01 output
+# queries whose golden is the pipeline's own committed sf0.01 output —
+# each with a one-line justification for why no independent recompute
+# exists (the convertible ones were converted to INDEPENDENT in round 3)
 REGRESSION_PIN = [
+    # snap kernel is bit-exact-pinned by 52 reference-extracted golden
+    # cases; the pin covers the dataset-level composition only
     "snap_regions",
+    "snap_deadletter",
+    # tile cutting composes the snap/clip kernels above with the
+    # SQL-oracled tile assignment; per-piece geometry is kernel-pinned
     "tilecut_z13",
     "vector_tilecut",
-    "ivf_topk",
-    "approx_distinct",
-    "image_stats",
-    "image_embed_neardup",
-    "curate_documents",
-    "curate_images",
-    "image_resize",
-    "quantiles_quality",
-    "audio_features",
-    "s2_cells",
-    # kmeans fit is pinned vs a numpy Lloyd reference in pytest; the
-    # committed parquet catches drift in the distributed partial/reduce
-    "kmeans",
-    "semantic_dedup",
-    "curate_audio",
-    # ADC/PQ is approximate by design; recall vs brute force is pinned in
-    # pytest, the golden pins the deterministic output
-    "pq_topk",
-    "image_augment",
-    "range_partition_orders",
-    "snap_deadletter",
-    "video_frames",
+    # full simplify->snap->clip chain; each stage kernel separately
+    # pinned (VW invariants, snap goldens, clip tests)
+    "vector_chain",
     # VW kernel invariants (no self-intersection, vertex subset, area
     # bounds) are pytest-pinned in test_simplify.py; golden pins geometry
     "simplify_shapes",
-    # decode kernel pinned by PSNR/image tests; PIP membership by the
-    # pip_join oracles; golden pins the fused per-region integer sums
-    "zonal_stats",
+    # IVF probing is approximate BY DESIGN (nprobe lists); recall vs
+    # brute force is pytest-pinned, golden pins the deterministic output
+    "ivf_topk",
+    # ADC/PQ is approximate by design; recall vs brute force is pinned in
+    # pytest, the golden pins the deterministic output
+    "pq_topk",
+    # HLL estimates are sketch-construction-defined (no independent
+    # implementation would agree bit-for-bit); error bound pytest-pinned
+    "approx_distinct",
+    # t-digest quantiles depend on the documented data-keyed partial
+    # layout; accuracy bound pytest-pinned
+    "quantiles_quality",
+    # kmeans fit is pinned vs a numpy Lloyd reference in pytest (1e-12);
+    # the committed parquet catches drift in the distributed reduce
+    "kmeans",
+    # cluster blocking inherits the iterative kmeans floats above;
+    # planted-dup recall pytest-pinned
+    "semantic_dedup",
+    # t-digest boundary fit (see quantiles_quality); layout invariants
+    # (non-overlapping ascending ranges) pytest-pinned
+    "range_partition_orders",
+    # SFV container decode is repo-defined; frame PNG decode pinned by
+    # codec tests, sampling arithmetic pytest-pinned
+    "video_frames",
     # marching-squares kernel pinned by shape tests in test_marching.py
     "vectorize_raster",
-    # overview rollup is exact-integer; conservation pytest-pinned
-    "tile_pyramid",
-    # hull kernel pinned by square/collinear pytest
-    "region_hulls",
-    # full simplify->snap->clip chain; stage kernels separately pinned
-    "vector_chain",
 ]
 
 
@@ -173,10 +176,610 @@ def golden_dbscan():
     )
 
 
+def _sf_images(columns):
+    """All sf0.01 image rows as a pandas frame (goldens are single-node)."""
+    import pyarrow.parquet as pq
+
+    from texel_ray.sources.images import ensure_images_for_sf_dir
+
+    return pq.read_table(ensure_images_for_sf_dir(SF_DIR), columns=columns)
+
+
+def golden_image_stats():
+    """Independent recompute: decode every image (codec pinned by PSNR /
+    real-fixture tests), per-format aggregation in a plain dict loop —
+    no Arrow group_by, no partial/combiner machinery."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["bytes", "fmt"])
+    acc: dict[str, list] = {}
+    for buf, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        img = decode_image(buf, fmt).astype(np.int64)
+        sums = img.reshape(-1, 3).sum(axis=0)
+        n = img.shape[0] * img.shape[1]
+        a = acc.setdefault(fmt, [0, 0, 0, 1 << 62, -(1 << 62), 0])
+        a[0] += int(sums[0] // n)
+        a[1] += int(sums[1] // n)
+        a[2] += int(sums[2] // n)
+        a[3] = min(a[3], int(img.min()))
+        a[4] = max(a[4], int(img.max()))
+        a[5] += 1
+    rows = [
+        (f, a[0], a[1], a[2], a[3], a[4], a[5]) for f, a in sorted(acc.items())
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "fmt", "sum_mean_r", "sum_mean_g", "sum_mean_b",
+            "px_min", "px_max", "n",
+        ],
+    )
+
+
+def golden_image_resize():
+    """Independent recompute: decode -> nearest-neighbor resize computed
+    per OUTPUT pixel in a scalar loop (different indexing construction
+    than ImageResizer's vectorized gather) -> re-encode -> per-format
+    byte totals via a dict."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image, encode_image
+
+    out_w = out_h = 8
+    t = _sf_images(["bytes", "fmt"])
+    acc: dict[str, list] = {}
+    for buf, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        img = decode_image(buf, fmt)
+        h, w, _ = img.shape
+        small = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+        for oy in range(out_h):
+            sy = min(oy * h // out_h, h - 1)
+            for ox in range(out_w):
+                sx = min(ox * w // out_w, w - 1)
+                small[oy, ox] = img[sy, sx]
+        enc = encode_image(small, fmt)
+        a = acc.setdefault(fmt, [0, 0])
+        a[0] += len(enc)
+        a[1] += 1
+    rows = [(f, a[0], a[1]) for f, a in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["fmt", "out_bytes", "n"])
+
+
+def golden_image_augment():
+    """Independent recompute of the deterministic augmentation pipeline:
+    same published op-choice rule (crc32(id) % 4) and numpy transforms,
+    aggregated in a plain dict — no actor pool, no partial groupby."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image, encode_image
+
+    ops = ("hflip", "vflip", "rot90", "crop")
+    t = _sf_images(["image_id", "bytes", "fmt"])
+    acc: dict[tuple, list] = {}
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        op = ops[zlib.crc32(str(iid).encode()) % 4]
+        img = decode_image(buf, fmt)
+        if op == "hflip":
+            img = img[:, ::-1]
+        elif op == "vflip":
+            img = img[::-1]
+        elif op == "rot90":
+            img = np.rot90(img)
+        else:
+            h, w = img.shape[:2]
+            ch, cw = max(1, int(h * 0.75)), max(1, int(w * 0.75))
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+        enc = encode_image(np.ascontiguousarray(img), fmt)
+        a = acc.setdefault((fmt, op), [0, 0, 0])
+        a[0] += len(enc)
+        a[1] += int(img.astype(np.int64).sum())
+        a[2] += 1
+    rows = [(f, o, a[0], a[1], a[2]) for (f, o), a in sorted(acc.items())]
+    return pd.DataFrame(
+        rows, columns=["fmt", "aug", "out_bytes", "px_checksum", "n"]
+    )
+
+
+def _wav_features_stdlib(buf: bytes):
+    """INDEPENDENT WAV parse: python's stdlib ``wave`` module (a third
+    party to the repo's own RIFF chunk walker in stages/multimodal)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf)) as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    assert width == 2, "synthetic clips are PCM16"
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    n = (len(x) // channels) * channels
+    samples = x[:n].reshape(-1, channels)
+    mono = samples.mean(axis=1)
+    dur = len(mono) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    return dur, rate, rms
+
+
+def golden_audio_features():
+    """Independent recompute: stdlib-wave decode (not the repo's RIFF
+    parser) + plain-dict per-rate aggregation of the truncated ints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.sources.audio import ensure_audio_for_sf_dir
+
+    t = pq.read_table(ensure_audio_for_sf_dir(SF_DIR), columns=["bytes"])
+    acc: dict[int, list] = {}
+    for buf in t["bytes"].to_pylist():
+        dur, rate, rms = _wav_features_stdlib(buf)
+        a = acc.setdefault(rate, [0, 0, 0])
+        a[0] += int(np.trunc(dur * 1000.0))
+        a[1] += int(np.trunc(rms * 1e6))
+        a[2] += 1
+    rows = [(r, a[0], a[1], a[2]) for r, a in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["sample_rate", "ms", "rms_ppm", "n"])
+
+
+def golden_curate_audio():
+    """Independent recompute of the audio curation composition: stdlib
+    wave decode, blake2b content hashes, pandas dedup (keep min id per
+    hash), gate, split hash, dict aggregation."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.sources.audio import ensure_audio_for_sf_dir
+
+    t = pq.read_table(ensure_audio_for_sf_dir(SF_DIR), columns=["audio_id", "bytes"])
+    rows = []
+    for aid, buf in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+        dur, rate, rms = _wav_features_stdlib(buf)
+        h = int.from_bytes(
+            hashlib.blake2b(buf, digest_size=8).digest(), "big", signed=True
+        )
+        rows.append((aid, dur, rate, rms, h))
+    df = pd.DataFrame(
+        rows, columns=["audio_id", "duration_s", "sample_rate", "rms", "content_hash"]
+    )
+    keep_min = df.groupby("content_hash")["audio_id"].transform("min")
+    df = df[df["audio_id"] == keep_min]
+    df = df[(df["rms"] >= 0.02) & (df["duration_s"] >= 0.25)]
+    ids = df["audio_id"].to_numpy().astype(np.uint64)
+    split = np.where((ids * np.uint64(2654435761)) % np.uint64(100) < 10, "test", "train")
+    out = pd.DataFrame(
+        {
+            "split": split,
+            "sample_rate": df["sample_rate"].to_numpy(),
+            "ms": np.trunc(df["duration_s"].to_numpy() * 1000.0).astype(np.int64),
+        }
+    )
+    g = out.groupby(["split", "sample_rate"], as_index=False).agg(
+        ms=("ms", "sum"), n_clips=("ms", "size")
+    )
+    g["sample_rate"] = g["sample_rate"].astype("int32")
+    return g[["split", "sample_rate", "ms", "n_clips"]]
+
+
+def golden_image_embed_neardup():
+    """Independent single-node recompute of the visual near-dup
+    composition: decode -> patch-mean embedding (formula re-derived
+    inline), the published signed-random-projection bucket rule, then a
+    per-bucket brute cosine in plain pandas — no Ray groupby/map_groups,
+    no actor pools. Float dtypes mirror the pipeline exactly (float32
+    pair scan over float64 bucketing)."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["image_id", "bytes", "fmt"])
+    ids, embs = [], []
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        img = decode_image(buf, fmt).mean(axis=2)
+        h, w = img.shape
+        gh, gw = h // 4, w // 4
+        patch = img[: gh * 4, : gw * 4].reshape(4, gh, 4, gw)
+        embs.append(patch.mean(axis=(1, 3)).ravel().astype(np.float32))
+        ids.append(iid)
+    m64 = np.stack(embs).astype(np.float64)
+    planes = np.random.default_rng(42).standard_normal((16, 12))
+    signs = (m64 @ planes) > 0
+    weights = (1 << np.arange(12, dtype=np.uint64)).astype(np.uint64)
+    bucket = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    df = pd.DataFrame({"image_id": ids, "bucket": bucket})
+    df["emb_idx"] = np.arange(len(df))
+    m32 = np.stack(embs)  # float32, as the pandas map_groups path sees it
+    counts: dict[str, int] = {}
+    for _, g in df.groupby("bucket"):
+        g = g.sort_values("image_id").head(256)
+        gm = m32[g["emb_idx"].to_numpy()]
+        norms = np.linalg.norm(gm, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        gm = gm / norms
+        sims = gm @ gm.T
+        gi = g["image_id"].to_numpy()
+        ia, ib = np.triu_indices(len(gi), k=1)
+        keep = sims[ia, ib] >= 0.9999
+        for a, b in zip(gi[ia[keep]], gi[ib[keep]]):
+            counts[min(a, b)] = counts.get(min(a, b), 0) + 1
+    items = sorted(counts.items())
+    return pd.DataFrame(
+        {
+            "id_a": [k for k, _ in items],
+            "n_neardups": np.array([v for _, v in items], dtype=np.int64),
+        }
+    )
+
+
+def _pip_regions_membership(lon, lat):
+    """INDEPENDENT point-in-region membership (no PIPJoiner/STR-tree):
+    inclusive bbox for rects, inclusive CCW half-plane tests for the
+    hexagon polys — the same edge semantics the pip_join SQL oracles
+    assert. Returns list of (row_index, region_id)."""
+    import numpy as np
+
+    from texel_ray.core.geom import wkb_decode
+    from texel_ray.sources.regions import generate_regions_table
+
+    regions = generate_regions_table()
+    out_idx, out_rid = [], []
+    for rid, kind, x0, y0, x1, y1, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["minx"].to_pylist(),
+        regions["miny"].to_pylist(),
+        regions["maxx"].to_pylist(),
+        regions["maxy"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind == "rect":
+            m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        else:
+            _, rings = wkb_decode(buf)
+            ring = rings[0]
+            m = np.ones(len(lon), dtype=bool)
+            for (ax, ay), (bx, by) in zip(ring, ring[1:] + ring[:1]):
+                m &= ((bx - ax) * (lat - ay) - (by - ay) * (lon - ax)) >= 0
+        hit = np.nonzero(m)[0]
+        out_idx.append(hit)
+        out_rid.append(np.full(len(hit), rid, dtype=np.int64))
+    return np.concatenate(out_idx), np.concatenate(out_rid)
+
+
+def golden_zonal_stats():
+    """Independent recompute: fresh half-plane/bbox PIP membership (not
+    the STR-tree joiner), per-image decode stats, pandas aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["image_id", "bytes", "fmt", "lon", "lat"])
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    idx, rid = _pip_regions_membership(lon, lat)
+    # decode each DISTINCT member image once
+    payloads = t["bytes"].to_pylist()
+    fmts = t["fmt"].to_pylist()
+    uniq = np.unique(idx)
+    px_n = {}; lum = {}; mn = {}; mx = {}
+    for u in uniq:
+        img = decode_image(payloads[u], fmts[u]).astype(np.int64)
+        px_n[u] = img.shape[0] * img.shape[1]
+        lum[u] = int(img.sum())
+        mn[u] = int(img.min())
+        mx[u] = int(img.max())
+    df = pd.DataFrame(
+        {
+            "region_id": rid,
+            "n_px": [px_n[i] for i in idx],
+            "sum_lum": [lum[i] for i in idx],
+            "px_min": [mn[i] for i in idx],
+            "px_max": [mx[i] for i in idx],
+        }
+    )
+    g = df.groupby("region_id", as_index=False).agg(
+        n_images=("n_px", "size"),
+        n_px=("n_px", "sum"),
+        sum_lum=("sum_lum", "sum"),
+        px_min=("px_min", "min"),
+        px_max=("px_max", "max"),
+    )
+    return g[["region_id", "n_images", "n_px", "sum_lum", "px_min", "px_max"]]
+
+
+def golden_region_hulls():
+    """Independent recompute: fresh PIP membership + GIFT-WRAPPING convex
+    hull (a different algorithm than the pipeline's monotone chain),
+    emitting the identical CCW-from-lexicographic-minimum vertex stream."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    t = _sf_images(["lon", "lat"])
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    idx, rid = _pip_regions_membership(lon, lat)
+
+    def gift_wrap(pts: np.ndarray) -> np.ndarray:
+        n = len(pts)
+        if n <= 2:
+            return pts
+        hull = [0]  # pts are lexicographically sorted; 0 is the start
+        while True:
+            p = hull[-1]
+            cand = 0 if p != 0 else 1
+            for q in range(n):
+                if q == p:
+                    continue
+                cross = (pts[cand, 0] - pts[p, 0]) * (pts[q, 1] - pts[p, 1]) - (
+                    pts[cand, 1] - pts[p, 1]
+                ) * (pts[q, 0] - pts[p, 0])
+                if cross > 0 or (
+                    cross == 0
+                    and np.hypot(*(pts[q] - pts[p])) > np.hypot(*(pts[cand] - pts[p]))
+                ):
+                    cand = q  # more counter-clockwise (or farther collinear)
+            if cand == 0:
+                break
+            hull.append(cand)
+        # this wrap walks clockwise; reverse the tail for the pipeline's
+        # CCW-from-lexicographic-minimum convention
+        return pts[[hull[0]] + hull[:0:-1]]
+
+    rows = []
+    for r in np.unique(rid):
+        pts = np.unique(
+            np.stack([lon[idx[rid == r]], lat[idx[rid == r]]], axis=1), axis=0
+        )
+        h = gift_wrap(pts)
+        x, y = h[:, 0], h[:, 1]
+        area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+        rows.append(
+            (
+                int(r),
+                len(pts),
+                len(h),
+                abs(area2) / 2.0,
+                zlib.crc32(h.astype("<f8").tobytes()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["region_id", "n_points", "n_hull", "hull_area", "crc"]
+    )
+
+
+def golden_tile_pyramid():
+    """Independent recompute: per-image decode stats + the pinned tile
+    kernel for the base assignment, then a plain dict-based 2x2 rollup —
+    no partial_sum_groupby, no Dataset union."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.stages.tiles import encode_tiles
+
+    base_zoom, levels = 12, 4
+    t = _sf_images(["image_id", "bytes", "fmt", "lon", "lat"])
+    assigned = encode_tiles(
+        pa.table(
+            {
+                "image_id": t["image_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+            }
+        ),
+        "WebMercatorQuad",
+        (base_zoom,),
+        keep_columns=["image_id"],
+    )
+    by_id = {}
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        by_id[iid] = (buf, fmt)
+    cells: dict[tuple, list] = {}
+    for iid, gx, gy in zip(
+        assigned["image_id"].to_pylist(),
+        assigned["tile_x"].to_pylist(),
+        assigned["tile_y"].to_pylist(),
+    ):
+        buf, fmt = by_id[iid]
+        img = decode_image(buf, fmt).astype(np.int64)
+        sums = img.reshape(-1, 3).sum(axis=0)
+        n = img.shape[0] * img.shape[1]
+        a = cells.setdefault((gx, gy), [0, 0, 0, 0])
+        a[0] += int(sums[0] // n)
+        a[1] += int(sums[1] // n)
+        a[2] += int(sums[2] // n)
+        a[3] += 1
+    rows = []
+    cur = cells
+    for z in range(base_zoom, base_zoom - levels, -1):
+        for (gx, gy), a in sorted(cur.items()):
+            rows.append((z, gx, gy, a[3], a[0], a[1], a[2]))
+        nxt: dict[tuple, list] = {}
+        for (gx, gy), a in cur.items():
+            p = nxt.setdefault((gx >> 1, gy >> 1), [0, 0, 0, 0])
+            for k in range(4):
+                p[k] += a[k]
+        cur = nxt
+    return pd.DataFrame(
+        rows, columns=["tm_id", "gx", "gy", "n", "sum_r", "sum_g", "sum_b"]
+    )
+
+
+def golden_curate_images():
+    """Independent recompute of the image curation composition: the
+    independent embed-neardup golden supplies the victim list, the
+    brightness gate re-derives per-image channel means from decoded
+    pixels, the tile assignment uses the pinned kernel (itself
+    SQL-oracled via tile_assign_z8), and counts aggregate in a dict."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.stages.tiles import encode_tiles
+
+    victims = set(golden_image_embed_neardup()["id_a"].tolist())
+    t = _sf_images(["image_id", "bytes", "fmt", "lon", "lat"])
+    keep_ids, keep_lon, keep_lat = [], [], []
+    for iid, buf, fmt, lo, la in zip(
+        t["image_id"].to_pylist(),
+        t["bytes"].to_pylist(),
+        t["fmt"].to_pylist(),
+        t["lon"].to_numpy(),
+        t["lat"].to_numpy(),
+    ):
+        if iid in victims:
+            continue
+        img = decode_image(buf, fmt).astype(np.int64)
+        sums = img.reshape(-1, 3).sum(axis=0)
+        n = img.shape[0] * img.shape[1]
+        mean = (int(sums[0] // n) + int(sums[1] // n) + int(sums[2] // n)) // 3
+        if 40 <= mean <= 230:
+            keep_ids.append(iid)
+            keep_lon.append(lo)
+            keep_lat.append(la)
+    tiles = encode_tiles(
+        pa.table(
+            {
+                "image_id": pa.array(keep_ids),
+                "lon": pa.array(keep_lon),
+                "lat": pa.array(keep_lat),
+            }
+        ),
+        "WebMercatorQuad",
+        (8,),
+        keep_columns=[],
+    )
+    acc: dict[tuple, int] = {}
+    for tm, tx, ty in zip(
+        tiles["tm_id"].to_pylist(),
+        tiles["tile_x"].to_pylist(),
+        tiles["tile_y"].to_pylist(),
+    ):
+        acc[(tm, tx, ty)] = acc.get((tm, tx, ty), 0) + 1
+    rows = [(tm, tx, ty, n) for (tm, tx, ty), n in sorted(acc.items())]
+    return pd.DataFrame(rows, columns=["tm_id", "tile_x", "tile_y", "n_kept"])
+
+
+# S2 sub-cell traversal orders per orientation — the published spec's
+# two modifier bits (same constants core/s2.py starts from; the WALK
+# below is the independent part: per-point, one level at a time, no
+# 4-bit lookup tables).
+_S2_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_S2_POS_TO_ORIENT = (1, 0, 0, 3)  # swap, none, none, swap|invert
+
+
+def _s2_id_scalar(lon: float, lat: float, level: int) -> int:
+    """One lon/lat -> S2 cell id via the published construction, written
+    as a straightforward per-point bit-by-bit Hilbert walk (30 single
+    levels with the ij->pos inversion done by linear scan) — structurally
+    independent of core/s2.py's vectorized 4-levels-at-a-time tables."""
+    import math
+
+    phi, lam = math.radians(lat), math.radians(lon)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0 else 4
+    else:
+        face = 2 if z >= 0 else 5
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(w: float) -> float:
+        return 0.5 * math.sqrt(1.0 + 3.0 * w) if w >= 0 else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+
+    def ij(s: float) -> int:
+        return min(max(int(math.floor((1 << 30) * s)), 0), (1 << 30) - 1)
+
+    i, j = ij(st(u)), ij(st(v))
+    pos = 0
+    orient = face & 1  # swap bit seeds the face orientation
+    for k in range(29, -1, -1):
+        cell = ((i >> k) & 1) * 2 + ((j >> k) & 1)
+        index = _S2_POS_TO_IJ[orient].index(cell)
+        pos = (pos << 2) | index
+        orient ^= _S2_POS_TO_ORIENT[index]
+    cid = (face << 61) | (pos << 1) | 1
+    # ancestor at `level`
+    lsb = 1 << (2 * (30 - level))
+    return (cid & ~(lsb - 1)) | lsb
+
+
+def golden_s2_cells():
+    """Independent recompute of per-S2-cell counts at level 8: scalar
+    published-construction encoder (above) + dict counting."""
+    import numpy as np
+    import pandas as pd
+
+    t = _sf_images(["lon", "lat"])
+    acc: dict[int, int] = {}
+    for lo, la in zip(t["lon"].to_numpy(), t["lat"].to_numpy()):
+        cid = _s2_id_scalar(float(lo), float(la), 8)
+        acc[cid] = acc.get(cid, 0) + 1
+    items = sorted(acc.items())
+    ids = np.array([k for k, _ in items], dtype=np.uint64)
+    return pd.DataFrame(
+        {
+            "s2_cell": ids.view(np.int64),
+            "n": np.array([v for _, v in items], dtype=np.int64),
+        }
+    )
+
+
 INDEPENDENT = {
     "simhash_neardup": golden_simhash_neardup,
     "h3_compact": golden_h3_compact,
     "dbscan": golden_dbscan,
+    "image_stats": golden_image_stats,
+    "image_resize": golden_image_resize,
+    "image_augment": golden_image_augment,
+    "audio_features": golden_audio_features,
+    "curate_audio": golden_curate_audio,
+    "image_embed_neardup": golden_image_embed_neardup,
+    "zonal_stats": golden_zonal_stats,
+    "region_hulls": golden_region_hulls,
+    "tile_pyramid": golden_tile_pyramid,
+    "curate_images": golden_curate_images,
+    "s2_cells": golden_s2_cells,
 }
 
 
