@@ -118,6 +118,15 @@ def run_benchmarks() -> dict:
     timed("tfidf", lambda: mlprep.q_tfidf(SF_DIR))
     timed("kmeans", lambda: mlprep.q_kmeans(SF_DIR))
     timed("semantic_dedup", lambda: mlprep.q_semantic_dedup(SF_DIR))
+    # the heaviest image/raster pipelines (ADVICE r2 #7: previously
+    # unbenched, so perf regressions there were invisible)
+    from texel_ray.pipelines import curate
+
+    timed("zonal_stats", lambda: mlprep.q_zonal_stats(SF_DIR))
+    timed("vectorize_raster", lambda: mlprep.q_vectorize_raster(SF_DIR))
+    timed("image_embed_neardup", lambda: mlprep.q_image_embed_neardup(SF_DIR))
+    timed("curate_images", lambda: curate.curate_images(SF_DIR))
+    timed("dedup_clusters_dist", lambda: mlprep.q_dedup_clusters_dist(SF_DIR))
     timed("range_join", lambda: relational.q_range_join(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))

@@ -195,3 +195,58 @@ def test_langid_batch_matches_scalar_predict():
         lang, score = stage._predict(txt)
         assert out["lang_pred"][i].as_py() == lang, (i, txt)
         assert out["lang_score"][i].as_py() == score, (i, txt)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed hash-to-min components == driver union-find on random
+    graphs including a long chain (multi-round propagation)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from texel_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(11)
+    # random clustered pairs + a 40-link chain (forces >1 round)
+    a = rng.integers(0, 300, 150)
+    b = rng.integers(0, 300, 150)
+    chain_a = np.arange(1000, 1040)
+    chain_b = np.arange(1001, 1041)
+    id_a = np.concatenate([np.minimum(a, b), chain_a]).astype(np.int64)
+    id_b = np.concatenate([np.maximum(a, b) + 1, chain_b]).astype(np.int64)
+    pairs = pa.table({"id_a": pa.array(id_a), "id_b": pa.array(id_b)})
+    got = (
+        connected_components(ray.data.from_arrow(pairs).repartition(4))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(id_a.tolist(), id_b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = sorted((k, find(k)) for k in parent)
+    assert list(zip(got["id"], got["rep"])) == want
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from texel_ray.stages.components import connected_components
+
+    pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    out = connected_components(ray.data.from_arrow(pairs))
+    assert out.count() == 0

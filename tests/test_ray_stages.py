@@ -151,6 +151,47 @@ def test_pip_joiner_grid_index_matches_dense_path():
     assert pairs_t == pairs_d
 
 
+def test_pip_joiner_emission_order_contract():
+    """PIPJoiner.EMITS_POINT_SORTED: output rows are grouped by input
+    point position (ascending), regions-table row position ascending
+    within a point.
+    pipelines/flagship.FusedTileStage's adjacency dedup depends on this
+    — if this test fails, fix that dedup together with the joiner."""
+    from texel_ray.core.geom import wkb_encode_polygon
+
+    assert PIPJoiner.EMITS_POINT_SORTED
+    # three nested rectangles -> the inner point matches all three
+    rows = {
+        "region_id": pa.array(np.array([30, 20, 10], dtype=np.int64)),
+        "name": pa.array(["a", "b", "c"]),
+        "minx": pa.array([-30.0, -20.0, -10.0]),
+        "miny": pa.array([-30.0, -20.0, -10.0]),
+        "maxx": pa.array([30.0, 20.0, 10.0]),
+        "maxy": pa.array([30.0, 20.0, 10.0]),
+        "kind": pa.array(["rect", "rect", "rect"]),
+        "geom_wkb": pa.array(
+            [
+                wkb_encode_polygon([[(-s, -s), (s, -s), (s, s), (-s, s)]])
+                for s in (30.0, 20.0, 10.0)
+            ],
+            pa.binary(),
+        ),
+    }
+    pts = pa.table(
+        {
+            "pid": pa.array(np.array([7, 3, 9], dtype=np.int64)),
+            "lon": pa.array([0.0, 25.0, 1.0]),
+            "lat": pa.array([0.0, 25.0, 1.0]),
+        }
+    )
+    for index in ("dense", "grid"):
+        out = PIPJoiner(regions=pa.table(rows), keep_columns=["pid"], index=index)(pts)
+        got = list(zip(out["pid"].to_pylist(), out["region_id"].to_pylist()))
+        # input point order (pid 7 then 3 then 9), regions-table ROW
+        # order within each point (here region_id 30, 20, 10)
+        assert got == [(7, 30), (7, 20), (7, 10), (3, 30), (9, 30), (9, 20), (9, 10)]
+
+
 def test_knn_all_matches_bruteforce(ray_session):
     """Full self-join kNN vs an O(n^2) numpy reference, incl. exact
     (d2, id) tie-break."""

@@ -129,6 +129,36 @@ def test_latlon_crs_without_ordered_axes_swaps():
     assert tms.from_native(0, -170.0, 80.0) == (0, 0)
 
 
+def test_latlon_crs_outside_inline_subset_swaps():
+    """A lat/lon CRS absent from the inline fallback dict (EPSG:4269,
+    NAD83) must resolve through the full committed authority table
+    (epsg_axis_latlon.json, 7,070 EPSG v10.096 codes) and load with the
+    XY origin — ADVICE round 2 #8."""
+    from texel_ray.core.tms import EPSG_AXES_ARE_LATLON, _epsg_axis_table
+
+    assert 4269 not in EPSG_AXES_ARE_LATLON  # genuinely exercises the table
+    assert len(_epsg_axis_table()) > 5000
+    doc = {
+        "id": "nad83_no_axes",
+        "crs": "http://www.opengis.net/def/crs/EPSG/0/4269",
+        "tileMatrices": [
+            {
+                "id": "0",
+                "scaleDenominator": 279541132.0143589,
+                "cellSize": 0.703125,
+                "pointOfOrigin": [90.0, -180.0],  # lat, lon as EPSG:4269 orders
+                "tileWidth": 256,
+                "tileHeight": 256,
+                "matrixWidth": 2,
+                "matrixHeight": 1,
+            }
+        ],
+    }
+    tms = load_tms_json(doc)
+    assert tms.tile_matrices[0].point_of_origin == (-180.0, 90.0)
+    assert tms.from_native(0, -170.0, 80.0) == (0, 0)
+
+
 def test_ordered_axes_fallback_for_unknown_crs():
     """Unknown CRS authority -> the informative orderedAxes decide
     (mirrors the reference's fallback at tms20/tms20.go:527-554, with the

@@ -91,6 +91,9 @@ class FusedTileStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        # adjacency dedup below requires PIPJoiner's canonical
+        # point-sorted emission (all matches per input row contiguous)
+        assert PIPJoiner.EMITS_POINT_SORTED
         joined = self.joiner(batch)
         ids = joined["image_id"].to_numpy(zero_copy_only=False)
         keep = np.ones(len(ids), dtype=bool)

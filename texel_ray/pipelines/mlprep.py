@@ -393,6 +393,29 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.8):
     ).astype("int64")
 
 
+def q_dedup_clusters_dist(sf_dir: str, threshold: float = 0.8):
+    """dedup_clusters via the DISTRIBUTED connected-components operator
+    (stages/components.connected_components — iterative hash-to-min
+    label propagation; every exchange carries only (id, label) int64
+    rows): the cluster-scale form for when the verified pair list
+    outgrows the driver. Same recursive-CTE SQL oracle as the
+    union-find path — outputs must be identical."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from ..stages.components import connected_components
+
+    pairs = q_minhash_neardup(sf_dir, threshold)
+    if isinstance(pairs, __import__("pandas").DataFrame):  # empty fast path
+        pairs = ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    out = connected_components(pairs)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["id"], "rep": b["rep"]}),
+        batch_format="pyarrow",
+    )
+
+
 SQL_DEDUP_CLUSTERS = r"""
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -752,9 +775,8 @@ def q_approx_distinct(sf_dir: str):
     partials = ds.map_batches(
         lambda b: hll_partials(b, "user_id", "event_type"), batch_format="pyarrow"
     )
-    rows = [
-        (r["group"], r["sketch"]) for r in partials.take_all()
-    ]
+    pdf = partials.to_pandas()  # group×batch-dimension; block-level fetch
+    rows = list(zip(pdf["group"], pdf["sketch"]))
     est = hll_merge_estimate(rows)
     return pd.DataFrame(
         {
@@ -1098,8 +1120,12 @@ def q_quantiles_quality(sf_dir: str):
             batch_format="pandas",
         )
     )
+    pdf = partials.to_pandas()  # group×batch-dimension; block-level fetch
     rows = sorted(
-        ((r["group"], tuple(r["means"]), tuple(r["weights"])) for r in partials.take_all()),
+        (
+            (g, tuple(m), tuple(w))
+            for g, m, w in zip(pdf["group"], pdf["means"], pdf["weights"])
+        ),
         key=lambda r: (str(r[0]), r[1][:1]),
     )
     est = tdigest_merge_quantiles(rows, quantiles=(0.5, 0.9, 0.99))

@@ -751,6 +751,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
     "dedup_clusters": mlprep.q_dedup_clusters,
+    "dedup_clusters_dist": mlprep.q_dedup_clusters_dist,
     "caption_redact": mlprep.q_caption_redact,
     "simhash_neardup": mlprep.q_simhash_neardup,
     "phash_neardup": mlprep.q_phash_neardup,
@@ -842,6 +843,8 @@ ORACLE_SQL = {
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
+    # distributed hash-to-min path must equal the union-find path exactly
+    "dedup_clusters_dist": mlprep.SQL_DEDUP_CLUSTERS,
     "phash_neardup": mlprep.sql_phash_neardup(images_sql_source()),
     "caption_redact": mlprep.sql_caption_redact(images_sql_source()),
     "embedding_neardup": mlprep.SQL_EMB_NEARDUP,

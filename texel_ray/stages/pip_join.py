@@ -56,6 +56,14 @@ def evenodd_contains(
 
 
 class PIPJoiner:
+    # Emission-order CONTRACT: __call__ output is lexsorted by
+    # (input point position, region index) — see the lexsort before the
+    # final take — so all matches for one input row are CONTIGUOUS and
+    # input-ordered. pipelines/flagship.FusedTileStage's adjacency dedup
+    # (`keep[1:] = ids[1:] != ids[:-1]`) asserts on this flag; flip it
+    # only together with that dedup.
+    EMITS_POINT_SORTED = True
+
     def __init__(
         self,
         regions_path: str | None = None,

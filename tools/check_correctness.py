@@ -76,15 +76,19 @@ def main() -> int:
         )
 
     failures = 0
+    import time
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: ray query raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        ray_s = time.perf_counter() - t0
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows, cols {list(got.columns)}")
             continue
@@ -106,7 +110,7 @@ def main() -> int:
             print(f"[FAIL] {name}: value hash mismatch\n{diff if diff is not None else ''}"[:2000])
             failures += 1
         else:
-            print(f"[OK] {name}: {len(got)} rows match oracle")
+            print(f"[OK] {name}: {len(got)} rows match oracle ({ray_s:.1f}s)")
     ray.shutdown()
     return 1 if failures else 0
 

@@ -252,6 +252,25 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{fname}: SKIP ({e})")
 
+    # EPSG axis-order authority: public EPSG-registry facts (v10.096),
+    # mechanically pulled from the reference's generated data table
+    # (tms20/epsg_axis_order.go) into compact package data consumed by
+    # texel_ray/core/tms.py (crs_is_latlon). Codes whose first two axes
+    # are lat/lon (or northing/easting) map to true.
+    axis_src = open(f"{ref}/tms20/epsg_axis_order.go").read()
+    entries = dict(
+        re.findall(r"^\s*(\d+):\s*(true|false),", axis_src, re.MULTILINE)
+    )
+    if entries:
+        axis = {int(k): v == "true" for k, v in sorted(entries.items(), key=lambda kv: int(kv[0]))}
+        import pathlib
+
+        core_dir = pathlib.Path(__file__).resolve().parent.parent / "texel_ray" / "core"
+        (core_dir / "epsg_axis_latlon.json").write_text(
+            json.dumps({str(k): v for k, v in axis.items()}, separators=(",", ":"))
+        )
+        print(f"epsg_axis_latlon.json: {len(axis)} codes")
+
     morton_src = open(f"{ref}/morton/morton_test.go").read()
     try:
         cases = extract_table(morton_src, "TestToZ")
