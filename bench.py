@@ -130,6 +130,8 @@ def run_benchmarks() -> dict:
     timed("range_join", lambda: relational.q_range_join(SF_DIR))
     timed("agg_pricing", lambda: relational.q_agg_pricing(SF_DIR))
     timed("tumbling_events", lambda: relational.q_tumbling_events(SF_DIR))
+    timed("od_flows", lambda: relational.q_od_flows(SF_DIR))
+    timed("traj_segments", lambda: relational.q_traj_segments(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -152,3 +152,56 @@ def test_range_partition_write_layout_and_resume(ray_session, tmp_path):
     )
     assert not written2 and sorted(int(s) for s in skipped2) == list(range(8))
     np.testing.assert_allclose(bounds2, bounds)
+
+
+def test_traj_segment_kernel_and_min_region_assign():
+    """Pure-kernel checks for the trajectory operators: (a) the region
+    assigned by the dense mask is the MINIMUM containing rect region_id
+    (brute-force per point); (b) segmentation break rule fires on time
+    gap, on distance jump, and at the trajectory start."""
+    import numpy as np
+    import pyarrow as pa
+
+    from texel_ray.pipelines.relational import (
+        _event_geo_np,
+        _event_pos_region_batch,
+        _rect_regions,
+    )
+
+    uid = np.arange(64, dtype=np.int64)
+    ev = np.arange(64, dtype=np.int64) * 37
+    lon, lat = _event_geo_np(uid, ev)
+    ts = pa.array(np.arange(64, dtype=np.int64), pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    batch = pa.table(
+        {"user_id": pa.array(uid), "ts": ts, "event_id": pa.array(ev)}
+    )
+    out = _event_pos_region_batch(batch)
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    for i in range(64):
+        inside = (
+            (lon[i] >= minx)
+            & (lon[i] <= maxx)
+            & (lat[i] >= miny)
+            & (lat[i] <= maxy)
+        )
+        want = int(rid[inside].min()) if inside.any() else -1
+        assert out["region"][i].as_py() == want
+    # at least one urban-rect hit and one miss in the sample
+    regions = out["region"].to_numpy(zero_copy_only=False)
+    assert (regions >= 0).any()
+
+    # (b) break rule: gap > 12h, jump > 2 degrees, always break at start
+    gap_us, d2 = 43_200_000_000, 4.0
+    ts2 = np.array([0, 1_000_000, gap_us + 2_000_000, gap_us + 3_000_000])
+    lon2 = np.array([0.0, 0.1, 0.1, 5.0])
+    lat2 = np.zeros(4)
+    brk = np.concatenate(
+        (
+            [True],
+            (np.diff(ts2) > gap_us)
+            | (np.diff(lon2) ** 2 + np.diff(lat2) ** 2 > d2),
+        )
+    )
+    assert brk.tolist() == [True, False, True, True]

@@ -804,6 +804,8 @@ QUERIES = {
     "percent_rank_orders": relational.q_percent_rank_orders,
     "pivot_events": relational.q_pivot_events,
     "event_transitions": relational.q_event_transitions,
+    "od_flows": relational.q_od_flows,
+    "traj_segments": relational.q_traj_segments,
     "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
@@ -870,6 +872,8 @@ ORACLE_SQL = {
     "percent_rank_orders": relational.SQL_PERCENT_RANK_ORDERS,
     "pivot_events": relational.SQL_PIVOT_EVENTS,
     "event_transitions": relational.SQL_EVENT_TRANSITIONS,
+    "od_flows": relational.sql_od_flows(),
+    "traj_segments": relational.sql_traj_segments(),
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,

@@ -843,3 +843,256 @@ FROM o
 WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# ---- synthetic event geotags (deterministic; mirrored 1:1 in SQL) ---------
+#
+# The events table carries no geometry; trajectory-shaped operators need
+# one. Each user's events jitter +-2 degrees around a "home" urban center
+# (user_id % n_centers) with an exact integer formula, so the DuckDB
+# oracle recomputes the identical doubles (same parenthesization; integer
+# modulus on non-negative ids agrees between numpy and SQL).
+
+
+def _event_geo_np(user_id: np.ndarray, event_id: np.ndarray):
+    from ..sources.images import _URBAN_CENTERS
+
+    cx = np.array([c[0] for c in _URBAN_CENTERS], dtype=np.float64)
+    cy = np.array([c[1] for c in _URBAN_CENTERS], dtype=np.float64)
+    ci = user_id % len(_URBAN_CENTERS)
+    lon = cx[ci] + (((event_id * 9973) % 400) / 100.0 - 2.0)
+    lat = cy[ci] + (((event_id * 7919) % 400) / 100.0 - 2.0)
+    return lon, lat
+
+
+def _sql_event_pos() -> str:
+    """Shared CTE fragment: centers VALUES + pos (geotagged events)."""
+    from ..sources.images import _URBAN_CENTERS
+
+    n = len(_URBAN_CENTERS)
+    vals = ", ".join(
+        f"({i}, {cx!r}, {cy!r})" for i, (cx, cy) in enumerate(_URBAN_CENTERS)
+    )
+    return f"""
+centers(ci, cx, cy) AS (VALUES {vals}),
+pos AS (
+  SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+         c.cx + (((e.event_id * 9973) % 400) / 100.0 - 2.0) AS lon,
+         c.cy + (((e.event_id * 7919) % 400) / 100.0 - 2.0) AS lat
+  FROM events e JOIN centers c ON (e.user_id % {n}) = c.ci
+)"""
+
+
+_RECT_REGIONS = None
+
+
+def _rect_regions():
+    """(region_id, minx, miny, maxx, maxy) arrays for the RECT regions,
+    ascending region_id; regenerated deterministically per process
+    (cheaper than broadcasting a table this small at cluster scale)."""
+    global _RECT_REGIONS
+    if _RECT_REGIONS is None:
+        from ..sources.regions import generate_regions_table
+
+        t = generate_regions_table()
+        t = t.filter(pa.compute.equal(t["kind"], "rect"))
+        _RECT_REGIONS = tuple(
+            t[c].to_numpy(zero_copy_only=False)
+            for c in ("region_id", "minx", "miny", "maxx", "maxy")
+        )
+    return _RECT_REGIONS
+
+
+def _event_pos_region_batch(batch: pa.Table) -> pa.Table:
+    """Geotag a batch of events and assign region = MIN region_id among
+    containing rect regions (else -1). Dense (batch x 58) mask; first
+    True along ascending region_id IS the minimum."""
+    uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    ev = batch["event_id"].to_numpy(zero_copy_only=False)
+    lon, lat = _event_geo_np(uid, ev)
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    inside = (
+        (lon[:, None] >= minx[None, :])
+        & (lon[:, None] <= maxx[None, :])
+        & (lat[:, None] >= miny[None, :])
+        & (lat[:, None] <= maxy[None, :])
+    )
+    hit = inside.any(axis=1)
+    region = np.where(hit, rid[inside.argmax(axis=1)], -1)
+    return pa.table(
+        {
+            "user_id": batch["user_id"],
+            "ts_us": pa.compute.cast(batch["ts"], pa.int64()),
+            "event_id": batch["event_id"],
+            "region": pa.array(region, pa.int64()),
+        }
+    )
+
+
+def q_od_flows(sf_dir: str):
+    """Origin -> destination FLOW MATRIX (OD counts between regions):
+    geotag events deterministically (see _event_geo_np), assign each
+    event the MIN containing rect region (else -1) in one stateless
+    map_batches pass, then count per-user consecutive (from -> to)
+    region transitions in (ts, event_id) order. 100-TB shape: only
+    skinny int rows cross the single groupby(user) exchange, the flow
+    matrix itself is bounded by regions^2; the 58-rect dimension side is
+    regenerated per worker, never shipped. Exact SQL oracle: the same
+    geotag formula + a min-region scalar subquery + lag() window."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    skinny = ds.map_batches(
+        _event_pos_region_batch, batch_format="pyarrow", batch_size=16384
+    )
+
+    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "event_id"], kind="stable")
+        r = g["region"].to_numpy()
+        pairs = pd.DataFrame({"from_region": r[:-1], "to_region": r[1:]})
+        return (
+            pairs.groupby(["from_region", "to_region"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = skinny.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["from_region", "to_region"], ["n_partial"], coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["from_region", "to_region", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_od_flows() -> str:
+    from ..sources.regions import regions_parquet_path
+
+    rsrc = f"read_parquet('{regions_parquet_path()}')"
+    return f"""
+WITH {_sql_event_pos()},
+reg AS (
+  SELECT p.user_id, p.ts_us, p.event_id,
+         coalesce((SELECT min(r.region_id) FROM {rsrc} r
+                   WHERE r.kind = 'rect'
+                     AND p.lon >= r.minx AND p.lon <= r.maxx
+                     AND p.lat >= r.miny AND p.lat <= r.maxy), -1) AS region
+  FROM pos p
+),
+o AS (
+  SELECT user_id, region,
+         lag(region) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS from_region
+  FROM reg
+)
+SELECT from_region, region AS to_region, count(*) AS n
+FROM o
+WHERE from_region IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_traj_segments(
+    sf_dir: str, gap_us: int = 43_200_000_000, d2_split: float = 4.0
+):
+    """Trajectory SEGMENTATION (trip/stay splitting): per user, order
+    events by (ts, event_id) and start a new segment when the time gap
+    exceeds 12h OR the squared-degree jump exceeds ``d2_split``. Emits
+    per segment: event count, first/last event_id (in trajectory order)
+    and the time span. One skinny groupby(user) exchange; per group a
+    single vectorized diff/cumsum — no per-row Python. Exact SQL oracle:
+    lag() + sum(CASE) running window over the identical doubles."""
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def pos(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, ev)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pa.compute.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    skinny = ds.map_batches(pos, batch_format="pyarrow", batch_size=16384)
+
+    def segments(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        ev = g["event_id"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        dlon = np.diff(lon)
+        dlat = np.diff(lat)
+        brk = np.concatenate(
+            (
+                [True],
+                (np.diff(ts) > gap_us)
+                | (dlon * dlon + dlat * dlat > d2_split),
+            )
+        )
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(g["user_id"].iloc[0], len(starts)),
+                "seg": np.arange(len(starts), dtype=np.int64),
+                "n": (ends - starts + 1).astype(np.int64),
+                "first_event_id": ev[starts],
+                "last_event_id": ev[ends],
+                "span_us": ts[ends] - ts[starts],
+            }
+        )
+
+    return skinny.groupby("user_id").map_groups(segments, batch_format="pandas")
+
+
+def sql_traj_segments(
+    gap_us: int = 43_200_000_000, d2_split: float = 4.0
+) -> str:
+    return f"""
+WITH {_sql_event_pos()},
+o AS (
+  SELECT user_id, ts_us, event_id, lon, lat,
+         lag(ts_us) OVER w AS pts,
+         lag(lon) OVER w AS plon,
+         lag(lat) OVER w AS plat
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+b AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN pts IS NULL OR ts_us - pts > {gap_us}
+                   OR (lon - plon) * (lon - plon)
+                      + (lat - plat) * (lat - plat) > {d2_split!r}
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, ts_us, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS seg
+  FROM b
+),
+m AS (
+  SELECT user_id, seg, ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id, seg
+                            ORDER BY ts_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, seg
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM s
+)
+SELECT user_id, seg, count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN event_id END) AS first_event_id,
+       max(CASE WHEN rn_d = 1 THEN event_id END) AS last_event_id,
+       max(ts_us) - min(ts_us) AS span_us
+FROM m
+GROUP BY 1, 2
+"""
