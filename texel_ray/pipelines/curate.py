@@ -95,50 +95,47 @@ SQL_CURATE_DOCUMENTS = _sql_curate_documents()
 
 
 def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
-    """images -> decode + brightness gate (too dark/bright dropped) ->
-    visual near-dup removal -> tile assignment of survivors at z8 ->
-    per-tile kept counts. Every stage streams; near-dup blocklist is the
-    only collected intermediate."""
+    """images -> ONE decode pass (brightness stats + visual embedding +
+    geotags from the same decode — payload read once, `ImageEmbedStats`)
+    -> visual near-dup removal over the skinny embedding table ->
+    brightness gate -> tile assignment of survivors at z8 -> per-tile
+    kept counts. The materialized intermediate is the skinny
+    (id, embedding, means, lon, lat) table (~100B/row — the same
+    signature-table shape the minhash path pins), consumed twice:
+    near-dup pairs and the gate."""
     from ..sources.images import read_images
     from ..stages.agg import partial_count_groupby
-    from ..stages.multimodal import ImageStats
+    from ..stages.multimodal import ImageEmbedStats
     from ..stages.tiles import encode_tiles
 
-    from .mlprep import q_image_embed_neardup
+    from .mlprep import embed_neardup_counts
 
-    dup_counts = q_image_embed_neardup(sf_dir).to_pandas()
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
+    skinny = ds.map_batches(
+        ImageEmbedStats, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    ).materialize()
+
+    dup_counts = embed_neardup_counts(
+        skinny.select_columns(["image_id", "embedding"])
+    ).to_pandas()
     # arbitrary-but-deterministic side; sorted array for vectorized np.isin
     victims_arr = np.unique(np.asarray(dup_counts["id_a"].tolist()))
 
-    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
-    stats = ds.map_batches(
-        ImageStats, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
-    )
-    # re-join brightness verdicts onto geotags via a second pass would
-    # re-read payloads; instead gate inline and carry lon/lat through
-    # one fused stage:
+    def gate_and_tag(batch: pa.Table) -> pa.Table:
+        mean = (
+            batch["mean_r"].to_numpy()
+            + batch["mean_g"].to_numpy()
+            + batch["mean_b"].to_numpy()
+        ) // 3
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        keep = (
+            (mean >= min_mean) & (mean <= max_mean) & ~np.isin(ids, victims_arr)
+        )
+        kept = batch.filter(pa.array(keep))
+        return encode_tiles(kept, "WebMercatorQuad", (8,), keep_columns=[])
 
-    class GateAndTag:
-        def __init__(self):
-            self.stats = ImageStats()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            s = self.stats(batch)
-            mean = (
-                s["mean_r"].to_numpy() + s["mean_g"].to_numpy() + s["mean_b"].to_numpy()
-            ) // 3
-            ids = batch["image_id"].to_numpy(zero_copy_only=False)
-            keep = (
-                (mean >= min_mean)
-                & (mean <= max_mean)
-                & ~np.isin(ids, victims_arr)
-            )
-            kept = batch.filter(pa.array(keep))
-            return encode_tiles(kept, "WebMercatorQuad", (8,), keep_columns=[])
-
-    del stats
-    tiles = ds.map_batches(
-        GateAndTag, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    tiles = skinny.map_batches(
+        gate_and_tag, batch_format="pyarrow", batch_size=16384
     )
     return partial_count_groupby(tiles, ["tm_id", "tile_x", "tile_y"], alias="n_kept")
 

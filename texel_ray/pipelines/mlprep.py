@@ -506,7 +506,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     import pyarrow as pa
 
     from ..sources.images import read_images
-    from ..stages.dedup import simhash_bucket_pairs
+    from ..stages.dedup import grouped_hamming_pairs
 
     ds = read_images(sf_dir, columns=["image_id", "phash"])
 
@@ -537,29 +537,16 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
         return t.append_column("bucket", pa.array(bucket))
 
     def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
-        # one hash bucket of band groups: drop singleton bands
-        # vectorized (the overwhelming majority — random phashes rarely
-        # collide), then run the pair kernel per surviving band group
-        key = g["band_id"] * 65536 + g["band_val"]
-        counts = key.map(key.value_counts())
-        g2 = g[counts.to_numpy() > 1]
-        if len(g2) == 0:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype=str),
-                    "id_b": pd.Series(dtype=str),
-                    "hamming": pd.Series(dtype="int64"),
-                    "capped": pd.Series(dtype=bool),
-                }
-            )
-        outs = []
-        for _, sub in g2.groupby(["band_id", "band_val"], sort=False):
-            outs.append(
-                simhash_bucket_pairs(
-                    sub, id_col="image_id", max_hamming=max_hamming
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+        # one hash bucket of band groups, ALL pairs in a handful of numpy
+        # calls (grouped_hamming_pairs batches the triangle enumeration
+        # per distinct group size — no per-band-group pandas dispatch)
+        key = (g["band_id"] * 65536 + g["band_val"]).to_numpy()
+        return grouped_hamming_pairs(
+            key,
+            g["image_id"].to_numpy(),
+            g["simhash"].to_numpy(),
+            max_hamming=max_hamming,
+        )
 
     banded = ds.map_batches(band_rows_bucketed, batch_format="pyarrow")
     pairs = banded.groupby("bucket").map_groups(bucket_fn, batch_format="pandas")
@@ -879,19 +866,14 @@ def q_image_stats(sf_dir: str):
     )
 
 
-def q_image_embed_neardup(sf_dir: str, threshold: float = 0.9999):
-    """Visual near-dup: decode -> patch-mean embedding -> LSH bucket ->
-    within-bucket cosine. Composition of the multimodal + dedup stages."""
-    from ..sources.images import read_images
+def embed_neardup_counts(embed_ds, threshold: float = 0.9999):
+    """LSH bucket -> within-bucket cosine pairs -> per-id near-dup counts
+    over an (image_id, embedding) dataset (shared by q_image_embed_neardup
+    and curate_images, which feeds it from a single fused decode pass)."""
     from ..stages.dedup import EmbeddingNearDup
-    from ..stages.multimodal import ImageEmbedder
     from ..stages.similarity import LSHBucketer
 
-    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
-    ds = ds.map_batches(
-        ImageEmbedder, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
-    )
-    ds = ds.map_batches(
+    ds = embed_ds.map_batches(
         LSHBucketer,
         fn_constructor_kwargs={"dim": 16, "bits": 12, "id_col": "image_id"},
         batch_format="pyarrow",
@@ -906,6 +888,19 @@ def q_image_embed_neardup(sf_dir: str, threshold: float = 0.9999):
     )
     # summarize (pair lists can be large for self-similar corpora)
     return pairs.groupby("id_a").aggregate(Count(alias_name="n_neardups"))
+
+
+def q_image_embed_neardup(sf_dir: str, threshold: float = 0.9999):
+    """Visual near-dup: decode -> patch-mean embedding -> LSH bucket ->
+    within-bucket cosine. Composition of the multimodal + dedup stages."""
+    from ..sources.images import read_images
+    from ..stages.multimodal import ImageEmbedder
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageEmbedder, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )
+    return embed_neardup_counts(ds, threshold=threshold)
 
 
 # ---- spatial kNN ----------------------------------------------------------

@@ -404,3 +404,62 @@ class EmbeddingNearDup:
                 "capped": np.full(len(id_a), capped),
             }
         )
+
+
+def grouped_hamming_pairs(
+    key: np.ndarray,
+    ids: np.ndarray,
+    sig: np.ndarray,
+    max_hamming: int = 3,
+    cap: int = 50,
+) -> pd.DataFrame:
+    """All within-``key``-group pairs with hamming(sig) <= max_hamming,
+    vectorized ACROSS groups: one lexsort, then one batched
+    triangle-enumeration per DISTINCT group size (a handful of numpy
+    calls instead of one ``simhash_bucket_pairs`` dispatch per group —
+    the per-group pandas overhead dominated phash/simhash buckets).
+    Semantics match simhash_bucket_pairs: ids must be unique within a
+    group; groups beyond ``cap`` ids keep the ``cap`` smallest ids and
+    flag their emitted pairs ``capped``."""
+    order = np.lexsort((ids, key))
+    k = key[order]
+    ids_s = ids[order]
+    sig_s = sig[order].astype(np.int64).astype(np.uint64)
+    bnd = np.nonzero(k[1:] != k[:-1])[0] + 1
+    starts = np.concatenate(([0], bnd)) if len(k) else np.array([], dtype=np.int64)
+    ends = np.concatenate((bnd, [len(k)])) if len(k) else np.array([], dtype=np.int64)
+    counts = ends - starts
+    over = counts > cap
+    eff = np.minimum(counts, cap)
+    out = {"id_a": [], "id_b": [], "hamming": [], "capped": []}
+    for c in np.unique(eff):
+        if c < 2:
+            continue
+        gsel = np.nonzero(eff == c)[0]
+        ia, ib = np.triu_indices(int(c), k=1)
+        base = starts[gsel][:, None]
+        A = (base + ia[None, :]).ravel()
+        B = (base + ib[None, :]).ravel()
+        d = popcount64_np(sig_s[A] ^ sig_s[B])
+        keep = d <= max_hamming
+        out["id_a"].append(ids_s[A[keep]])
+        out["id_b"].append(ids_s[B[keep]])
+        out["hamming"].append(d[keep])
+        out["capped"].append(np.repeat(over[gsel], len(ia))[keep])
+    if not out["id_a"]:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=ids.dtype if ids.dtype != object else str),
+                "id_b": pd.Series(dtype=ids.dtype if ids.dtype != object else str),
+                "hamming": pd.Series(dtype="int64"),
+                "capped": pd.Series(dtype=bool),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out["id_a"]),
+            "id_b": np.concatenate(out["id_b"]),
+            "hamming": np.concatenate(out["hamming"]),
+            "capped": np.concatenate(out["capped"]),
+        }
+    )

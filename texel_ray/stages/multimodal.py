@@ -81,6 +81,50 @@ class ImageResizer:
         )
 
 
+class ImageEmbedStats:
+    """ONE decode pass emitting BOTH the ImageEmbedder patch-mean
+    embedding and the ImageStats channel means, plus carried columns
+    (e.g. lon/lat). Payload decode dominates the curation pipelines;
+    running ImageEmbedder and ImageStats as separate stages decoded every
+    image twice. Arithmetic is identical to the two stages, so outputs
+    are bit-equal."""
+
+    def __init__(self, grid: int = 4, carry: tuple = ("lon", "lat")):
+        self.grid = grid
+        self.carry = carry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        feats, mean_r, mean_g, mean_b = [], [], [], []
+        for buf, fmt in zip(payloads, fmts):
+            img = decode_image(buf, fmt)
+            gray = img.mean(axis=2)
+            h, w = gray.shape
+            gh, gw = h // self.grid, w // self.grid
+            patch = gray[: gh * self.grid, : gw * self.grid].reshape(
+                self.grid, gh, self.grid, gw
+            )
+            feats.append(patch.mean(axis=(1, 3)).ravel().astype(np.float32))
+            sums = img.astype(np.int64).reshape(-1, 3).sum(axis=0)
+            n = h * w
+            mean_r.append(int(sums[0] // n))
+            mean_g.append(int(sums[1] // n))
+            mean_b.append(int(sums[2] // n))
+        cols = {
+            "image_id": batch["image_id"],
+            "embedding": pa.array(
+                [f.tolist() for f in feats], pa.list_(pa.float32())
+            ),
+            "mean_r": pa.array(mean_r, pa.int64()),
+            "mean_g": pa.array(mean_g, pa.int64()),
+            "mean_b": pa.array(mean_b, pa.int64()),
+        }
+        for c in self.carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+
 class ImageEmbedder:
     """Tiny deterministic visual feature: 4x4 grayscale patch means,
     flattened to list<float> — a stand-in with the exact actor/batch shape
