@@ -2457,3 +2457,178 @@ def convex_hull(pts):
     lower = half(pts)
     upper = half(pts[::-1])
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def q_substring_dedup(sf_dir: str, n: int = 8, n_buckets: int = 64):
+    """EXACT substring-overlap dedup (the fixed-length form of
+    suffix-array substring dedup a la "Deduplicating Training Data Makes
+    Language Models Better"): a document is flagged when any of its word
+    ``n``-grams also appears in a LOWER-doc_id document; emits
+    (doc_id, n_dup_shingles) for flagged docs. Distributed shape: per-doc
+    DISTINCT shingle keys (md5 prefix — recomputable in SQL, unlike our
+    numpy hashes) explode to (key, doc_id) rows, ONE hash-bucketed
+    groupby co-locates equal keys (n_buckets hash buckets, not one
+    dispatch per key — size to ~4x cluster cores at real scale; the
+    within-bucket work is vectorized, so bucket count only trades
+    dispatch overhead against skew), within-bucket pandas min-transform
+    finds each key's first
+    holder, per-doc victim counts merge through the standard combiner.
+    Only 16-char keys + ids cross the exchange, never text."""
+    import hashlib
+
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_id, out_key = [], []
+        for d, t in zip(ids, texts):
+            words = (t or "").split(" ")
+            if len(words) < n:
+                continue
+            seen = set()
+            for i in range(len(words) - n + 1):
+                s = " ".join(words[i : i + n])
+                seen.add(hashlib.md5(s.encode("utf-8")).hexdigest()[:16])
+            out_id.extend([int(d)] * len(seen))
+            out_key.extend(seen)
+        bucket = (
+            np.array([int(k[:4], 16) for k in out_key], dtype=np.int64)
+            % n_buckets
+        )
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=1024)
+
+    def victims(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key")["doc_id"].transform("min")
+        v = g[g["doc_id"] > m]
+        return v.groupby("doc_id").size().reset_index(name="n_partial")
+
+    parts = shingles.groupby("bucket").map_groups(victims, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["doc_id"], ["n_partial"], coalesce=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_dup_shingles"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_substring_dedup(n: int = 8) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {n} + 2),
+                i -> array_to_string(list_slice(words, i, i + {n} - 1), ' ')))
+           AS shingle
+  FROM w WHERE len(words) >= {n}
+),
+sh AS (SELECT DISTINCT doc_id, substr(md5(shingle), 1, 16) AS key FROM sh0),
+m AS (SELECT key, min(doc_id) AS mdoc FROM sh GROUP BY 1)
+SELECT s.doc_id, count(*) AS n_dup_shingles
+FROM sh s JOIN m ON s.key = m.key AND m.mdoc < s.doc_id
+GROUP BY 1
+"""
+
+
+def q_ngram_quality(sf_dir: str):
+    """Corpus-statistics quality score (the C4/Gopher-heuristic shape with
+    a learned-from-the-corpus table): pass 1 aggregates GLOBAL char-bigram
+    counts over cleaned text (lowercase, [a-z ] only) through per-batch
+    ``np.bincount`` partials + one skinny groupby; the <=729-row count
+    table is broadcast back and pass 2 scores each document as
+    sum(global_count(bigram)) // n_bigrams — all-integer, so the score is
+    reduction-order-independent and the SQL oracle recomputes it exactly.
+    The two-pass train-then-score dependency is the same plan a perplexity
+    filter with a real LM would run."""
+    import re
+
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+
+    clean_pat = re.compile(r"[^a-z ]")
+
+    def doc_codes(text: str) -> np.ndarray:
+        t = clean_pat.sub("", (text or "").lower())
+        if len(t) < 2:
+            return np.empty(0, dtype=np.int64)
+        b = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        return b[:-1] * 256 + b[1:]
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(65536, dtype=np.int64)
+        for t in batch["text"].to_pylist():
+            codes = doc_codes(t)
+            if len(codes):
+                acc += np.bincount(codes, minlength=65536)
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {"b": pa.array(nz, pa.int64()), "c": pa.array(acc[nz], pa.int64())}
+        )
+
+    docs = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts_df = partial_sum_groupby(
+        docs().map_batches(bigram_partials, batch_format="pyarrow", batch_size=1024),
+        ["b"],
+        ["c"],
+        coalesce=4,
+    ).to_pandas()
+    lut = np.zeros(65536, dtype=np.int64)
+    lut[counts_df["b"].to_numpy()] = counts_df["c"].to_numpy()
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for d, t in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            codes = doc_codes(t)
+            if len(codes) == 0:
+                continue
+            ids.append(int(d))
+            scores.append(int(lut[codes].sum() // len(codes)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return docs().map_batches(score, batch_format="pyarrow", batch_size=1024)
+
+
+SQL_NGRAM_QUALITY = """
+WITH c AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS b
+  FROM c WHERE length(t) >= 2
+),
+cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY 1),
+s AS (
+  SELECT bg.doc_id, sum(cnt.n) AS tot, count(*) AS nb
+  FROM bg JOIN cnt USING (b) GROUP BY 1
+)
+SELECT doc_id, CAST(tot // nb AS BIGINT) AS score FROM s
+"""

@@ -806,6 +806,8 @@ QUERIES = {
     "event_transitions": relational.q_event_transitions,
     "od_flows": relational.q_od_flows,
     "traj_segments": relational.q_traj_segments,
+    "substring_dedup": mlprep.q_substring_dedup,
+    "ngram_quality": mlprep.q_ngram_quality,
     "range_partition_orders": relational.q_range_partition_orders,
     "anti_join_lineitem": relational.q_anti_join_lineitem,
     "anti_join_bloom": relational.q_anti_join_bloom,
@@ -874,6 +876,8 @@ ORACLE_SQL = {
     "event_transitions": relational.SQL_EVENT_TRANSITIONS,
     "od_flows": relational.sql_od_flows(),
     "traj_segments": relational.sql_traj_segments(),
+    "substring_dedup": mlprep.sql_substring_dedup(),
+    "ngram_quality": mlprep.SQL_NGRAM_QUALITY,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
     # Bloom prefilter preserves exact anti-join semantics -> same oracle
     "anti_join_bloom": relational.SQL_ANTI_JOIN_LINEITEM,
