@@ -134,6 +134,9 @@ def run_benchmarks() -> dict:
     timed("traj_segments", lambda: relational.q_traj_segments(SF_DIR))
     timed("substring_dedup", lambda: mlprep.q_substring_dedup(SF_DIR))
     timed("ngram_quality", lambda: mlprep.q_ngram_quality(SF_DIR))
+    from texel_ray.pipelines.queries import q_tile_focal_sum
+
+    timed("tile_focal_sum", lambda: q_tile_focal_sum(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

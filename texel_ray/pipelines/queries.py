@@ -335,6 +335,92 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tile_focal_sum(sf_dir: str, zoom: int = 8):
+    """FOCAL (neighborhood) raster op over the z-level tile-count grid:
+    for every occupied tile, the 3x3-neighborhood sum of per-tile image
+    counts — the ghost-cell/halo-exchange pattern every distributed
+    focal kernel (focal mean, hillshade, convolution) reduces to. Each
+    occupied tile DONATES its count to its 9 neighbors (skinny explode),
+    ONE groupby sums donations per receiving tile, and a broadcast
+    membership filter keeps occupied centers only (the z8 tile universe
+    is 4^8-bounded, so the occupied-tile set is broadcastable; at deep
+    zooms the same filter becomes a Dataset.join on the tile key). Exact
+    SQL oracle: neighborhood self-join over the identical tile counts."""
+    from ..stages.agg import partial_count_groupby, partial_sum_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    counts = partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n").materialize()
+    occupied = counts.to_pandas()  # 4^zoom-bounded dimension table
+    occ_n = {
+        (int(x), int(y)): int(n)
+        for x, y, n in zip(occupied["tile_x"], occupied["tile_y"], occupied["n"])
+    }
+
+    def donate(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "tile_x": pa.array(tx + dx, pa.int64()),
+                            "tile_y": pa.array(ty + dy, pa.int64()),
+                            "donated": pa.array(n, pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    focal = partial_sum_groupby(
+        counts.map_batches(donate, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["donated"],
+        coalesce=4,
+    )
+
+    def keep_occupied(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        fs = batch["donated"].to_numpy(zero_copy_only=False)
+        n = np.array([occ_n.get((int(x), int(y)), 0) for x, y in zip(tx, ty)])
+        keep = n > 0
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[keep], pa.int64()),
+                "tile_y": pa.array(ty[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "focal_sum": pa.array(fs[keep], pa.int64()),
+            }
+        )
+
+    return focal.map_batches(keep_occupied, batch_format="pyarrow")
+
+
+def sql_tile_focal_sum(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)
+SELECT a.tile_x, a.tile_y, a.n, sum(b.n) AS focal_sum
+FROM t a JOIN t b
+  ON b.tile_x BETWEEN a.tile_x - 1 AND a.tile_x + 1
+ AND b.tile_y BETWEEN a.tile_y - 1 AND a.tile_y + 1
+GROUP BY 1, 2, 3
+"""
+
+
 def q_tile_metrics(sf_dir: str, zoom: int = 8):
     """Outside-grid policy counters (IgnoreOutsideGrid semantics)."""
     from ray.data.aggregate import Sum
@@ -735,6 +821,7 @@ QUERIES = {
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
+    "tile_focal_sum": q_tile_focal_sum,
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
@@ -821,6 +908,7 @@ ORACLE_SQL = {
     "tile_assign_z4": sql_tile_assign(4),
     "tile_assign_z8": sql_tile_assign(8),
     "tile_metrics_z8": sql_tile_metrics(8),
+    "tile_focal_sum": sql_tile_focal_sum(8),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
