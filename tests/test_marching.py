@@ -122,3 +122,20 @@ def test_tile_pyramid_conservation(ray_session):
     assert len(merged) == len(parents)
     for col in ("n", "sum_r", "sum_g", "sum_b"):
         assert (merged[col] == merged[f"{col}_c"]).all()
+
+
+def test_vectorize_masks_batched_identical_to_scalar():
+    """The batched kernel must be bit-identical to vectorize_mask per
+    image — including empty/full masks, saddle-rich random masks, and
+    non-square shapes (the goldens pin per-image vertex-stream CRCs)."""
+    import numpy as np
+
+    from texel_ray.core.marching import vectorize_mask, vectorize_masks
+
+    rng = np.random.default_rng(7)
+    dense = rng.random((64, 16, 16)) < 0.45
+    dense[0][:] = False
+    dense[1][:] = True
+    assert vectorize_masks(dense) == [vectorize_mask(m) for m in dense]
+    odd = rng.random((32, 9, 13)) < 0.3
+    assert vectorize_masks(odd) == [vectorize_mask(m) for m in odd]

@@ -138,3 +138,115 @@ def vectorize_mask(mask: np.ndarray) -> dict:
         "area2": area2,
         "crc": zlib.crc32(stream),
     }
+
+
+def _edge_xy(e: int, r: np.ndarray, c: np.ndarray):
+    """Vectorized edge-midpoint coordinates (same mapping as edge_pt)."""
+    if e == 0:
+        return 2 * c + 1, 2 * r
+    if e == 1:
+        return 2 * c + 2, 2 * r + 1
+    if e == 2:
+        return 2 * c + 1, 2 * r + 2
+    return 2 * c, 2 * r + 1
+
+
+def vectorize_masks(masks: np.ndarray) -> list[dict]:
+    """Batched ``vectorize_mask`` over a (B, H, W) boolean stack —
+    output is IDENTICAL per image (same loop discovery order, same CRC),
+    but the code grid, the segment soup and the successor map are built
+    ONCE for the whole batch: tiny masks (16x16 tiles) are bound by
+    per-call numpy/dict overhead, not by contour length. Vertex keys
+    embed the batch index (b << 44 | x << 21 | y), so walks can never
+    cross images and ascending-key discovery order equals the per-image
+    lexicographic (x, y) order the scalar kernel uses."""
+    import zlib
+
+    B, H, W = masks.shape
+    m = np.zeros((B, H + 2, W + 2), dtype=bool)
+    m[:, 1:-1, 1:-1] = masks
+    tl = m[:, :-1, :-1].astype(np.int8)
+    tr = m[:, :-1, 1:].astype(np.int8)
+    br = m[:, 1:, 1:].astype(np.int8)
+    bl = m[:, 1:, :-1].astype(np.int8)
+    code = tl * 8 + tr * 4 + br * 2 + bl
+    bi, ri, ci = np.nonzero((code != 0) & (code != 15))
+    cv = code[bi, ri, ci]
+
+    src_parts, dst_parts = [], []
+    for k in range(1, 15):
+        sel = np.nonzero(cv == k)[0]
+        if not len(sel):
+            continue
+        r, c, b = ri[sel], ci[sel], bi[sel].astype(np.int64)
+        for ea, eb in _LUT[k]:
+            sx, sy = _edge_xy(ea, r, c)
+            dx, dy = _edge_xy(eb, r, c)
+            src_parts.append((b << 44) | (sx.astype(np.int64) << 21) | sy)
+            dst_parts.append((b << 44) | (dx.astype(np.int64) << 21) | dy)
+    out = [
+        {"n_loops": 0, "perimeter": 0, "area2": 0, "crc": zlib.crc32(b"")}
+        for _ in range(B)
+    ]
+    if not src_parts:
+        return out
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    order = np.argsort(src, kind="stable")  # vertex out-degree is exactly 1
+    ssrc = src[order]
+    succ = np.searchsorted(ssrc, dst[order])
+    xs = ((ssrc >> 21) & 0x7FFFFF).astype(np.int64)
+    ys = (ssrc & 0x1FFFFF).astype(np.int64)
+    bs = (ssrc >> 44).astype(np.int64)
+
+    # walk every cycle once, in ascending-key start order (= the scalar
+    # kernel's sorted() discovery order); plain python ints + bytearray
+    # keep the only sequential part at ~100ns/vertex
+    n = len(ssrc)
+    succ_l = succ.tolist()
+    visited = bytearray(n)
+    walk: list[int] = []
+    loop_starts: list[int] = []
+    for start in range(n):
+        if visited[start]:
+            continue
+        loop_starts.append(len(walk))
+        cur = start
+        while not visited[cur]:
+            visited[cur] = 1
+            walk.append(cur)
+            cur = succ_l[cur]
+    ord_arr = np.asarray(walk, dtype=np.int64)
+    starts = np.asarray(loop_starts, dtype=np.int64)
+    loop_len = np.diff(np.concatenate((starts, [n])))
+    loop_b = bs[ord_arr[starts]]
+
+    # per-loop stats, vectorized: every marching segment has L1 length 2,
+    # so perimeter = 2 * n_vertices; signed shoelace via the successor
+    # permutation + reduceat (exact int64)
+    nxt = succ[ord_arr]
+    cross = xs[ord_arr] * ys[nxt] - xs[nxt] * ys[ord_arr]
+    area_per_loop = np.abs(np.add.reduceat(cross, starts))
+
+    n_loops_b = np.bincount(loop_b, minlength=B)
+    perim_b = 2 * np.bincount(loop_b, weights=loop_len, minlength=B).astype(
+        np.int64
+    )
+    area_b = np.bincount(loop_b, weights=area_per_loop, minlength=B).astype(
+        np.int64
+    )
+    # ascending-key starts mean each image's loops are CONTIGUOUS in the
+    # walk: per-image vertex stream = one slice of the global stream
+    stream = np.column_stack((xs[ord_arr], ys[ord_arr])).astype("<i8").tobytes()
+    verts_b = np.bincount(loop_b, weights=loop_len, minlength=B).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(verts_b)))
+    mv = memoryview(stream)
+    for b in range(B):
+        if n_loops_b[b]:
+            out[b] = {
+                "n_loops": int(n_loops_b[b]),
+                "perimeter": int(perim_b[b]),
+                "area2": int(area_b[b]),
+                "crc": zlib.crc32(mv[offs[b] * 16 : offs[b + 1] * 16]),
+            }
+    return out

@@ -425,19 +425,32 @@ class RasterVectorize:
     full vertex stream, so goldens pin the traced geometry itself."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..core.marching import vectorize_mask
+        from ..core.marching import vectorize_masks
 
         payloads = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        n_loops, perim, area2, crc = [], [], [], []
-        for buf, fmt in zip(payloads, fmts):
-            img = decode_image(buf, fmt).astype(np.int64)
-            mask = img.sum(axis=2) >= 384
-            s = vectorize_mask(mask)
-            n_loops.append(s["n_loops"])
-            perim.append(s["perimeter"])
-            area2.append(s["area2"])
-            crc.append(s["crc"])
+        masks = [
+            decode_image(buf, fmt).astype(np.int64).sum(axis=2) >= 384
+            for buf, fmt in zip(payloads, fmts)
+        ]
+        # batched marching kernel per mask SHAPE (uniform corpora = one
+        # stack); tiny tiles are per-call-overhead-bound, so one walk for
+        # the whole batch is ~5x the per-image kernel
+        n = len(masks)
+        n_loops = [0] * n
+        perim = [0] * n
+        area2 = [0] * n
+        crc = [0] * n
+        by_shape: dict[tuple, list[int]] = {}
+        for i, m in enumerate(masks):
+            by_shape.setdefault(m.shape, []).append(i)
+        for idxs in by_shape.values():
+            outs = vectorize_masks(np.stack([masks[i] for i in idxs]))
+            for i, s in zip(idxs, outs):
+                n_loops[i] = s["n_loops"]
+                perim[i] = s["perimeter"]
+                area2[i] = s["area2"]
+                crc[i] = s["crc"]
         return pa.table(
             {
                 "image_id": batch["image_id"],
