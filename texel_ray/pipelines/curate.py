@@ -112,7 +112,7 @@ def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
 
     ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"])
     skinny = ds.map_batches(
-        ImageEmbedStats, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+        ImageEmbedStats, batch_format="pyarrow", batch_size=1024, concurrency=(2, 16)
     ).materialize()
 
     dup_counts = embed_neardup_counts(

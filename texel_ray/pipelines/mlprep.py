@@ -869,8 +869,13 @@ def q_image_stats(sf_dir: str):
 def embed_neardup_counts(embed_ds, threshold: float = 0.9999):
     """LSH bucket -> within-bucket cosine pairs -> per-id near-dup counts
     over an (image_id, embedding) dataset (shared by q_image_embed_neardup
-    and curate_images, which feeds it from a single fused decode pass)."""
-    from ..stages.dedup import EmbeddingNearDup
+    and curate_images, which feeds it from a single fused decode pass).
+    The pair stage groups on a 512-way hash of the bucket and iterates
+    real buckets vectorized inside (EmbeddingNearDupBucketed) — one
+    map_groups dispatch per 4096 tiny buckets dominated the tail."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import EmbeddingNearDupBucketed
     from ..stages.similarity import LSHBucketer
 
     ds = embed_ds.map_batches(
@@ -878,13 +883,23 @@ def embed_neardup_counts(embed_ds, threshold: float = 0.9999):
         fn_constructor_kwargs={"dim": 16, "bits": 12, "id_col": "image_id"},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )
-    near_dup = EmbeddingNearDup(threshold=threshold, id_col="image_id", cap=256)
+
+    def superbucket(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__bucket", pa.array((b * np.uint64(2654435761)) % 512)
+        )
+
+    ds = ds.map_batches(superbucket, batch_format="pyarrow")
+    near_dup = EmbeddingNearDupBucketed(
+        threshold=threshold, id_col="image_id", cap=256
+    )
     from ray.data.aggregate import Count
 
-    pairs = ds.groupby("bucket").map_groups(
-        lambda g: near_dup(g), batch_format="pandas"
+    pairs = ds.groupby("__bucket").map_groups(
+        lambda g: near_dup(g), batch_format="pyarrow"
     )
     # summarize (pair lists can be large for self-similar corpora)
     return pairs.groupby("id_a").aggregate(Count(alias_name="n_neardups"))
@@ -898,7 +913,7 @@ def q_image_embed_neardup(sf_dir: str, threshold: float = 0.9999):
 
     ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
     ds = ds.map_batches(
-        ImageEmbedder, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+        ImageEmbedder, batch_format="pyarrow", batch_size=1024, concurrency=(2, 16)
     )
     return embed_neardup_counts(ds, threshold=threshold)
 

@@ -463,3 +463,86 @@ def grouped_hamming_pairs(
             "capped": np.concatenate(out["capped"]),
         }
     )
+
+
+class EmbeddingNearDupBucketed:
+    """``EmbeddingNearDup`` lifted to SUPERBUCKET groups: the dataset
+    groups on a ~512-way hash of the LSH bucket (hundreds of map_groups
+    dispatches instead of one per bucket — dispatch dominated the tail
+    at 4096 buckets), and each real bucket inside the group is processed
+    by the identical sort-by-id / cap / triangle-cosine kernel on numpy
+    slices. Arrow-native: the embedding list column flattens zero-copy
+    into one (n, dim) matrix (the pandas path materialized one tiny
+    numpy array PER ROW, which cost more than the math). Pair output is
+    exactly EmbeddingNearDup's per real bucket."""
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        cap: int = 1024,
+        bucket_col: str = "bucket",
+    ):
+        self.threshold = threshold
+        self.id_col = id_col
+        self.cap = cap
+        self.bucket_col = bucket_col
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        from .similarity import normalize_rows
+
+        ids = g[self.id_col].to_numpy(zero_copy_only=False)
+        buck = g[self.bucket_col].to_numpy(zero_copy_only=False)
+        emb_col = g["embedding"].combine_chunks()
+        flat = np.asarray(emb_col.flatten())
+        emb = flat.reshape(len(g), -1)
+        order = np.lexsort((ids, buck))
+        ids = ids[order]
+        buck = buck[order]
+        emb = emb[order]
+        bnd = np.nonzero(buck[1:] != buck[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(buck)]))
+        out_a, out_b, out_cos, out_cap = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            capped = (e - s) > self.cap
+            sl = slice(s, min(e, s + self.cap))
+            bids = ids[sl]
+            m = normalize_rows(emb[sl])
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(bids), k=1)
+            keep = sims[ia, ib] >= self.threshold
+            if not keep.any():
+                continue
+            a = bids[ia[keep]]
+            b = bids[ib[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_cos.append(sims[ia[keep], ib[keep]].astype(np.float64))
+            out_cap.append(np.full(int(keep.sum()), capped))
+        id_int = np.issubdtype(ids.dtype, np.integer)
+        id_type = pa.int64() if id_int else pa.string()
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "cosine": pa.array([], pa.float64()),
+                    "capped": pa.array([], pa.bool_()),
+                }
+            )
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        if id_int:
+            id_a = id_a.astype(np.int64)
+            id_b = id_b.astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, id_type),
+                "id_b": pa.array(id_b, id_type),
+                "cosine": pa.array(np.concatenate(out_cos)),
+                "capped": pa.array(np.concatenate(out_cap)),
+            }
+        )
