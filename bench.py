@@ -137,6 +137,9 @@ def run_benchmarks() -> dict:
     from texel_ray.pipelines.queries import q_tile_focal_sum
 
     timed("tile_focal_sum", lambda: q_tile_focal_sum(SF_DIR))
+    from texel_ray.pipelines.queries import q_poly_intersect_join
+
+    timed("poly_intersect_join", lambda: q_poly_intersect_join(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -542,6 +542,110 @@ GROUP BY 1
 """
 
 
+def q_poly_intersect_join(sf_dir: str, cell: float = 5.0, num_partitions: int = 4):
+    """Polygon x polygon (bbox-intersects) SPATIAL JOIN between two
+    polygon tables — the PBSM/cell-cover method with REFERENCE-POINT
+    dedup, the classic trick this engine hadn't demonstrated yet: both
+    sides explode to the coarse lon/lat cells their bbox overlaps, a
+    hash-partitioned ``Dataset.join`` on the cell yields every candidate
+    pair in EVERY shared cell, the bbox-overlap test confirms, and each
+    surviving pair is emitted exactly once — only by the cell containing
+    the intersection bbox's min corner (which lies in both covers), so
+    NO cross-partition dedup pass is needed. Sides here are the region
+    dimension table (63) x dense_rects (20k); the small side could
+    broadcast, but the exchange form is the one that scales to two big
+    tables. Exact SQL oracle: the plain bbox-overlap join."""
+    import ray
+
+    from ..sources.regions import dense_rects_parquet_path, generate_regions_table
+    from ..stages.pip_join import cover_cell_key
+
+    def bbox_cover(t: pa.Table, id_out: str, pref: str) -> pa.Table:
+        rid = t["region_id"].to_numpy()
+        minx, miny = t["minx"].to_numpy(), t["miny"].to_numpy()
+        maxx, maxy = t["maxx"].to_numpy(), t["maxy"].to_numpy()
+        from ..stages.pip_join import COVER_X0, COVER_Y0
+
+        out_cell, out_i = [], []
+        for i in range(len(rid)):
+            cx0 = int(np.floor((minx[i] - COVER_X0) / cell))
+            cx1 = int(np.floor((maxx[i] - COVER_X0) / cell))
+            cy0 = int(np.floor((miny[i] - COVER_Y0) / cell))
+            cy1 = int(np.floor((maxy[i] - COVER_Y0) / cell))
+            for cx in range(cx0, cx1 + 1):
+                for cy in range(cy0, cy1 + 1):
+                    out_cell.append((cx << 32) | (cy & 0xFFFFFFFF))
+                    out_i.append(i)
+        idx = np.asarray(out_i, dtype=np.int64)
+        return pa.table(
+            {
+                "cover_cell": pa.array(np.asarray(out_cell, dtype=np.int64)),
+                id_out: pa.array(rid[idx]),
+                f"{pref}minx": pa.array(minx[idx]),
+                f"{pref}miny": pa.array(miny[idx]),
+                f"{pref}maxx": pa.array(maxx[idx]),
+                f"{pref}maxy": pa.array(maxy[idx]),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    a = ray.data.from_arrow(
+        bbox_cover(generate_regions_table(), "region_id", "a_")
+    )
+    b = ray.data.from_arrow(
+        bbox_cover(
+            pq.read_table(dense_rects_parquet_path()), "rect_id", "b_"
+        )
+    )
+    joined = a.join(
+        b, join_type="inner", num_partitions=num_partitions, on=("cover_cell",)
+    )
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        aminx = batch["a_minx"].to_numpy()
+        aminy = batch["a_miny"].to_numpy()
+        amaxx = batch["a_maxx"].to_numpy()
+        amaxy = batch["a_maxy"].to_numpy()
+        bminx = batch["b_minx"].to_numpy()
+        bminy = batch["b_miny"].to_numpy()
+        bmaxx = batch["b_maxx"].to_numpy()
+        bmaxy = batch["b_maxy"].to_numpy()
+        overlap = (
+            (aminx <= bmaxx)
+            & (bminx <= amaxx)
+            & (aminy <= bmaxy)
+            & (bminy <= amaxy)
+        )
+        # reference point: the intersection bbox's min corner claims the pair
+        rx = np.maximum(aminx, bminx)
+        ry = np.maximum(aminy, bminy)
+        claimed = cover_cell_key(rx, ry, cell) == batch[
+            "cover_cell"
+        ].to_numpy(zero_copy_only=False)
+        keep = overlap & claimed
+        return pa.table(
+            {
+                "region_id": batch["region_id"].filter(pa.array(keep)),
+                "rect_id": batch["rect_id"].filter(pa.array(keep)),
+            }
+        )
+
+    return joined.map_batches(confirm, batch_format="pyarrow", batch_size=65536)
+
+
+def sql_poly_intersect_join() -> str:
+    from ..sources.regions import dense_rects_parquet_path
+
+    return f"""
+SELECT r.region_id AS region_id, d.region_id AS rect_id
+FROM {regions_sql_source()} r
+JOIN read_parquet('{dense_rects_parquet_path()}') d
+  ON r.minx <= d.maxx AND d.minx <= r.maxx
+ AND r.miny <= d.maxy AND d.miny <= r.maxy
+"""
+
+
 def q_rasterize_regions(sf_dir: str, res: float = 1.0):
     """Vector -> raster burn (the inverse of ``vectorize_raster``): the
     region polygons rasterized onto a world lon/lat pixel grid at ``res``
@@ -826,6 +930,7 @@ QUERIES = {
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
     "pip_join_manyrect": q_pip_join_manyrect,
+    "poly_intersect_join": q_poly_intersect_join,
     "rasterize_regions": q_rasterize_regions,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
@@ -913,6 +1018,7 @@ ORACLE_SQL = {
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
     "pip_join_manyrect": sql_pip_join_manyrect(),
+    "poly_intersect_join": sql_poly_intersect_join(),
     "rasterize_regions": sql_rasterize_regions(),
     "pip_anti_join": sql_pip_anti_join(),
     "region_extents": sql_region_extents(),
