@@ -141,9 +141,25 @@ def simplify_rings(
         si = np.where(alive)[0]
         ax, ay, bx, by = X[p], Y[p], X[q], Y[q]
         ix, iy = X[i], Y[i]
+        sx_all, sy_all = X[si], Y[si]
+
+        # bbox prefilter (pure pruning — both exact tests can only fire
+        # inside the triangle's bbox): a vertex strictly inside (p,i,q)
+        # lies in the bbox, and a segment properly crossing (p,q) must
+        # touch (p,q)'s bbox, which the triangle bbox contains
+        tminx = min(ax, bx, ix)
+        tmaxx = max(ax, bx, ix)
+        tminy = min(ay, by, iy)
+        tmaxy = max(ay, by, iy)
 
         # check 2: strict point-in-triangle (p, i, q)
-        others = si[(si != p) & (si != q) & (si != i)]
+        near = (
+            (sx_all >= tminx)
+            & (sx_all <= tmaxx)
+            & (sy_all >= tminy)
+            & (sy_all <= tmaxy)
+        )
+        others = si[near & (si != p) & (si != q) & (si != i)]
         if others.size:
             px_, py_ = X[others], Y[others]
             s1 = (ix - ax) * (py_ - ay) - (iy - ay) * (px_ - ax)
@@ -155,14 +171,25 @@ def simplify_rings(
             if np.any(inside):
                 return True
 
-        # check 1: proper crossing of the replacement segment
+        # check 1: proper crossing of the replacement segment — only
+        # segments whose bbox overlaps (p, q)'s bbox can cross it
+        pminx = min(ax, bx)
+        pmaxx = max(ax, bx)
+        pminy = min(ay, by)
+        pmaxy = max(ay, by)
         ei = nxt[si]
-        mask = (si != p) & (si != q) & (ei != p) & (ei != q)
-        si, ei = si[mask], ei[mask]
-        if si.size == 0:
+        ex_all, ey_all = X[ei], Y[ei]
+        seg_near = ~(
+            ((sx_all < pminx) & (ex_all < pminx))
+            | ((sx_all > pmaxx) & (ex_all > pmaxx))
+            | ((sy_all < pminy) & (ey_all < pminy))
+            | ((sy_all > pmaxy) & (ey_all > pmaxy))
+        )
+        mask = seg_near & (si != p) & (si != q) & (ei != p) & (ei != q)
+        if not mask.any():
             return False
-        sx, sy = X[si], Y[si]
-        ex, ey = X[ei], Y[ei]
+        sx, sy = sx_all[mask], sy_all[mask]
+        ex, ey = ex_all[mask], ey_all[mask]
         d1 = (bx - ax) * (sy - ay) - (by - ay) * (sx - ax)
         d2 = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax)
         d3 = (ex - sx) * (ay - sy) - (ey - sy) * (ax - sx)
