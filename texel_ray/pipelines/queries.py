@@ -998,6 +998,7 @@ QUERIES = {
     "event_transitions": relational.q_event_transitions,
     "od_flows": relational.q_od_flows,
     "traj_segments": relational.q_traj_segments,
+    "region_coviz": relational.q_region_coviz,
     "substring_dedup": mlprep.q_substring_dedup,
     "ngram_quality": mlprep.q_ngram_quality,
     "range_partition_orders": relational.q_range_partition_orders,
@@ -1070,6 +1071,7 @@ ORACLE_SQL = {
     "event_transitions": relational.SQL_EVENT_TRANSITIONS,
     "od_flows": relational.sql_od_flows(),
     "traj_segments": relational.sql_traj_segments(),
+    "region_coviz": relational.sql_region_coviz(),
     "substring_dedup": mlprep.sql_substring_dedup(),
     "ngram_quality": mlprep.SQL_NGRAM_QUALITY,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,

@@ -1096,3 +1096,62 @@ SELECT user_id, seg, count(*) AS n,
 FROM m
 GROUP BY 1, 2
 """
+
+
+def q_region_coviz(sf_dir: str):
+    """Region CO-VISITATION matrix (market-basket co-occurrence): for
+    every pair of rect regions, how many users visited BOTH (distinct
+    per user; unassigned events excluded). Same geotag + min-region
+    assign as od_flows; per user a vectorized unique + triangle pair
+    expansion; pair counts merge through the combiner — the output is
+    regions^2-bounded, the exchange carries (user, region) int rows
+    only. Exact SQL oracle: distinct user-region self-join."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    skinny = ds.map_batches(
+        _event_pos_region_batch, batch_format="pyarrow", batch_size=16384
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        r = np.unique(group["region"].to_numpy())
+        r = r[r >= 0]
+        ia, ib = np.triu_indices(len(r), k=1)
+        return pd.DataFrame(
+            {
+                "region_a": r[ia],
+                "region_b": r[ib],
+                "n_partial": np.ones(len(ia), dtype=np.int64),
+            }
+        )
+
+    parts = skinny.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["region_a", "region_b"], ["n_partial"], coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["region_a", "region_b", "n_users"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_region_coviz() -> str:
+    from ..sources.regions import regions_parquet_path
+
+    rsrc = f"read_parquet('{regions_parquet_path()}')"
+    return f"""
+WITH {_sql_event_pos()},
+reg AS (
+  SELECT p.user_id,
+         coalesce((SELECT min(r.region_id) FROM {rsrc} r
+                   WHERE r.kind = 'rect'
+                     AND p.lon >= r.minx AND p.lon <= r.maxx
+                     AND p.lat >= r.miny AND p.lat <= r.maxy), -1) AS region
+  FROM pos p
+),
+u AS (SELECT DISTINCT user_id, region FROM reg WHERE region >= 0)
+SELECT a.region AS region_a, b.region AS region_b, count(*) AS n_users
+FROM u a JOIN u b ON a.user_id = b.user_id AND a.region < b.region
+GROUP BY 1, 2
+"""
