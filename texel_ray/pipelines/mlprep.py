@@ -2647,3 +2647,109 @@ s AS (
 )
 SELECT doc_id, CAST(tot // nb AS BIGINT) AS score FROM s
 """
+
+
+def q_geo_phash_neardup(sf_dir: str, max_hamming: int = 3, zoom: int = 8):
+    """GEO-BLOCKED image near-dup (the graft's spatial x dedup cross):
+    perceptual-hash pairs with hamming <= 3 restricted to images in the
+    SAME z8 tile — the realistic blocking for geo-corpora, where
+    near-dups are co-located (re-shots of the same scene). Blocking key
+    = (tile, 16-bit phash band): the pigeonhole rule keeps recall exact
+    within a tile while bounding group sizes in dense urban tiles
+    (~3k images/tile at sf0.01 would be all-pairs otherwise). ONE
+    hash-bucketed groupby over skinny (key, id, phash) rows; pairs
+    dedupe across bands on the driver (pair-dimension-sized). Exact SQL
+    oracle: same-tile self-join with bit_count(xor())."""
+    import pandas as pd
+
+    from ..sources.images import read_images
+    from ..stages.dedup import grouped_hamming_pairs
+    from ..stages.tiles import encode_tiles
+
+    ds = read_images(sf_dir, columns=["image_id", "phash", "lon", "lat"])
+
+    def banded_tile_rows(batch: pa.Table) -> pa.Table:
+        t = encode_tiles(
+            batch,
+            "WebMercatorQuad",
+            (zoom,),
+            keep_columns=["image_id", "phash"],
+            with_cell=False,
+        )
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "image_id": pa.array([], pa.string()),
+                    "simhash": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        tile_id = (
+            t["tile_x"].to_numpy(zero_copy_only=False) * (1 << zoom)
+            + t["tile_y"].to_numpy(zero_copy_only=False)
+        )
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(4):
+            key = ((tile_id * 4 + b) << 16) | ((ph >> (b * 16)) & 0xFFFF)
+            parts.append(
+                pa.table(
+                    {
+                        "key": pa.array(key, pa.int64()),
+                        "image_id": t["image_id"],
+                        "simhash": pa.array(ph),
+                        "bucket": pa.array(
+                            (key * 2654435761) % 512, pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    banded = ds.map_batches(banded_tile_rows, batch_format="pyarrow")
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return grouped_hamming_pairs(
+            g["key"].to_numpy(),
+            g["image_id"].to_numpy(),
+            g["simhash"].to_numpy(),
+            max_hamming=max_hamming,
+            cap=1024,
+        )
+
+    pairs = banded.groupby("bucket").map_groups(bucket_fn, batch_format="pandas")
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=str), "id_b": pd.Series(dtype=str),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    n_capped = int(df["capped"].sum())
+    if n_capped:
+        print(
+            f"[geo_phash_neardup] WARNING: {n_capped} pairs from capped "
+            f"(tile, band) groups (>1024 ids) — recall truncated there",
+            flush=True,
+        )
+    return (
+        df.drop(columns=["capped"])
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def sql_geo_phash_neardup(tile_sql: dict, images_source: str, max_hamming: int = 3) -> str:
+    return f"""
+WITH b AS (
+  SELECT image_id, phash, {tile_sql['tx']} AS tx, {tile_sql['ty']} AS ty
+  FROM {images_source}
+  WHERE {tile_sql['valid']}
+)
+SELECT a.image_id AS id_a, c.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, c.phash)) AS BIGINT) AS hamming
+FROM b a JOIN b c
+  ON a.tx = c.tx AND a.ty = c.ty AND a.image_id < c.image_id
+WHERE bit_count(xor(a.phash, c.phash)) <= {max_hamming}
+"""

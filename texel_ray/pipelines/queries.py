@@ -999,6 +999,7 @@ QUERIES = {
     "od_flows": relational.q_od_flows,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
+    "geo_phash_neardup": mlprep.q_geo_phash_neardup,
     "substring_dedup": mlprep.q_substring_dedup,
     "ngram_quality": mlprep.q_ngram_quality,
     "range_partition_orders": relational.q_range_partition_orders,
@@ -1072,6 +1073,9 @@ ORACLE_SQL = {
     "od_flows": relational.sql_od_flows(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
+    "geo_phash_neardup": mlprep.sql_geo_phash_neardup(
+        _tile_sql(8), images_sql_source()
+    ),
     "substring_dedup": mlprep.sql_substring_dedup(),
     "ngram_quality": mlprep.SQL_NGRAM_QUALITY,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
