@@ -1618,7 +1618,7 @@ def q_tile_pyramid(sf_dir: str, base_zoom: int = 12, levels: int = 4):
             )
 
     enc = ds.map_batches(
-        StatsWithTile, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+        StatsWithTile, batch_format="pyarrow", batch_size=1024, concurrency=(2, 16)
     )
     base = partial_sum_groupby(
         enc, ["gx", "gy"], ["sum_r", "sum_g", "sum_b"], count_alias="n"
