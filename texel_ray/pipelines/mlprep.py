@@ -1745,8 +1745,8 @@ def q_vectorize_raster(sf_dir: str):
     return ds.map_batches(
         RasterVectorize,
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=(2, 8),
+        batch_size=1024,
+        concurrency=(2, 16),
     )
 
 
@@ -1922,8 +1922,8 @@ def q_zonal_stats(sf_dir: str):
     parts = ds.map_batches(
         ZonalImageStats,
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=(2, 8),
+        batch_size=1024,
+        concurrency=(2, 16),
     )
 
     def merge(batch: pa.Table) -> pa.Table:
@@ -2306,8 +2306,8 @@ def q_image_augment(sf_dir: str):
     ds = ds.map_batches(
         ImageAugmenter,
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=(2, 8),
+        batch_size=1024,
+        concurrency=(2, 16),
     )
 
     def sizes(batch: pa.Table) -> pa.Table:

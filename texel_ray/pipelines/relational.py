@@ -255,8 +255,8 @@ def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
         ImageResizer,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=(2, 8),
+        batch_size=1024,
+        concurrency=(2, 16),
     )
 
     def sizes(batch: pa.Table) -> pa.Table:
