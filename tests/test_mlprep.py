@@ -250,3 +250,86 @@ def test_connected_components_empty(ray_session):
     )
     out = connected_components(ray.data.from_arrow(pairs))
     assert out.count() == 0
+
+
+def test_grouped_hamming_pairs_matches_per_group_kernel():
+    """The batched triangle kernel must equal simhash_bucket_pairs run
+    per group — including cap truncation and the capped flag."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.stages.dedup import grouped_hamming_pairs, simhash_bucket_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    key = rng.integers(0, 25, n)
+    ids = np.array([f"img{i:04d}" for i in rng.permutation(n)])
+    base = rng.integers(0, 1 << 62, 30, dtype=np.int64)
+    sig = base[rng.integers(0, len(base), n)]
+    flip = rng.integers(0, 64, n)
+    sig = sig ^ (np.int64(1) << flip.astype(np.int64)) * rng.integers(0, 2, n)
+
+    got = grouped_hamming_pairs(key, ids, sig, max_hamming=3, cap=8)
+    refs = []
+    for k in np.unique(key):
+        m = key == k
+        g = pd.DataFrame({"image_id": ids[m], "simhash": sig[m]})
+        refs.append(
+            simhash_bucket_pairs(g, id_col="image_id", max_hamming=3, cap=8)
+        )
+    ref = pd.concat(refs, ignore_index=True)
+    got_s = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ref_s = ref.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[["id_a", "id_b", "hamming", "capped"]],
+        ref_s[["id_a", "id_b", "hamming", "capped"]],
+    )
+
+
+def test_embedding_neardup_bucketed_matches_per_bucket_kernel():
+    """Arrow-native EmbeddingNearDupBucketed must equal EmbeddingNearDup
+    run per real bucket (same sort-by-id, cap, cosine threshold)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from texel_ray.stages.dedup import EmbeddingNearDup, EmbeddingNearDupBucketed
+
+    rng = np.random.default_rng(5)
+    n = 300
+    bucket = rng.integers(0, 12, n)
+    ids = rng.permutation(n).astype(np.int64)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    emb = base[rng.integers(0, len(base), n)] + rng.standard_normal(
+        (n, 16)
+    ).astype(np.float32) * np.float32(0.002)
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "bucket": pa.array(bucket),
+            "embedding": pa.array(
+                [e.tolist() for e in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        EmbeddingNearDupBucketed(threshold=0.999, cap=10)(tbl)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    refs = []
+    for b in np.unique(bucket):
+        m = bucket == b
+        g = pd.DataFrame(
+            {"vec_id": ids[m], "embedding": list(emb[m])}
+        )
+        refs.append(EmbeddingNearDup(threshold=0.999, cap=10)(g))
+    ref = (
+        pd.concat(refs, ignore_index=True)
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # planted near-identical vectors must pair
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
