@@ -134,6 +134,8 @@ def run_benchmarks() -> dict:
     timed("traj_segments", lambda: relational.q_traj_segments(SF_DIR))
     timed("region_coviz", lambda: relational.q_region_coviz(SF_DIR))
     timed("geo_phash_neardup", lambda: mlprep.q_geo_phash_neardup(SF_DIR))
+    timed("source_mix", lambda: mlprep.q_source_mix(SF_DIR))
+    timed("kcenter_sample", lambda: mlprep.q_kcenter_sample(SF_DIR), consume=None)
     timed("substring_dedup", lambda: mlprep.q_substring_dedup(SF_DIR))
     timed("ngram_quality", lambda: mlprep.q_ngram_quality(SF_DIR))
     from texel_ray.pipelines.queries import q_tile_focal_sum

@@ -2753,3 +2753,128 @@ FROM b a JOIN b c
   ON a.tx = c.tx AND a.ty = c.ty AND a.image_id < c.image_id
 WHERE bit_count(xor(a.phash, c.phash)) <= {max_hamming}
 """
+
+
+_MIX_BP = [10000, 5000, 2500, 1000]  # keep basis points by source band
+
+
+def q_source_mix(sf_dir: str):
+    """DATA MIXING: deterministic per-source downsampling to target
+    proportions (the "adjust the source mix" step of LLM corpus
+    building). Each source's keep fraction is looked up by source band
+    (numeric suffix % 4 -> 100%/50%/25%/10%) and membership is the same
+    Knuth-hash rule as train_test_split — reproducible on any cluster
+    and in SQL. Pure stateless map_batches + combiner rollup; emits per
+    source the kept doc count and kept char volume."""
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bp = np.array([_MIX_BP[int(s[3:]) % 4] for s in src], dtype=np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(10000) < bp
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {"source": kept["source"], "n_chars": kept["n_chars"]}
+        )
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=8192)
+    return partial_sum_groupby(
+        gated, ["source"], ["n_chars"], count_alias="n_docs", coalesce=4
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH g AS (
+  SELECT doc_id, source, n_chars,
+         CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+           WHEN 0 THEN 10000 WHEN 1 THEN 5000
+           WHEN 2 THEN 2500 ELSE 1000 END AS bp
+  FROM documents
+)
+SELECT source, sum(n_chars) AS n_chars, count(*) AS n_docs
+FROM g
+WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 10000 < bp
+GROUP BY 1
+"""
+
+
+def q_kcenter_sample(sf_dir: str, k: int = 8):
+    """DIVERSITY (coreset) SELECTION: greedy k-center / farthest-point
+    sampling (Gonzalez) over the embeddings table — the data-selection
+    step that picks a maximally-spread subset. Distributed shape: k-1
+    rounds, each a stateless map_batches computing per-block
+    (max min-distance-to-centers, argmax id) partials with the current
+    centers BROADCAST, and a driver reduce that is order-independent
+    (exact float max; ties broken by min vec_id). The corpus is streamed
+    k-1 times; vectors never shuffle. Output: (round, vec_id, d2_scaled)
+    with d2 scaled to int64 micro-units so the result is hashable and
+    the independent numpy golden recomputes it exactly."""
+    import pandas as pd
+
+    def read():
+        import ray.data
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    first = 0  # min vec_id (deterministic seed center)
+    centers = None
+    rows = [(0, first, 0)]
+    for rnd in range(1, k):
+        import pyarrow.parquet as pq
+
+        if centers is None:
+            t = pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            order = pa.compute.sort_indices(t["vec_id"])
+            id0 = t["vec_id"].take(order[:1]).to_pylist()[0]
+            emb0 = np.array(
+                t["embedding"].take(order[:1]).to_pylist()[0], dtype=np.float64
+            )
+            centers = emb0[None, :]
+            rows[0] = (0, int(id0), 0)
+        C = centers
+
+        def far_partial(batch: pa.Table, C=C) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            m = np.asarray(
+                batch["embedding"].combine_chunks().flatten()
+            ).reshape(len(batch), -1).astype(np.float64)
+            d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            order = np.lexsort((ids, -d2))  # max d2, then min id
+            j = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[j])], pa.int64()),
+                    "d2": pa.array([float(d2[j])], pa.float64()),
+                }
+            )
+
+        parts = read().map_batches(
+            far_partial, batch_format="pyarrow", batch_size=4096
+        ).to_pandas()
+        parts = parts.sort_values(["d2", "vec_id"], ascending=[False, True])
+        win_id = int(parts.iloc[0]["vec_id"])
+        win_d2 = float(parts.iloc[0]["d2"])
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        sel = pa.compute.equal(t["vec_id"], win_id)
+        emb = np.array(
+            t.filter(sel)["embedding"].to_pylist()[0], dtype=np.float64
+        )
+        centers = np.vstack([centers, emb])
+        rows.append((rnd, win_id, int(round(win_d2 * 1_000_000))))
+
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["round", "vec_id", "d2_micro"])

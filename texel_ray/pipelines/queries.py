@@ -1000,6 +1000,8 @@ QUERIES = {
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
+    "source_mix": mlprep.q_source_mix,
+    "kcenter_sample": mlprep.q_kcenter_sample,
     "substring_dedup": mlprep.q_substring_dedup,
     "ngram_quality": mlprep.q_ngram_quality,
     "range_partition_orders": relational.q_range_partition_orders,
@@ -1076,6 +1078,7 @@ ORACLE_SQL = {
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(
         _tile_sql(8), images_sql_source()
     ),
+    "source_mix": mlprep.SQL_SOURCE_MIX,
     "substring_dedup": mlprep.sql_substring_dedup(),
     "ngram_quality": mlprep.SQL_NGRAM_QUALITY,
     "anti_join_lineitem": relational.SQL_ANTI_JOIN_LINEITEM,
@@ -1108,6 +1111,7 @@ _GOLDEN_DIR = os.path.join(
     "golden_queries",
 )
 for _name in (
+    "kcenter_sample",
     "simhash_neardup",
     "snap_regions",
     "tilecut_z13",

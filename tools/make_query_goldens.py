@@ -765,7 +765,39 @@ def golden_s2_cells():
     )
 
 
+def golden_kcenter_sample():
+    """INDEPENDENT greedy k-center (Gonzalez) reference: plain numpy over
+    the full embeddings matrix, no Dataset/partial code shared with the
+    pipeline. Same per-row float64 distance formula (pairwise summation
+    over the contiguous 64-dim axis is shape-independent), so results
+    are bit-equal."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+    )[order]
+    k = 8
+    rows = [(0, int(ids[0]), 0)]
+    centers = m[:1]
+    for rnd in range(1, k):
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        sel = np.lexsort((ids, -d2))[0]
+        rows.append((rnd, int(ids[sel]), int(round(float(d2[sel]) * 1_000_000))))
+        centers = np.vstack([centers, m[sel]])
+    return pd.DataFrame(rows, columns=["round", "vec_id", "d2_micro"])
+
+
 INDEPENDENT = {
+    "kcenter_sample": golden_kcenter_sample,
     "simhash_neardup": golden_simhash_neardup,
     "h3_compact": golden_h3_compact,
     "dbscan": golden_dbscan,
