@@ -2815,8 +2815,9 @@ def q_kcenter_sample(sf_dir: str, k: int = 8):
     (exact float max; ties broken by min vec_id). The corpus is streamed
     k-1 times; vectors never shuffle. Output: (round, vec_id, d2_scaled)
     with d2 scaled to int64 micro-units so the result is hashable and
-    the independent numpy golden recomputes it exactly."""
-    import pandas as pd
+    the independent numpy golden recomputes it exactly. The winner's
+    vector is fetched by id between rounds (at cluster scale: a columnar
+    point lookup), never the corpus."""
 
     def read():
         import ray.data
