@@ -135,6 +135,9 @@ def run_benchmarks() -> dict:
     timed("region_coviz", lambda: relational.q_region_coviz(SF_DIR))
     timed("geo_phash_neardup", lambda: mlprep.q_geo_phash_neardup(SF_DIR))
     timed("source_mix", lambda: mlprep.q_source_mix(SF_DIR))
+    from texel_ray.pipelines.queries import q_tile_invalidation
+
+    timed("tile_invalidation", lambda: q_tile_invalidation(SF_DIR))
     timed("kcenter_sample", lambda: mlprep.q_kcenter_sample(SF_DIR), consume=None)
     timed("substring_dedup", lambda: mlprep.q_substring_dedup(SF_DIR))
     timed("ngram_quality", lambda: mlprep.q_ngram_quality(SF_DIR))

@@ -542,6 +542,97 @@ GROUP BY 1
 """
 
 
+def q_tile_invalidation(sf_dir: str, zoom: int = 8):
+    """INCREMENTAL RECOMPUTE: which tiles must be re-cut after a region
+    change? The changed subset (deterministic: region_id % 7 == 3)
+    expands bbox corners -> z8 tile ranges (the same from_native
+    arithmetic every tile oracle already proves bit-equal to SQL) ->
+    per-tile count of changed regions covering it. This is the
+    tile-seeding invalidation step of a production pipeline: a resumable
+    run re-processes exactly these partitions and skips the rest (the
+    manifest in state/manifest.py keys on the same tile ids). Exact SQL
+    oracle: corner CTE + generate_series tile ranges."""
+    import ray
+
+    from ..core.tms import builtin_tms, lonlat_to_webmercator_np
+    from ..sources.regions import generate_regions_table
+    from ..stages.agg import partial_count_groupby
+
+    regions = generate_regions_table()
+    rid = regions["region_id"].to_numpy()
+    keep = (rid % 7) == 3
+    chg = regions.filter(pa.array(keep))
+    ds = ray.data.from_arrow(chg)
+    tms = builtin_tms("WebMercatorQuad")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        r = batch["region_id"].to_numpy()
+        minx = batch["minx"].to_numpy()
+        miny = batch["miny"].to_numpy()
+        maxx = batch["maxx"].to_numpy()
+        maxy = batch["maxy"].to_numpy()
+        lon4 = np.concatenate([minx, minx, maxx, maxx])
+        lat4 = np.concatenate([miny, maxy, miny, maxy])
+        mx, my = lonlat_to_webmercator_np(lon4, lat4)
+        tx, ty, _ = tms.from_native_np(zoom, mx, my)
+        n = len(r)
+        tx4 = tx.reshape(4, n)
+        ty4 = ty.reshape(4, n)
+        tx0, tx1 = tx4.min(axis=0), tx4.max(axis=0)
+        ty0, ty1 = ty4.min(axis=0), ty4.max(axis=0)
+        out_x, out_y = [], []
+        for i in range(n):
+            gx = np.arange(tx0[i], tx1[i] + 1)
+            gy = np.arange(ty0[i], ty1[i] + 1)
+            xx, yy = np.meshgrid(gx, gy)
+            out_x.append(xx.ravel())
+            out_y.append(yy.ravel())
+        return pa.table(
+            {
+                "tm_id": pa.array(
+                    np.full(sum(map(len, out_x)), zoom, dtype=np.int64)
+                ),
+                "tile_x": pa.array(np.concatenate(out_x)),
+                "tile_y": pa.array(np.concatenate(out_y)),
+            }
+        )
+
+    tiles = ds.map_batches(expand, batch_format="pyarrow")
+    return partial_count_groupby(tiles, ["tm_id", "tile_x", "tile_y"], alias="n_changed")
+
+
+def sql_tile_invalidation(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH chg AS (
+  SELECT region_id, minx, miny, maxx, maxy
+  FROM {regions_sql_source()} WHERE region_id % 7 = 3
+),
+corners AS (
+  SELECT region_id, minx AS lon, miny AS lat FROM chg
+  UNION ALL SELECT region_id, minx, maxy FROM chg
+  UNION ALL SELECT region_id, maxx, miny FROM chg
+  UNION ALL SELECT region_id, maxx, maxy FROM chg
+),
+tt AS (SELECT region_id, {t['tx']} AS tx, {t['ty']} AS ty FROM corners),
+r AS (
+  SELECT region_id, min(tx) AS tx0, max(tx) AS tx1,
+         min(ty) AS ty0, max(ty) AS ty1
+  FROM tt GROUP BY 1
+),
+gx AS (
+  SELECT region_id, unnest(range(tx0, tx1 + 1)) AS tile_x FROM r
+),
+g2 AS (
+  SELECT gx.region_id, gx.tile_x,
+         unnest(range(r.ty0, r.ty1 + 1)) AS tile_y
+  FROM gx JOIN r USING (region_id)
+)
+SELECT {zoom} AS tm_id, tile_x, tile_y, count(*) AS n_changed
+FROM g2 GROUP BY 1, 2, 3
+"""
+
+
 def q_poly_intersect_join(sf_dir: str, cell: float = 5.0, num_partitions: int = 4):
     """Polygon x polygon (bbox-intersects) SPATIAL JOIN between two
     polygon tables — the PBSM/cell-cover method with REFERENCE-POINT
@@ -931,6 +1022,7 @@ QUERIES = {
     "pip_join_cover": q_pip_join_cover,
     "pip_join_manyrect": q_pip_join_manyrect,
     "poly_intersect_join": q_poly_intersect_join,
+    "tile_invalidation": q_tile_invalidation,
     "rasterize_regions": q_rasterize_regions,
     "pip_anti_join": q_pip_anti_join,
     "region_hulls": mlprep.q_region_hulls,
@@ -1023,6 +1115,7 @@ ORACLE_SQL = {
     "pip_join_cover": sql_pip_join_poly(),
     "pip_join_manyrect": sql_pip_join_manyrect(),
     "poly_intersect_join": sql_poly_intersect_join(),
+    "tile_invalidation": sql_tile_invalidation(8),
     "rasterize_regions": sql_rasterize_regions(),
     "pip_anti_join": sql_pip_anti_join(),
     "region_extents": sql_region_extents(),
