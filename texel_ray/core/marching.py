@@ -163,6 +163,11 @@ def vectorize_masks(masks: np.ndarray) -> list[dict]:
     import zlib
 
     B, H, W = masks.shape
+    # key packing holds y in 21 bits and x in 23: beyond that the batch
+    # kernel would silently merge vertices — fall back to the scalar
+    # kernel (correct at any size) instead
+    if 2 * (H + 2) >= (1 << 21) or 2 * (W + 2) >= (1 << 23):
+        return [vectorize_mask(m) for m in masks]
     m = np.zeros((B, H + 2, W + 2), dtype=bool)
     m[:, 1:-1, 1:-1] = masks
     tl = m[:, :-1, :-1].astype(np.int8)

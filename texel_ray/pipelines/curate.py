@@ -118,8 +118,14 @@ def curate_images(sf_dir: str, min_mean: int = 40, max_mean: int = 230):
     dup_counts = embed_neardup_counts(
         skinny.select_columns(["image_id", "embedding"])
     ).to_pandas()
-    # arbitrary-but-deterministic side; sorted array for vectorized np.isin
-    victims_arr = np.unique(np.asarray(dup_counts["id_a"].tolist()))
+    # arbitrary-but-deterministic side; sorted array for vectorized np.isin.
+    # zero near-dup pairs -> empty Dataset loses its schema in to_pandas
+    # (no 'id_a' column), so guard before indexing
+    victims_arr = (
+        np.unique(np.asarray(dup_counts["id_a"].tolist()))
+        if len(dup_counts)
+        else np.array([], dtype=str)
+    )
 
     def gate_and_tag(batch: pa.Table) -> pa.Table:
         mean = (

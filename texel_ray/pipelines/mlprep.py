@@ -2813,36 +2813,34 @@ def q_kcenter_sample(sf_dir: str, k: int = 8):
     (max min-distance-to-centers, argmax id) partials with the current
     centers BROADCAST, and a driver reduce that is order-independent
     (exact float max; ties broken by min vec_id). The corpus is streamed
-    k-1 times; vectors never shuffle. Output: (round, vec_id, d2_scaled)
-    with d2 scaled to int64 micro-units so the result is hashable and
-    the independent numpy golden recomputes it exactly. The winner's
-    vector is fetched by id between rounds (at cluster scale: a columnar
-    point lookup), never the corpus."""
+    k-1 times; vectors never shuffle. The winner's vector is fetched by
+    id between rounds with a parquet filter pushdown (a columnar point
+    lookup at cluster scale), never the corpus. Output: (round, vec_id,
+    d2_micro) with d2 scaled to int64 micro-units so the result is
+    hashable and the independent numpy golden recomputes it exactly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
 
     def read():
         import ray.data
 
-        return ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def fetch_vec(vec_id: int) -> np.ndarray:
+        t = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", vec_id)],
         )
+        return np.array(t["embedding"].to_pylist()[0], dtype=np.float64)
 
-    first = 0  # min vec_id (deterministic seed center)
-    centers = None
-    rows = [(0, first, 0)]
+    head = pq.read_table(path, columns=["vec_id"])
+    seed_id = int(pa.compute.min(head["vec_id"]).as_py())
+    centers = fetch_vec(seed_id)[None, :]
+    rows = [(0, seed_id, 0)]
     for rnd in range(1, k):
-        import pyarrow.parquet as pq
-
-        if centers is None:
-            t = pq.read_table(
-                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-            )
-            order = pa.compute.sort_indices(t["vec_id"])
-            id0 = t["vec_id"].take(order[:1]).to_pylist()[0]
-            emb0 = np.array(
-                t["embedding"].take(order[:1]).to_pylist()[0], dtype=np.float64
-            )
-            centers = emb0[None, :]
-            rows[0] = (0, int(id0), 0)
         C = centers
 
         def far_partial(batch: pa.Table, C=C) -> pa.Table:
@@ -2866,16 +2864,7 @@ def q_kcenter_sample(sf_dir: str, k: int = 8):
         parts = parts.sort_values(["d2", "vec_id"], ascending=[False, True])
         win_id = int(parts.iloc[0]["vec_id"])
         win_d2 = float(parts.iloc[0]["d2"])
-        t = pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        sel = pa.compute.equal(t["vec_id"], win_id)
-        emb = np.array(
-            t.filter(sel)["embedding"].to_pylist()[0], dtype=np.float64
-        )
-        centers = np.vstack([centers, emb])
+        centers = np.vstack([centers, fetch_vec(win_id)])
         rows.append((rnd, win_id, int(round(win_d2 * 1_000_000))))
-
-    import pandas as pd
 
     return pd.DataFrame(rows, columns=["round", "vec_id", "d2_micro"])

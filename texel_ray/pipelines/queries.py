@@ -356,10 +356,12 @@ def q_tile_focal_sum(sf_dir: str, zoom: int = 8):
     )
     counts = partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n").materialize()
     occupied = counts.to_pandas()  # 4^zoom-bounded dimension table
-    occ_n = {
-        (int(x), int(y)): int(n)
-        for x, y, n in zip(occupied["tile_x"], occupied["tile_y"], occupied["n"])
-    }
+    occ_keys = (
+        occupied["tile_x"].to_numpy() << 32 | occupied["tile_y"].to_numpy()
+    )
+    occ_order = np.argsort(occ_keys)
+    occ_keys = occ_keys[occ_order]
+    occ_counts = occupied["n"].to_numpy()[occ_order]
 
     def donate(batch: pa.Table) -> pa.Table:
         tx = batch["tile_x"].to_numpy(zero_copy_only=False)
@@ -390,7 +392,13 @@ def q_tile_focal_sum(sf_dir: str, zoom: int = 8):
         tx = batch["tile_x"].to_numpy(zero_copy_only=False)
         ty = batch["tile_y"].to_numpy(zero_copy_only=False)
         fs = batch["donated"].to_numpy(zero_copy_only=False)
-        n = np.array([occ_n.get((int(x), int(y)), 0) for x, y in zip(tx, ty)])
+        key = (tx << 32) | ty
+        if len(occ_keys):
+            pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+            hit = occ_keys[pos] == key
+            n = np.where(hit, occ_counts[pos], 0)
+        else:
+            n = np.zeros(len(key), dtype=np.int64)
         keep = n > 0
         return pa.table(
             {
@@ -651,26 +659,16 @@ def q_poly_intersect_join(sf_dir: str, cell: float = 5.0, num_partitions: int = 
     from ..sources.regions import dense_rects_parquet_path, generate_regions_table
     from ..stages.pip_join import cover_cell_key
 
+    from ..stages.pip_join import bbox_cover_cells
+
     def bbox_cover(t: pa.Table, id_out: str, pref: str) -> pa.Table:
         rid = t["region_id"].to_numpy()
         minx, miny = t["minx"].to_numpy(), t["miny"].to_numpy()
         maxx, maxy = t["maxx"].to_numpy(), t["maxy"].to_numpy()
-        from ..stages.pip_join import COVER_X0, COVER_Y0
-
-        out_cell, out_i = [], []
-        for i in range(len(rid)):
-            cx0 = int(np.floor((minx[i] - COVER_X0) / cell))
-            cx1 = int(np.floor((maxx[i] - COVER_X0) / cell))
-            cy0 = int(np.floor((miny[i] - COVER_Y0) / cell))
-            cy1 = int(np.floor((maxy[i] - COVER_Y0) / cell))
-            for cx in range(cx0, cx1 + 1):
-                for cy in range(cy0, cy1 + 1):
-                    out_cell.append((cx << 32) | (cy & 0xFFFFFFFF))
-                    out_i.append(i)
-        idx = np.asarray(out_i, dtype=np.int64)
+        cells, idx = bbox_cover_cells(minx, miny, maxx, maxy, cell)
         return pa.table(
             {
-                "cover_cell": pa.array(np.asarray(out_cell, dtype=np.int64)),
+                "cover_cell": pa.array(cells),
                 id_out: pa.array(rid[idx]),
                 f"{pref}minx": pa.array(minx[idx]),
                 f"{pref}miny": pa.array(miny[idx]),

@@ -329,19 +329,15 @@ def cover_cell_key(px: np.ndarray, py: np.ndarray, cell: float) -> np.ndarray:
     return (cx << 32) | (cy & np.int64(0xFFFFFFFF))
 
 
-def explode_region_cover(regions: pa.Table, cell: float) -> pa.Table:
-    """One row per (cover_cell, region) for every coarse cell the region's
-    bbox overlaps. Dimension-sized Python loop (runs once, on the driver or
-    in a read task — never per point batch)."""
-    rid = regions["region_id"].to_numpy()
-    minx = regions["minx"].to_numpy()
-    miny = regions["miny"].to_numpy()
-    maxx = regions["maxx"].to_numpy()
-    maxy = regions["maxy"].to_numpy()
-    kinds = regions["kind"].to_pylist()
-    wkbs = regions["geom_wkb"].to_pylist()
+def bbox_cover_cells(minx, miny, maxx, maxy, cell: float):
+    """(cells, idx) for every coarse cover cell each bbox overlaps —
+    the ONE place the cover-cell packing for bbox ranges lives (shared
+    by the PIP cover join and the polygon x polygon join, whose
+    reference-point dedup depends on it matching ``cover_cell_key``).
+    Dimension-sized Python loop (runs once, on the driver or in a read
+    task — never per point batch)."""
     out_cell, out_i = [], []
-    for i in range(len(rid)):
+    for i in range(len(minx)):
         cx0 = int(np.floor((minx[i] - COVER_X0) / cell))
         cx1 = int(np.floor((maxx[i] - COVER_X0) / cell))
         cy0 = int(np.floor((miny[i] - COVER_Y0) / cell))
@@ -350,7 +346,24 @@ def explode_region_cover(regions: pa.Table, cell: float) -> pa.Table:
             for cy in range(cy0, cy1 + 1):
                 out_cell.append((cx << 32) | (cy & 0xFFFFFFFF))
                 out_i.append(i)
-    idx = np.asarray(out_i, dtype=np.int64)
+    return (
+        np.asarray(out_cell, dtype=np.int64),
+        np.asarray(out_i, dtype=np.int64),
+    )
+
+
+def explode_region_cover(regions: pa.Table, cell: float) -> pa.Table:
+    """One row per (cover_cell, region) for every coarse cell the region's
+    bbox overlaps."""
+    rid = regions["region_id"].to_numpy()
+    minx = regions["minx"].to_numpy()
+    miny = regions["miny"].to_numpy()
+    maxx = regions["maxx"].to_numpy()
+    maxy = regions["maxy"].to_numpy()
+    kinds = regions["kind"].to_pylist()
+    wkbs = regions["geom_wkb"].to_pylist()
+    out_cell, idx = bbox_cover_cells(minx, miny, maxx, maxy, cell)
+    out_i = idx.tolist()
     return pa.table(
         {
             "cover_cell": pa.array(np.asarray(out_cell, dtype=np.int64)),
