@@ -351,11 +351,21 @@ WITH t AS (
          END AS sh
   FROM t
 )
+, l AS (SELECT doc_id, len(sh) AS n FROM s
+), e AS (SELECT doc_id, unnest(sh) AS g FROM s
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+-- exploded-shingle join instead of all-pairs list_intersect: identical
+-- pair set (a 0-intersection pair can never reach jaccard 0.8) and the
+-- identical double (same integer counts in the same expression), ~5x
+-- cheaper — this CTE is shared by four oracles
 SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  SELECT id_a, id_b,
+         CAST(i.ninter AS DOUBLE) / (la.n + lb.n - i.ninter) AS jaccard
+  FROM i JOIN l la ON la.doc_id = i.id_a JOIN l lb ON lb.doc_id = i.id_b
 ) WHERE jaccard >= 0.8
 """
 
@@ -427,14 +437,22 @@ WITH RECURSIVE t AS (
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          END AS sh
   FROM t
-), pairs AS (
+), l AS (SELECT doc_id, len(sh) AS n FROM s
+), e AS (SELECT doc_id, unnest(sh) AS g FROM s
+), i AS MATERIALIZED (
+  -- exploded-shingle join (see SQL_MINHASH_NEARDUP) + MATERIALIZED so
+  -- the recursion below does not re-evaluate the pair computation on
+  -- every iteration (21s -> sub-second at sf0.01)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    SELECT id_a, id_b,
+           CAST(i.ninter AS DOUBLE) / (la.n + lb.n - i.ninter) AS jaccard
+    FROM i JOIN l la ON la.doc_id = i.id_a JOIN l lb ON lb.doc_id = i.id_b
   ) WHERE jaccard >= 0.8
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
