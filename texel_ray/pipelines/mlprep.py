@@ -287,7 +287,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
         # no silent caps: truncated buckets mean missed recall
         print(
             f"[minhash_neardup] WARNING: {n_capped} candidate pairs came from "
-            f"capped buckets (>50 docs) — recall is truncated there",
+            f"capped buckets (>4096 docs, adversarial) — recall truncated there",
             flush=True,
         )
     pdf = pdf_all[["id_a", "id_b"]].drop_duplicates()
@@ -632,8 +632,8 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     n_capped = int(pdf_all["capped"].sum())
     if n_capped:
         print(
-            f"[simhash_neardup] WARNING: {n_capped} candidate pairs came from "
-            f"capped buckets (>50 docs) — recall is truncated there",
+            f"[simhash_neardup] WARNING: {n_capped} capped pairs — should be "
+            f"impossible (hot buckets use the exact pigeonhole kernel)",
             flush=True,
         )
     return (
@@ -656,7 +656,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.98):
         batch_size=4096,
         concurrency=(1, 4),
     )
-    near_dup = EmbeddingNearDup(threshold=threshold)
+    near_dup = EmbeddingNearDup(threshold=threshold, exact=True)
     out = ds.groupby("bucket").map_groups(
         lambda g: near_dup(g), batch_format="pandas"
     ).materialize()
@@ -890,7 +890,16 @@ def embed_neardup_counts(embed_ds, threshold: float = 0.9999):
     and curate_images, which feeds it from a single fused decode pass).
     The pair stage groups on a 512-way hash of the bucket and iterates
     real buckets vectorized inside (EmbeddingNearDupBucketed) — one
-    map_groups dispatch per 4096 tiny buckets dominated the tail."""
+    map_groups dispatch per 4096 tiny buckets dominated the tail.
+
+    SAMPLED (exact=False) mode, deliberately: the synthetic corpus is one
+    visual family (shared gradient + per-image noise), so at 16-dim
+    patch-mean granularity nearly every in-bucket pair clears 0.9999 —
+    measured 2.3e8 qualifying pairs at sf0.01, i.e. the exact pair set is
+    Omega(n^2) of the corpus, not a dup-dimension list. Pairs from
+    truncated buckets carry the ``capped`` flag; the production move for
+    a saturated corpus is cluster-level dedup (semantic_dedup /
+    dedup_clusters), not pair enumeration."""
     import pyarrow.compute as pc
 
     from ..stages.dedup import EmbeddingNearDupBucketed
@@ -2178,7 +2187,7 @@ def q_semantic_dedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float =
         concurrency=(1, 4),
     )
     ds = ds.repartition(8)  # map_groups parallelism == input block count
-    near_dup = EmbeddingNearDup(threshold=threshold, id_col="vec_id")
+    near_dup = EmbeddingNearDup(threshold=threshold, id_col="vec_id", exact=True)
     return ds.groupby("cluster").map_groups(
         lambda g: near_dup(g), batch_format="pandas"
     )
@@ -2746,8 +2755,8 @@ def q_geo_phash_neardup(sf_dir: str, max_hamming: int = 3, zoom: int = 8):
     n_capped = int(df["capped"].sum())
     if n_capped:
         print(
-            f"[geo_phash_neardup] WARNING: {n_capped} pairs from capped "
-            f"(tile, band) groups (>1024 ids) — recall truncated there",
+            f"[geo_phash_neardup] WARNING: {n_capped} capped pairs — should "
+            f"be impossible (hot groups use the exact pigeonhole kernel)",
             flush=True,
         )
     return (

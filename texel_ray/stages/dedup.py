@@ -184,21 +184,42 @@ class MinHasher:
         )
 
 
-def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+def _triangle_pair_indices(n: int, tile: int = 2048):
+    """Yield (ia, ib) index-array tiles covering the strict upper triangle
+    of an n x n pair matrix, each tile bounded to ~tile^2 entries so the
+    intermediate arrays stay small regardless of bucket size."""
+    for s0 in range(0, n, tile):
+        e0 = min(s0 + tile, n)
+        m = e0 - s0
+        ia, ib = np.triu_indices(m, k=1)
+        yield ia + s0, ib + s0
+        for s1 in range(e0, n, tile):
+            e1 = min(s1 + tile, n)
+            ii = np.repeat(np.arange(s0, e0), e1 - s1)
+            jj = np.tile(np.arange(s1, e1), m)
+            yield ii, jj
+
+
+def bucket_pairs(
+    group: pd.DataFrame, id_col: str = "doc_id", hard_cap: int = 4096
+) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket (map_groups). Buckets are tiny
-    (band collision implies high similarity), so the quadratic pair list is
-    bounded; a hard cap guards adversarial buckets (capped pairs logged by
-    the caller via the `capped` column)."""
+    by construction (a band collision implies high similarity), and every
+    member pair is a candidate, so full enumeration is exact and the pair
+    list is output-dimensional: a hot bucket is a near-duplicate clique
+    whose pairs ARE the answer. Enumeration is tiled so intermediates stay
+    bounded; only buckets beyond `hard_cap` distinct docs (adversarial —
+    ~8M pairs) are truncated, WITH the `capped` flag (no silent caps)."""
     ids = sorted(set(group[id_col].tolist()))
-    cap = 50
-    capped = len(ids) > cap
-    ids = ids[:cap]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b, "capped": [capped] * len(a)})
+    capped = len(ids) > hard_cap
+    ids_arr = np.asarray(ids[:hard_cap])
+    outs_a, outs_b = [], []
+    for ia, ib in _triangle_pair_indices(len(ids_arr)):
+        outs_a.append(ids_arr[ia])
+        outs_b.append(ids_arr[ib])
+    a = np.concatenate(outs_a) if outs_a else np.array([], dtype=ids_arr.dtype)
+    b = np.concatenate(outs_b) if outs_b else np.array([], dtype=ids_arr.dtype)
+    return pd.DataFrame({"id_a": a, "id_b": b, "capped": np.full(len(a), capped)})
 
 
 def verify_jaccard_pairs(
@@ -344,6 +365,126 @@ def popcount64_np(x: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def _tiled_triangle_hamming(sig: np.ndarray, max_hamming: int):
+    """Exact (ia, ib, dist) over ALL pairs of ``sig`` with
+    hamming <= max_hamming, tiled so intermediates stay bounded."""
+    outs_a, outs_b, outs_d = [], [], []
+    for ia, ib in _triangle_pair_indices(len(sig)):
+        d = popcount64_np(sig[ia] ^ sig[ib])
+        keep = d <= max_hamming
+        if keep.any():
+            outs_a.append(ia[keep])
+            outs_b.append(ib[keep])
+            outs_d.append(d[keep])
+    if not outs_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (
+        np.concatenate(outs_a),
+        np.concatenate(outs_b),
+        np.concatenate(outs_d),
+    )
+
+
+def _distinct_hamming_pairs(
+    sig: np.ndarray, max_hamming: int, bits: np.ndarray, leaf: int
+):
+    """(ia, ib, dist) among DISTINCT signatures via pigeonhole recursion.
+
+    Splitting the available ``bits`` into max_hamming+1 sub-bands, any
+    qualifying pair agrees exactly on >= 1 sub-band (it has <= max_hamming
+    differing bits total), so recursing into equal-sub-band groups finds
+    every pair; the full-signature popcount at the leaves removes false
+    positives; pairs found by several branches are deduped by the caller.
+    Terminates because each recursion removes its sub-band from ``bits``
+    and distinct signatures cannot agree on every bit."""
+    n = len(sig)
+    if max_hamming == 0:  # distinct signatures can't be at distance 0
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    if n <= leaf or len(bits) < (max_hamming + 1):
+        return _tiled_triangle_hamming(sig, max_hamming)
+    chunks = np.array_split(bits, max_hamming + 1)
+    acc_a, acc_b, acc_d = [], [], []
+    for ci, chunk in enumerate(chunks):
+        key = np.zeros(n, dtype=np.uint64)
+        for k, bit in enumerate(chunk):
+            key |= ((sig >> np.uint64(bit)) & np.uint64(1)) << np.uint64(k)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bnd = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [n]))
+        rem = np.concatenate([c for j, c in enumerate(chunks) if j != ci])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            ia, ib, d = _distinct_hamming_pairs(sig[idx], max_hamming, rem, leaf)
+            if len(ia):
+                acc_a.append(idx[ia])
+                acc_b.append(idx[ib])
+                acc_d.append(d)
+    if not acc_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    ia = np.concatenate(acc_a)
+    ib = np.concatenate(acc_b)
+    d = np.concatenate(acc_d)
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    _, ui = np.unique(lo.astype(np.int64) * n + hi, return_index=True)
+    return lo[ui], hi[ui], d[ui]
+
+
+def hamming_pairs_exact(
+    sig: np.ndarray, max_hamming: int = 3, leaf: int = 512
+):
+    """ALL index pairs (ia, ib, dist) with hamming(sig[ia], sig[ib]) <=
+    max_hamming — EXACT at any group size (the hot-bucket kernel; replaces
+    recall truncation). Shape: collapse to distinct signatures first, run
+    the pigeonhole recursion over those (bounded by signature diversity,
+    not member count), then expand winning signature pairs to member pairs
+    — so identical-signature cliques cost output-dimensional work only,
+    which is inherent (their pairs are the answer)."""
+    uniq, inv = np.unique(sig.astype(np.uint64), return_inverse=True)
+    ua, ub, ud = _distinct_hamming_pairs(
+        uniq, max_hamming, np.arange(64, dtype=np.uint64), leaf
+    )
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    bnd = np.nonzero(inv_s[1:] != inv_s[:-1])[0] + 1
+    starts = np.concatenate(([0], bnd))
+    counts = np.diff(np.concatenate((starts, [len(sig)])))
+    cls_start = np.zeros(len(uniq), dtype=np.int64)
+    cls_count = np.zeros(len(uniq), dtype=np.int64)
+    cls_start[inv_s[starts]] = starts
+    cls_count[inv_s[starts]] = counts
+    outs_a, outs_b, outs_d = [], [], []
+    # within-class pairs: identical signatures, distance 0
+    for c in np.nonzero(cls_count >= 2)[0]:
+        members = order[cls_start[c] : cls_start[c] + cls_count[c]]
+        for ia, ib in _triangle_pair_indices(len(members)):
+            outs_a.append(members[ia])
+            outs_b.append(members[ib])
+            outs_d.append(np.zeros(len(ia), dtype=np.int64))
+    # cross-class pairs: cartesian product of the two member lists
+    for u, v, d in zip(ua, ub, ud):
+        ma = order[cls_start[u] : cls_start[u] + cls_count[u]]
+        mb = order[cls_start[v] : cls_start[v] + cls_count[v]]
+        outs_a.append(np.repeat(ma, len(mb)))
+        outs_b.append(np.tile(mb, len(ma)))
+        outs_d.append(np.full(len(ma) * len(mb), d, dtype=np.int64))
+    if not outs_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (
+        np.concatenate(outs_a),
+        np.concatenate(outs_b),
+        np.concatenate(outs_d),
+    )
+
+
 def simhash_bucket_pairs(
     group: pd.DataFrame,
     id_col: str = "doc_id",
@@ -352,14 +493,25 @@ def simhash_bucket_pairs(
 ) -> pd.DataFrame:
     """Candidate pairs + hamming verification inside one SimHash band
     bucket (map_groups stage; the signature travels with the row, so no
-    join-back is needed). Vectorized XOR+popcount over the pair triangle;
-    buckets beyond `cap` distinct docs are truncated WITH a `capped` flag
-    (no silent caps)."""
+    join-back is needed). Vectorized XOR+popcount over the pair triangle
+    for ordinary buckets; buckets beyond `cap` docs switch to the EXACT
+    pigeonhole-recursion kernel (``hamming_pairs_exact``) instead of
+    truncating, so recall holds at any bucket size. ``capped`` is kept in
+    the schema (always False now) for caller compatibility."""
     rows = group[[id_col, "simhash"]].drop_duplicates(id_col).sort_values(id_col)
-    capped = len(rows) > cap
-    rows = rows.head(cap)
     ids = rows[id_col].to_numpy()
     sh = rows["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+    if len(ids) > cap:
+        ia, ib, dist = hamming_pairs_exact(sh, max_hamming)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)  # ids sorted asc
+        return pd.DataFrame(
+            {
+                "id_a": ids[lo],
+                "id_b": ids[hi],
+                "hamming": dist,
+                "capped": np.zeros(len(ia), dtype=bool),
+            }
+        )
     ia, ib = np.triu_indices(len(ids), k=1)
     dist = popcount64_np(sh[ia] ^ sh[ib])
     keep = dist <= max_hamming
@@ -368,31 +520,81 @@ def simhash_bucket_pairs(
             "id_a": ids[ia[keep]],
             "id_b": ids[ib[keep]],
             "hamming": dist[keep],
-            "capped": np.full(int(keep.sum()), capped),
+            "capped": np.zeros(int(keep.sum()), dtype=bool),
         }
     )
 
 
-class EmbeddingNearDup:
-    """Within-LSH-bucket pairwise cosine >= threshold (map_groups stage)."""
+def _tiled_cosine_pairs(m: np.ndarray, threshold: float, tile: int = 2048):
+    """(ia, ib, cos) for ALL row pairs of unit-normalized ``m`` with
+    cosine >= threshold, ia < ib. The similarity matrix is computed in
+    tile x tile blocks so memory stays bounded at any bucket size; work
+    is quadratic, which is inherent to candidate generation — LSH
+    bucketing keeps hot buckets meaning 'mostly genuine near-dups'."""
+    outs_a, outs_b, outs_c = [], [], []
+    for ia, ib in _triangle_pair_indices(len(m), tile):
+        c = np.einsum("ij,ij->i", m[ia], m[ib])
+        keep = c >= threshold
+        if keep.any():
+            outs_a.append(ia[keep])
+            outs_b.append(ib[keep])
+            outs_c.append(c[keep].astype(np.float64))
+    if not outs_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), np.array([], dtype=np.float64)
+    return (
+        np.concatenate(outs_a),
+        np.concatenate(outs_b),
+        np.concatenate(outs_c),
+    )
 
-    def __init__(self, threshold: float = 0.95, id_col: str = "vec_id", cap: int = 1024):
+
+class EmbeddingNearDup:
+    """Within-LSH-bucket pairwise cosine >= threshold (map_groups stage).
+
+    Two modes, because cosine (unlike the hamming pigeonhole) has no
+    exact sub-split that preserves recall:
+
+    - ``exact=True``: full enumeration at any bucket size via the tiled
+      kernel (memory-bounded; work is quadratic per bucket, which LSH
+      keeps output-dimensional on corpora with genuine dup structure).
+    - ``exact=False`` (default): buckets beyond ``cap`` rows keep the
+      ``cap`` smallest ids and flag every emitted pair ``capped`` — the
+      documented sampled estimate for SATURATED corpora where nearly
+      every in-bucket pair clears the threshold and the exact pair set
+      is Omega(n^2) of the bucket (there, the production move is
+      cluster-level dedup via a representative, not a pair list)."""
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        cap: int = 1024,
+        exact: bool = False,
+    ):
         self.threshold = threshold
         self.id_col = id_col
-        self.cap = cap  # bound the quadratic pair scan per bucket
+        self.cap = cap  # truncation bound (exact=False) / dense-path bound
+        self.exact = exact
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         from .similarity import normalize_rows
 
-        capped = len(group) > self.cap  # no silent caps: flag truncation
-        group = group.sort_values(self.id_col).head(self.cap)
+        capped = (not self.exact) and len(group) > self.cap
+        group = group.sort_values(self.id_col)
+        if not self.exact:
+            group = group.head(self.cap)
         ids = group[self.id_col].to_numpy()
         m = normalize_rows(np.stack(group["embedding"].to_numpy()))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= self.threshold
-        id_a = np.minimum(ids[ia[keep]], ids[ib[keep]])
-        id_b = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        if len(ids) > self.cap:  # exact mode, hot bucket: tiled kernel
+            ia, ib, cos = _tiled_cosine_pairs(m, self.threshold)
+        else:
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= self.threshold
+            ia, ib, cos = ia[keep], ib[keep], sims[ia[keep], ib[keep]].astype(np.float64)
+        id_a = np.minimum(ids[ia], ids[ib])
+        id_b = np.maximum(ids[ia], ids[ib])
         if np.issubdtype(ids.dtype, np.integer):
             id_a = id_a.astype(np.int64)
             id_b = id_b.astype(np.int64)
@@ -400,7 +602,7 @@ class EmbeddingNearDup:
             {
                 "id_a": id_a,
                 "id_b": id_b,
-                "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
+                "cosine": cos,
                 "capped": np.full(len(id_a), capped),
             }
         )
@@ -419,8 +621,9 @@ def grouped_hamming_pairs(
     calls instead of one ``simhash_bucket_pairs`` dispatch per group —
     the per-group pandas overhead dominated phash/simhash buckets).
     Semantics match simhash_bucket_pairs: ids must be unique within a
-    group; groups beyond ``cap`` ids keep the ``cap`` smallest ids and
-    flag their emitted pairs ``capped``."""
+    group; groups beyond ``cap`` ids are handled one-by-one by the EXACT
+    pigeonhole kernel (``hamming_pairs_exact``) — no recall truncation;
+    ``capped`` stays in the schema (always False) for compatibility."""
     order = np.lexsort((ids, key))
     k = key[order]
     ids_s = ids[order]
@@ -429,9 +632,16 @@ def grouped_hamming_pairs(
     starts = np.concatenate(([0], bnd)) if len(k) else np.array([], dtype=np.int64)
     ends = np.concatenate((bnd, [len(k)])) if len(k) else np.array([], dtype=np.int64)
     counts = ends - starts
-    over = counts > cap
-    eff = np.minimum(counts, cap)
     out = {"id_a": [], "id_b": [], "hamming": [], "capped": []}
+    for g in np.nonzero(counts > cap)[0]:  # hot groups: exact kernel
+        s, e = starts[g], ends[g]
+        ia, ib, d = hamming_pairs_exact(sig_s[s:e], max_hamming)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)  # ids sorted asc
+        out["id_a"].append(ids_s[s + lo])
+        out["id_b"].append(ids_s[s + hi])
+        out["hamming"].append(d)
+        out["capped"].append(np.zeros(len(d), dtype=bool))
+    eff = np.where(counts > cap, 0, counts)
     for c in np.unique(eff):
         if c < 2:
             continue
@@ -445,7 +655,7 @@ def grouped_hamming_pairs(
         out["id_a"].append(ids_s[A[keep]])
         out["id_b"].append(ids_s[B[keep]])
         out["hamming"].append(d[keep])
-        out["capped"].append(np.repeat(over[gsel], len(ia))[keep])
+        out["capped"].append(np.zeros(int(keep.sum()), dtype=bool))
     if not out["id_a"]:
         return pd.DataFrame(
             {
@@ -482,11 +692,13 @@ class EmbeddingNearDupBucketed:
         id_col: str = "vec_id",
         cap: int = 1024,
         bucket_col: str = "bucket",
+        exact: bool = False,
     ):
         self.threshold = threshold
         self.id_col = id_col
         self.cap = cap
         self.bucket_col = bucket_col
+        self.exact = exact  # see EmbeddingNearDup: exact vs sampled-capped
 
     def __call__(self, g: pa.Table) -> pa.Table:
         from .similarity import normalize_rows
@@ -507,21 +719,28 @@ class EmbeddingNearDupBucketed:
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            capped = (e - s) > self.cap
-            sl = slice(s, min(e, s + self.cap))
+            capped = (not self.exact) and (e - s) > self.cap
+            sl = slice(s, e) if self.exact else slice(s, min(e, s + self.cap))
             bids = ids[sl]
             m = normalize_rows(emb[sl])
-            sims = m @ m.T
-            ia, ib = np.triu_indices(len(bids), k=1)
-            keep = sims[ia, ib] >= self.threshold
-            if not keep.any():
+            if len(bids) > self.cap:  # exact mode, hot bucket: tiled kernel
+                ia, ib, cos = _tiled_cosine_pairs(m, self.threshold)
+                keepn = len(ia)
+            else:
+                sims = m @ m.T
+                ia, ib = np.triu_indices(len(bids), k=1)
+                keep = sims[ia, ib] >= self.threshold
+                ia, ib = ia[keep], ib[keep]
+                cos = sims[ia, ib].astype(np.float64)
+                keepn = int(keep.sum())
+            if not keepn:
                 continue
-            a = bids[ia[keep]]
-            b = bids[ib[keep]]
+            a = bids[ia]
+            b = bids[ib]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
-            out_cos.append(sims[ia[keep], ib[keep]].astype(np.float64))
-            out_cap.append(np.full(int(keep.sum()), capped))
+            out_cos.append(cos)
+            out_cap.append(np.full(keepn, capped))
         id_int = np.issubdtype(ids.dtype, np.integer)
         id_type = pa.int64() if id_int else pa.string()
         if not out_a:
