@@ -144,6 +144,11 @@ def run_benchmarks() -> dict:
     from texel_ray.pipelines.queries import q_tile_focal_sum
 
     timed("tile_focal_sum", lambda: q_tile_focal_sum(SF_DIR))
+    from texel_ray.pipelines.queries import q_morans_i
+
+    timed("morans_i", lambda: q_morans_i(SF_DIR), consume=None)
+    timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))
+    timed("map_match_edges", lambda: mlprep.q_map_match_edges(SF_DIR))
     from texel_ray.pipelines.queries import q_poly_intersect_join
 
     timed("poly_intersect_join", lambda: q_poly_intersect_join(SF_DIR))

@@ -1,0 +1,98 @@
+"""Invariant tests for the round-3 spatial-analytics operators:
+kde_heatmap (brute-force recompute), map_match_edges (mass conservation
++ nearest-by-construction), morans_i (clustered geotags => positive
+autocorrelation), region_sphere_area (analytic spherical-cap area of
+the 30x30-degree grid cells)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from texel_ray.sources.images import ensure_images_for_sf_dir
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _points():
+    path = ensure_images_for_sf_dir(SF_DIR)
+    t = pq.read_table(path, columns=["lon", "lat"])
+    return t["lon"].to_numpy(), t["lat"].to_numpy()
+
+
+def test_kde_heatmap_matches_bruteforce():
+    from texel_ray.pipelines.mlprep import q_kde_heatmap
+
+    g = 0.5
+    out = q_kde_heatmap(SF_DIR, g=g).to_pandas()
+    lon, lat = _points()
+    cx = np.floor(lon / g).astype(np.int64)
+    cy = np.floor(lat / g).astype(np.int64)
+    got = {
+        (int(r.gx), int(r.gy)): (int(r.n), int(r.density))
+        for r in out.itertuples()
+    }
+    # brute force over the occupied cells
+    occ = set(zip(cx.tolist(), cy.tolist()))
+    assert set(got) == occ
+    for tx, ty in list(occ)[:50]:
+        ctr_x = (tx + 0.5) * g
+        ctr_y = (ty + 0.5) * g
+        d2 = (lon - ctr_x) ** 2 + (lat - ctr_y) ** 2
+        ok = d2 <= g * g
+        wfp = np.floor(1048576.0 * (1.0 - d2[ok] / (g * g))).astype(np.int64)
+        assert got[(tx, ty)] == (int(ok.sum()), int(wfp.sum()))
+
+
+def test_map_match_edges_mass_and_nearest():
+    from texel_ray.pipelines.mlprep import q_map_match_edges
+    from texel_ray.sources.regions import region_boundary_edges
+
+    out = q_map_match_edges(SF_DIR).to_pandas()
+    lon, lat = _points()
+    assert out["n"].sum() == len(lon)  # every point matched exactly once
+    e = region_boundary_edges()
+    valid = dict(
+        zip(e["edge_id"].to_pylist(), e["region_id"].to_pylist())
+    )
+    for r in out.itertuples():
+        assert valid[int(r.edge_id)] == int(r.region_id)
+
+
+def test_morans_i_positive_on_clustered_geotags():
+    from texel_ray.pipelines.queries import q_morans_i
+
+    out = q_morans_i(SF_DIR, zoom=6)
+    row = out.iloc[0]
+    # urban clusters make neighbouring tiles correlated
+    assert row["w_pairs"] > 0
+    assert row["morans_i"] > 0.05
+    # the exact integers and the double agree
+    assert row["morans_i"] == (
+        float(row["n_cells"]) * float(row["num"])
+    ) / (float(row["w_pairs"]) * float(row["den"]))
+
+
+def test_region_sphere_area_matches_analytic():
+    from texel_ray.pipelines.mlprep import q_region_sphere_area
+    from texel_ray.sources.regions import generate_regions_table
+
+    out = q_region_sphere_area(SF_DIR).to_pandas().set_index("region_id")
+    regs = generate_regions_table().to_pandas().set_index("region_id")
+    R = 6371000.0
+    checked = 0
+    for rid, r in regs.iterrows():
+        if not r["name"].startswith("grid_"):
+            continue
+        lam1, lam2 = math.radians(r.minx), math.radians(r.maxx)
+        phi1, phi2 = math.radians(r.miny), math.radians(r.maxy)
+        analytic_km2 = (
+            R * R * (lam2 - lam1) * (math.sin(phi2) - math.sin(phi1)) / 1e6
+        )
+        got = out.loc[rid, "area_km2"]
+        assert abs(got - analytic_km2) / analytic_km2 < 1e-3, (rid, got, analytic_km2)
+        checked += 1
+    assert checked >= 40
+    assert (out["area_fp"] >= 0).all()

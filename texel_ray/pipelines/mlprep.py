@@ -1884,6 +1884,294 @@ HAVING sum(is_res) > 0
 """
 
 
+def q_kde_heatmap(sf_dir: str, g: float = 0.5):
+    """Kernel-density heatmap of the image geotags on the occupied
+    g-degree grid: for every cell with >= 1 resident point, the
+    Epanechnikov-kernel density sum over all points within r = g of the
+    cell CENTER (9-cell donation, the idw_grid exchange shape).
+
+    The kernel is POLYNOMIAL (w = 1 - d2/r2), not Gaussian, precisely so
+    the weight is computable with IEEE +-*/ only and the fixed-point
+    floor (wfp = floor(2^20 * w)) gives an order-independent integer
+    reduction DuckDB recomputes exactly — same rationale as idw_grid's
+    fixed-point weights. Fully combiner-shaped: per-batch arrow partials
+    -> one skinny groupby keyed by cell."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+
+    r2 = g * g
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+
+    def donate(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cx = np.floor(lon / g).astype(np.int64)
+        cy = np.floor(lat / g).astype(np.int64)
+        gx_l, gy_l, w_l, n_l, res_l = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = cx + dx, cy + dy
+                ctr_x = (tx + 0.5) * g
+                ctr_y = (ty + 0.5) * g
+                d2 = (lon - ctr_x) ** 2 + (lat - ctr_y) ** 2
+                ok = d2 <= r2
+                wfp = np.floor(1048576.0 * (1.0 - d2[ok] / r2)).astype(np.int64)
+                gx_l.append(tx[ok])
+                gy_l.append(ty[ok])
+                w_l.append(wfp)
+                n_l.append(np.ones(int(ok.sum()), dtype=np.int64))
+                res_l.append(
+                    np.full(int(ok.sum()), 1 if (dx == 0 and dy == 0) else 0, np.int64)
+                )
+        return pa.table(
+            {
+                "gx": pa.array(np.concatenate(gx_l)),
+                "gy": pa.array(np.concatenate(gy_l)),
+                "density": pa.array(np.concatenate(w_l)),
+                "n": pa.array(np.concatenate(n_l)),
+                "n_res": pa.array(np.concatenate(res_l)),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(donate, batch_format="pyarrow"),
+        ["gx", "gy"],
+        ["density", "n", "n_res"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch["n_res"], 0))
+        return t.select(["gx", "gy", "n", "density"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_kde_heatmap(images_source: str, g: float = 0.5) -> str:
+    d2 = (
+        "(p.lon - (p.cx + o.dx + 0.5) * {g}) * (p.lon - (p.cx + o.dx + 0.5) * {g})"
+        " + (p.lat - (p.cy + o.dy + 0.5) * {g}) * (p.lat - (p.cy + o.dy + 0.5) * {g})"
+    ).format(g=repr(g))
+    return f"""
+WITH pts AS (
+  SELECT lon, lat,
+         CAST(floor(lon / {g!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {g!r}) AS BIGINT) AS cy
+  FROM {images_source}
+), fan AS (
+  SELECT p.cx + o.dx AS gx, p.cy + o.dy AS gy,
+         CAST(floor(1048576.0 * (1.0 - ({d2}) / {g * g!r})) AS BIGINT) AS wfp,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END AS is_res
+  FROM pts p
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+  WHERE {d2} <= {g * g!r}
+)
+SELECT gx, gy, count(*) AS n, sum(wfp) AS density
+FROM fan
+GROUP BY 1, 2
+HAVING sum(is_res) > 0
+"""
+
+
+def _dlit(x) -> str:
+    """A float as a DuckDB DOUBLE literal. Bare decimals are typed
+    DECIMAL, and DuckDB's decimal->double cast is NOT correctly rounded
+    (measured 1 ulp off on 17-digit literals) — scientific notation
+    forces direct strtod parsing, bit-identical to the Python float."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+def q_map_match_edges(sf_dir: str):
+    """Map-matching primitive: snap every geotag to its nearest region
+    BOUNDARY SEGMENT (the GPS-trace-to-road-edge operation); per-edge
+    match counts. The edge table (sources/regions.region_boundary_edges,
+    262 rows) is dimension-sized: regenerated per actor from the seed —
+    never shuffled; the per-batch kernel is one (batch x edges)
+    point-segment distance matrix (clamped projection), argmin with the
+    deterministic (d2, edge_id) tie-break. At corpus scale with large
+    edge tables the same kernel runs behind a cell-cover candidate
+    prefilter (the stages/pip_join.py grid pattern); the dense matrix is
+    the correct form for dimension-sized edge sets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.images import read_images
+    from ..sources.regions import region_boundary_edges
+    from ..stages.agg import partial_count_groupby
+
+    e = region_boundary_edges()
+    ax = e["ax"].to_numpy()
+    ay = e["ay"].to_numpy()
+    dx = e["bx"].to_numpy() - ax
+    dy = e["by"].to_numpy() - ay
+    l2 = dx * dx + dy * dy
+    rid = e["region_id"].to_numpy()
+    eid = e["edge_id"].to_numpy()
+
+    def nearest_edge(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        t = ((lon[:, None] - ax[None, :]) * dx[None, :]
+             + (lat[:, None] - ay[None, :]) * dy[None, :]) / l2[None, :]
+        t = np.clip(t, 0.0, 1.0)
+        qx = ax[None, :] + t * dx[None, :]
+        qy = ay[None, :] + t * dy[None, :]
+        d2 = (lon[:, None] - qx) ** 2 + (lat[:, None] - qy) ** 2
+        best = np.argmin(d2, axis=1)  # first index wins exact ties =
+        # smallest edge_id (edges are edge_id-ordered)
+        return pa.table(
+            {
+                "region_id": pa.array(rid[best]),
+                "edge_id": pa.array(eid[best]),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(nearest_edge, batch_format="pyarrow", batch_size=4096)
+    return partial_count_groupby(ds, ["region_id", "edge_id"], alias="n")
+
+
+def sql_map_match_edges(images_source: str) -> str:
+    from ..sources.regions import region_boundary_edges
+
+    e = region_boundary_edges()
+    ax = e["ax"].to_numpy()
+    ay = e["ay"].to_numpy()
+    dx = e["bx"].to_numpy() - ax
+    dy = e["by"].to_numpy() - ay
+    l2 = dx * dx + dy * dy
+    vals = ", ".join(
+        f"({int(i)}, {int(r)}, {_dlit(a)}, {_dlit(b)},"
+        f" {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
+        for i, r, a, b, c, d, l in zip(
+            e["edge_id"].to_pylist(), e["region_id"].to_pylist(),
+            ax, ay, dx, dy, l2,
+        )
+    )
+    # float ops mirror the numpy kernel 1:1 (clip == LEAST/GREATEST)
+    return f"""
+WITH e(edge_id, region_id, ax, ay, dx, dy, l2) AS (VALUES {vals}),
+proj AS (
+  SELECT p.image_id, e.edge_id, e.region_id,
+         LEAST(1.0, GREATEST(0.0,
+           ((p.lon - e.ax) * e.dx + (p.lat - e.ay) * e.dy) / e.l2)) AS t,
+         p.lon, p.lat, e.ax, e.ay, e.dx, e.dy
+  FROM {images_source} p CROSS JOIN e
+), dist AS (
+  SELECT image_id, edge_id, region_id,
+         (lon - (ax + t * dx)) * (lon - (ax + t * dx))
+       + (lat - (ay + t * dy)) * (lat - (ay + t * dy)) AS d2
+  FROM proj
+), best AS (
+  SELECT image_id, edge_id, region_id,
+         row_number() OVER (PARTITION BY image_id ORDER BY d2, edge_id) AS rk
+  FROM dist
+)
+SELECT region_id, edge_id, count(*) AS n
+FROM best WHERE rk = 1
+GROUP BY 1, 2
+"""
+
+
+def q_region_sphere_area(sf_dir: str):
+    """Geodesic (spherical-excess) polygon area per region via the
+    spherical shoelace sum_k (lam2 - lam1) * (2 + sin(phi1) + sin(phi2))
+    over boundary edges. Each edge term is FIXED-POINT floored
+    (floor(term * 1e9), int64) so the per-region reduction is
+    order-independent and DuckDB recomputes it exactly (the float
+    ops + libm sin mirror 1:1, the proven geodesic_hist pattern); the
+    final km^2 value derives from the exact integer. Map-only over the
+    region table (per-feature geometry measure; at corpus scale this is
+    one vectorized map_batches over the polygon corpus)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ..sources.regions import regions_parquet_path
+
+    rad = math.pi / 180.0
+    scale = 0.5 * 6371000.0 * 6371000.0 / 1e9 / 1e6  # fp -> km^2
+
+    def area_terms(batch: pa.Table) -> pa.Table:
+        from ..core.geom import wkb_decode
+
+        rids, areas_fp, areas_km2, nv = [], [], [], []
+        for rid, buf in zip(
+            batch["region_id"].to_pylist(), batch["geom_wkb"].to_pylist()
+        ):
+            kind, coords = wkb_decode(buf)
+            rings = coords if kind == "Polygon" else [r for p in coords for r in p]
+            total = 0
+            nverts = 0
+            for ring in rings:
+                v = np.asarray(ring, dtype=np.float64)
+                nverts += len(v)
+                lam = v[:, 0] * rad
+                phi = v[:, 1] * rad
+                lam2 = np.roll(lam, -1)
+                phi2 = np.roll(phi, -1)
+                term = (lam2 - lam) * (2.0 + np.sin(phi) + np.sin(phi2))
+                total += int(np.floor(term * 1e9).astype(np.int64).sum())
+            rids.append(rid)
+            areas_fp.append(abs(total))
+            areas_km2.append(abs(total) * scale)
+            nv.append(nverts)
+        return pa.table(
+            {
+                "region_id": pa.array(rids, pa.int64()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area_fp": pa.array(areas_fp, pa.int64()),
+                "area_km2": pa.array(areas_km2, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "geom_wkb"]
+    )
+    return ds.map_batches(area_terms, batch_format="pyarrow")
+
+
+def sql_region_sphere_area() -> str:
+    import math
+
+    from ..sources.regions import region_boundary_edges
+
+    rad = math.pi / 180.0
+    scale = 0.5 * 6371000.0 * 6371000.0 / 1e9 / 1e6
+    e = region_boundary_edges()
+    vals = ", ".join(
+        f"({int(r)}, {_dlit(a)}, {_dlit(b)}, {_dlit(c)}, {_dlit(d)})"
+        for r, a, b, c, d in zip(
+            e["region_id"].to_pylist(),
+            e["ax"].to_numpy(), e["ay"].to_numpy(),
+            e["bx"].to_numpy(), e["by"].to_numpy(),
+        )
+    )
+    return f"""
+WITH e(region_id, ax, ay, bx, by) AS (VALUES {vals}),
+terms AS (
+  SELECT region_id,
+         CAST(floor((bx * {_dlit(rad)} - ax * {_dlit(rad)})
+              * (2.0 + sin(ay * {_dlit(rad)}) + sin(by * {_dlit(rad)})) * 1e9) AS BIGINT)
+           AS term_fp
+  FROM e
+)
+SELECT region_id,
+       count(*) AS n_vertices,
+       abs(sum(term_fp)) AS area_fp,
+       CAST(abs(sum(term_fp)) AS DOUBLE) * {_dlit(scale)} AS area_km2
+FROM terms
+GROUP BY region_id
+"""
+
+
 def q_geohash_cells(sf_dir: str, precision: int = 5):
     """Per-geohash-cell image counts (stages/tiles.geohash_np — standard
     base32 interleave, pinned against the published test vectors

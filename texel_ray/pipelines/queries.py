@@ -335,6 +335,107 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_morans_i(sf_dir: str, zoom: int = 6):
+    """Global spatial autocorrelation (Moran's I, rook weights) of the
+    per-tile image counts at one zoom — the standard 'is this hot-spot
+    map clustered or random' statistic over the tile lattice.
+
+    Shape: per-batch combiner tile counts -> ONE skinny groupby -> the
+    statistic computed on the driver from the tile-DIMENSION table
+    (4^zoom-bounded) in EXACT integer arithmetic: with S = sum(x) and
+    m = n_cells, each deviation is the integer (m*x_i - S), so
+    numerator sum_adjacent (m*x_i - S)(m*x_j - S) and denominator
+    sum_i (m*x_i - S)^2 are exact Python ints (DuckDB recomputes them
+    as HUGEINTs) — order-independent on any cluster size. w_pairs
+    counts ORDERED rook-adjacent occupied pairs; I = (m/W) * num/den,
+    derived from the exact integers, so the double is deterministic."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    counts = partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n")
+    pdf = counts.to_pandas()  # tile-dimension-sized
+    tx = pdf["tile_x"].to_numpy().astype(np.int64)
+    ty = pdf["tile_y"].to_numpy().astype(np.int64)
+    x = pdf["n"].to_numpy().astype(np.int64)
+    m = len(x)
+    key = (tx << 32) | ty
+    order = np.argsort(key)
+    skey, sx = key[order], x[order]
+    s_total = int(x.sum())
+    dev = [int(v) * m - s_total for v in sx]  # exact python ints
+    num = 0
+    w_pairs = 0
+    for dxx, dyy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nkey = ((tx[order] + dxx) << 32) | (ty[order] + dyy)
+        pos = np.searchsorted(skey, nkey)
+        pos_c = np.minimum(pos, m - 1)
+        hit = skey[pos_c] == nkey
+        for i in np.nonzero(hit)[0]:
+            num += dev[i] * dev[pos_c[i]]
+            w_pairs += 1
+    den = sum(d * d for d in dev)
+    # num/den are exact ints; I derives from their int64 double casts
+    # (correctly rounded in both engines — hugeint->double is not), so
+    # the emitted double is bit-identical to the oracle's
+    morans = (
+        (float(m) * float(num)) / (float(w_pairs) * float(den))
+        if w_pairs and den
+        else 0.0
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_cells": pd.Series([m], dtype="int64"),
+            "w_pairs": pd.Series([w_pairs], dtype="int64"),
+            "num": pd.Series([num], dtype="int64"),
+            "den": pd.Series([den], dtype="int64"),
+            "morans_i": pd.Series([morans], dtype="float64"),
+        }
+    )
+
+
+def sql_morans_i(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH counts AS (
+  SELECT {t['tx']} AS tx, {t['ty']} AS ty, count(*) AS x
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+), stats AS (
+  SELECT count(*) AS m, sum(x) AS s FROM counts
+), dev AS (
+  SELECT c.tx, c.ty, CAST(c.x AS HUGEINT) * st.m - st.s AS d
+  FROM counts c CROSS JOIN stats st
+), pairs AS (
+  SELECT a.d AS da, b.d AS db
+  FROM dev a
+  JOIN dev b
+    ON (abs(a.tx - b.tx) = 1 AND a.ty = b.ty)
+    OR (a.tx = b.tx AND abs(a.ty - b.ty) = 1)
+), agg AS (
+  SELECT (SELECT count(*) FROM pairs) AS w_pairs,
+         CAST((SELECT sum(da * db) FROM pairs) AS BIGINT) AS num,
+         CAST((SELECT sum(d * d) FROM dev) AS BIGINT) AS den,
+         (SELECT m FROM stats) AS m
+)
+SELECT CAST(m AS BIGINT) AS n_cells,
+       CAST(w_pairs AS BIGINT) AS w_pairs,
+       num, den,
+       CASE WHEN w_pairs > 0 AND den > 0
+            THEN (CAST(m AS DOUBLE) * CAST(num AS DOUBLE))
+               / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))
+            ELSE 0.0 END AS morans_i
+FROM agg
+"""
+
+
 def q_tile_focal_sum(sf_dir: str, zoom: int = 8):
     """FOCAL (neighborhood) raster op over the z-level tile-count grid:
     for every occupied tile, the 3x3-neighborhood sum of per-tile image
@@ -1015,6 +1116,10 @@ QUERIES = {
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "tile_focal_sum": q_tile_focal_sum,
+    "morans_i": q_morans_i,
+    "kde_heatmap": mlprep.q_kde_heatmap,
+    "map_match_edges": mlprep.q_map_match_edges,
+    "region_sphere_area": mlprep.q_region_sphere_area,
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
@@ -1108,6 +1213,10 @@ ORACLE_SQL = {
     "tile_assign_z8": sql_tile_assign(8),
     "tile_metrics_z8": sql_tile_metrics(8),
     "tile_focal_sum": sql_tile_focal_sum(8),
+    "morans_i": sql_morans_i(6),
+    "kde_heatmap": mlprep.sql_kde_heatmap(images_sql_source()),
+    "map_match_edges": mlprep.sql_map_match_edges(images_sql_source()),
+    "region_sphere_area": mlprep.sql_region_sphere_area(),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),

@@ -158,3 +158,40 @@ def dense_rects_parquet_path() -> str:
 
         os.replace(tmp, path)
     return str(path)
+
+
+def region_boundary_edges() -> pa.Table:
+    """Every region's boundary as directed segments (the map-matching /
+    nearest-edge dimension table; derived from the same WKB so the Ray
+    path and the SQL oracle literal share one source of truth).
+
+    Columns: ``edge_id:int64`` (global, ordered), ``region_id:int64``,
+    ``ax, ay, bx, by`` (segment endpoints, lon/lat degrees). Rings are
+    stored open in WKB, so the closing segment is emitted explicitly.
+    Dimension-sized (hundreds of rows): broadcast, never shuffled.
+    """
+    from ..core.geom import wkb_decode
+
+    t = generate_regions_table()
+    rid_l, ax_l, ay_l, bx_l, by_l = [], [], [], [], []
+    for rid, buf in zip(t["region_id"].to_pylist(), t["geom_wkb"].to_pylist()):
+        kind, coords = wkb_decode(buf)
+        rings = coords if kind == "Polygon" else [r for p in coords for r in p]
+        for ring in rings:
+            m = len(ring)
+            for k in range(m):
+                x0, y0 = ring[k]
+                x1, y1 = ring[(k + 1) % m]
+                rid_l.append(rid)
+                ax_l.append(x0), ay_l.append(y0)
+                bx_l.append(x1), by_l.append(y1)
+    return pa.table(
+        {
+            "edge_id": pa.array(np.arange(len(rid_l), dtype=np.int64)),
+            "region_id": pa.array(rid_l, pa.int64()),
+            "ax": pa.array(np.array(ax_l, dtype=np.float64)),
+            "ay": pa.array(np.array(ay_l, dtype=np.float64)),
+            "bx": pa.array(np.array(bx_l, dtype=np.float64)),
+            "by": pa.array(np.array(by_l, dtype=np.float64)),
+        }
+    )
