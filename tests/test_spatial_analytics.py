@@ -96,3 +96,22 @@ def test_region_sphere_area_matches_analytic():
         checked += 1
     assert checked >= 40
     assert (out["area_fp"] >= 0).all()
+
+
+def test_dissolve_regions_band_analytic_and_topology():
+    from texel_ray.pipelines.queries import q_dissolve_regions
+
+    out = q_dissolve_regions(SF_DIR, res=0.25)
+    bands = out[out.grp.str.startswith("band_")]
+    # a band = 4 stacked 30x30-degree rects at 0.25 deg: 120x480 cells,
+    # one hole-free component
+    assert len(bands) == 12
+    assert (bands.n_cells == 120 * 480).all()
+    assert (bands.perimeter == 2 * (120 + 480)).all()
+    assert (bands.euler_char == 1).all()
+    sites = out[out.grp.str.startswith("site_")]
+    # each site union (two concentric rects + hexagon) is one hole-free
+    # component with a real footprint
+    assert len(sites) == 5
+    assert (sites.euler_char == 1).all()
+    assert (sites.n_cells >= 10).all()

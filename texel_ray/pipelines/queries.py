@@ -906,10 +906,12 @@ def q_rasterize_regions(sf_dir: str, res: float = 1.0):
     return out
 
 
-def sql_rasterize_regions(res: float = 1.0) -> str:
-    """Mirror of q_rasterize_regions: same lattice, same center formula,
-    inclusive bbox join for rects + half-plane hexagon conditions (the
-    sql_pip_join_poly construction) over the generated grid."""
+def _raster_pairs_ctes(res: float = 1.0) -> str:
+    """The shared ``grid`` + ``pairs`` CTE pair: generate_series lattice
+    with the exact q_rasterize_regions center formula, inclusive bbox
+    join for rects + half-plane hexagon conditions (the
+    sql_pip_join_poly construction). Used by the rasterize and dissolve
+    oracles."""
     from ..core.geom import wkb_decode
     from ..sources.regions import generate_regions_table
 
@@ -937,8 +939,7 @@ def sql_rasterize_regions(res: float = 1.0) -> str:
             f"WHERE {' AND '.join(conds)}"
         )
     hex_sql = "\nUNION ALL\n".join(hex_selects)
-    return f"""
-WITH grid AS (
+    return f"""grid AS (
     SELECT CAST(i % {nx} AS BIGINT) AS px,
            CAST(i // {nx} AS BIGINT) AS py,
            -180.0 + (CAST(i % {nx} AS DOUBLE) + 0.5) * {res!r} AS lon,
@@ -953,11 +954,186 @@ WITH grid AS (
      AND g.lat >= r.miny AND g.lat <= r.maxy
     UNION ALL
     {hex_sql}
-)
+)"""
+
+
+def sql_rasterize_regions(res: float = 1.0) -> str:
+    """Mirror of q_rasterize_regions over the shared lattice CTEs."""
+    return f"""
+WITH {_raster_pairs_ctes(res)}
 SELECT region_id, count(*) AS n_px,
        min(px) AS px_min, max(px) AS px_max,
        min(py) AS py_min, max(py) AS py_max
 FROM pairs GROUP BY 1
+"""
+
+
+def _dissolve_group_of(names: "pa.Array") -> "pa.Array":
+    """Dissolve group key per region name: urban_i_* and hex_i merge into
+    'site_i' (concentric rects + hexagon around one center — overlapping
+    union); grid_gx_gy merge into 'band_gx' (vertical strips of four
+    adjacent 30-degree rects — edge-adjacent union)."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(names, "_")
+    second = pc.list_element(parts, 1)
+    is_grid = pc.starts_with(names, "grid_")
+    prefix = pc.if_else(
+        is_grid, pa.scalar("band_"), pa.scalar("site_")
+    )
+    return pc.binary_join_element_wise(prefix, second, "")
+
+
+def q_dissolve_regions(sf_dir: str, res: float = 0.25):
+    """Polygon DISSOLVE (union by key) on the cell lattice: regions merge
+    into groups (concentric urban rects + their hexagon -> one site;
+    vertically adjacent 30-degree grid rects -> one band), and the union
+    geometry is summarized per group by exact integer invariants of its
+    cell complex — area (cells F), boundary length (perimeter edges =
+    2E - 4F), and the Euler characteristic chi = V - E + F
+    (= components - holes, the standard topological dissolve summary;
+    these unions are hole-free so chi IS the dissolved-part count).
+
+    Scale shape: the pixel grid is a generated Dataset (ray.data.range),
+    the PIP burn is the broadcast joiner, and EVERYTHING downstream is
+    combiner groupbys over skinny (group, kind, kx, ky) keys — dedupe of
+    cells, then dedupe of their exploded faces/edges/vertices, then a
+    per-(group, kind) count. No connected-components pass, no
+    map_groups, no driver geometry."""
+    import ray.data
+
+    from ..stages.agg import partial_count_groupby
+    from ..stages.pip_join import PIPJoiner
+
+    nx = int(round(360.0 / res))
+    ny = int(round(170.0 / res))
+    from ..sources.regions import generate_regions_table
+
+    regs = generate_regions_table()
+    grp_by_rid = dict(
+        zip(
+            regs["region_id"].to_pylist(),
+            _dissolve_group_of(regs["name"].combine_chunks()).to_pylist(),
+        )
+    )
+
+    def centers(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy()
+        px = i % nx
+        py = i // nx
+        return pa.table(
+            {
+                "px": pa.array(px),
+                "py": pa.array(py),
+                "lon": pa.array(-180.0 + (px + 0.5) * res),
+                "lat": pa.array(-85.0 + (py + 0.5) * res),
+            }
+        )
+
+    def to_group(batch: pa.Table) -> pa.Table:
+        rid = batch["region_id"].to_pylist()
+        return pa.table(
+            {
+                "grp": pa.array([grp_by_rid[r] for r in rid], pa.string()),
+                "px": batch["px"],
+                "py": batch["py"],
+            }
+        )
+
+    ds = ray.data.range(nx * ny, override_num_blocks=16)
+    ds = ds.map_batches(centers, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": ["px", "py"]},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(2, 8),
+    )
+    ds = ds.map_batches(to_group, batch_format="pyarrow")
+    # dedupe cells (several regions of one group may cover a pixel)
+    cells = partial_count_groupby(ds, ["grp", "px", "py"], alias="__nc")
+
+    def explode_complex(batch: pa.Table) -> pa.Table:
+        grp = batch["grp"]
+        px = batch["px"].to_numpy(zero_copy_only=False)
+        py = batch["py"].to_numpy(zero_copy_only=False)
+        kinds, kxs, kys, grps = [], [], [], []
+        # faces, the 4 boundary edges (canonical keys: h-edge at its
+        # left corner, v-edge at its bottom corner), the 4 corners
+        for kind, ox, oy in (
+            ("f", 0, 0),
+            ("h", 0, 0), ("h", 0, 1), ("v", 0, 0), ("v", 1, 0),
+            ("p", 0, 0), ("p", 1, 0), ("p", 0, 1), ("p", 1, 1),
+        ):
+            kinds.append(np.full(len(px), kind, dtype=object))
+            kxs.append(px + ox)
+            kys.append(py + oy)
+            grps.append(grp)
+        return pa.table(
+            {
+                "grp": pa.concat_arrays(
+                    [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+                     for g in grps]
+                ),
+                "kind": pa.array(np.concatenate(kinds), pa.string()),
+                "kx": pa.array(np.concatenate(kxs), pa.int64()),
+                "ky": pa.array(np.concatenate(kys), pa.int64()),
+            }
+        )
+
+    ev = cells.map_batches(explode_complex, batch_format="pyarrow")
+    distinct = partial_count_groupby(ev, ["grp", "kind", "kx", "ky"], alias="__ne")
+    counts = partial_count_groupby(distinct, ["grp", "kind"], alias="n")
+    pdf = counts.to_pandas()  # group-dimension-sized
+    wide = pdf.pivot(index="grp", columns="kind", values="n").fillna(0).astype("int64")
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "grp": wide.index.to_numpy(),
+            "n_cells": wide["f"].to_numpy(),
+            "n_edges": (wide["h"] + wide["v"]).to_numpy(),
+            "n_vertices": wide["p"].to_numpy(),
+        }
+    )
+    out["perimeter"] = 2 * out["n_edges"] - 4 * out["n_cells"]
+    out["euler_char"] = out["n_vertices"] - out["n_edges"] + out["n_cells"]
+    return out.reset_index(drop=True)
+
+
+def sql_dissolve_regions(res: float = 0.25) -> str:
+    return f"""
+WITH {_raster_pairs_ctes(res)},
+cells AS (
+  SELECT DISTINCT
+    CASE WHEN r.name LIKE 'grid_%' THEN 'band_' || split_part(r.name, '_', 2)
+         ELSE 'site_' || split_part(r.name, '_', 2) END AS grp,
+    p.px, p.py
+  FROM pairs p JOIN {regions_sql_source()} r USING (region_id)
+), complexes AS (
+  SELECT grp, 'f' AS kind, px AS kx, py AS ky FROM cells
+  UNION SELECT grp, 'h', px, py FROM cells
+  UNION SELECT grp, 'h', px, py + 1 FROM cells
+  UNION SELECT grp, 'v', px, py FROM cells
+  UNION SELECT grp, 'v', px + 1, py FROM cells
+  UNION SELECT grp, 'p', px, py FROM cells
+  UNION SELECT grp, 'p', px + 1, py FROM cells
+  UNION SELECT grp, 'p', px, py + 1 FROM cells
+  UNION SELECT grp, 'p', px + 1, py + 1 FROM cells
+), counts AS (
+  SELECT grp,
+         sum(CASE WHEN kind = 'f' THEN 1 ELSE 0 END) AS f,
+         sum(CASE WHEN kind IN ('h', 'v') THEN 1 ELSE 0 END) AS e,
+         sum(CASE WHEN kind = 'p' THEN 1 ELSE 0 END) AS v
+  FROM complexes GROUP BY 1
+)
+SELECT grp,
+       CAST(f AS BIGINT) AS n_cells,
+       CAST(e AS BIGINT) AS n_edges,
+       CAST(v AS BIGINT) AS n_vertices,
+       CAST(2 * e - 4 * f AS BIGINT) AS perimeter,
+       CAST(v - e + f AS BIGINT) AS euler_char
+FROM counts
 """
 
 
@@ -1117,6 +1293,7 @@ QUERIES = {
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "tile_focal_sum": q_tile_focal_sum,
     "morans_i": q_morans_i,
+    "dissolve_regions": q_dissolve_regions,
     "kde_heatmap": mlprep.q_kde_heatmap,
     "map_match_edges": mlprep.q_map_match_edges,
     "region_sphere_area": mlprep.q_region_sphere_area,
@@ -1214,6 +1391,7 @@ ORACLE_SQL = {
     "tile_metrics_z8": sql_tile_metrics(8),
     "tile_focal_sum": sql_tile_focal_sum(8),
     "morans_i": sql_morans_i(6),
+    "dissolve_regions": sql_dissolve_regions(0.25),
     "kde_heatmap": mlprep.sql_kde_heatmap(images_sql_source()),
     "map_match_edges": mlprep.sql_map_match_edges(images_sql_source()),
     "region_sphere_area": mlprep.sql_region_sphere_area(),
