@@ -150,6 +150,11 @@ def run_benchmarks() -> dict:
     from texel_ray.pipelines.queries import q_dissolve_regions
 
     timed("dissolve_regions", lambda: q_dissolve_regions(SF_DIR), consume=None)
+    timed(
+        "dist_join_events",
+        lambda: relational.q_dist_join_events(SF_DIR),
+        consume=None,
+    )
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))
     timed("map_match_edges", lambda: mlprep.q_map_match_edges(SF_DIR))
     from texel_ray.pipelines.queries import q_poly_intersect_join

@@ -1369,6 +1369,7 @@ QUERIES = {
     "pivot_events": relational.q_pivot_events,
     "event_transitions": relational.q_event_transitions,
     "od_flows": relational.q_od_flows,
+    "dist_join_events": relational.q_dist_join_events,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1451,6 +1452,7 @@ ORACLE_SQL = {
     "pivot_events": relational.SQL_PIVOT_EVENTS,
     "event_transitions": relational.SQL_EVENT_TRANSITIONS,
     "od_flows": relational.sql_od_flows(),
+    "dist_join_events": relational.sql_dist_join_events(images_sql_source()),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

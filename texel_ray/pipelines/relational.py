@@ -967,6 +967,134 @@ def q_od_flows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
+    """Bipartite epsilon-DISTANCE JOIN (the kNN-join cousin): every
+    (event, image) pair whose geotags lie within ``eps`` degrees,
+    summarized per event_type (pair count, distinct images, distinct
+    events). A genuine TWO-SIDED exchange — neither side is
+    dimension-sized — so this is the scale formulation: images carry
+    their single home cell, events donate to their 3x3 neighbor cells
+    (any pair within eps differs by <= 1 cell coordinate, so blocking is
+    complete and each candidate appears exactly once), one
+    hash-partitioned ``Dataset.join`` on the packed cell key, then the
+    exact d2 <= eps^2 filter. Only (cell, id, lon, lat) skinny rows
+    shuffle. Exact SQL oracle: identical cell equijoin + predicate."""
+    import ray.data
+
+    from ..sources.images import read_images
+    from ..stages.agg import partial_count_groupby
+
+    e2 = eps * eps
+
+    def image_cells(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cx = np.floor(lon / eps).astype(np.int64)
+        cy = np.floor(lat / eps).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array((cx << 32) | (cy & np.int64(0xFFFFFFFF))),
+                "image_id": batch["image_id"],
+                "ilon": batch["lon"],
+                "ilat": batch["lat"],
+            }
+        )
+
+    def event_cells(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        cx = np.floor(lon / eps).astype(np.int64)
+        cy = np.floor(lat / eps).astype(np.int64)
+        cells, eids, types, lons, lats = [], [], [], [], []
+        et = batch["event_type"]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cells.append(((cx + dx) << 32) | ((cy + dy) & np.int64(0xFFFFFFFF)))
+                eids.append(eid)
+                lons.append(lon)
+                lats.append(lat)
+                types.append(et)
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells)),
+                "event_id": pa.array(np.concatenate(eids)),
+                "event_type": pa.concat_arrays(
+                    [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+                     for t in types]
+                ),
+                "elon": pa.array(np.concatenate(lons)),
+                "elat": pa.array(np.concatenate(lats)),
+            }
+        )
+
+    imgs = read_images(sf_dir, columns=["image_id", "lon", "lat"]).map_batches(
+        image_cells, batch_format="pyarrow", batch_size=16384
+    )
+    evs = _read(sf_dir, "events", ["user_id", "event_id", "event_type"]).map_batches(
+        event_cells, batch_format="pyarrow", batch_size=16384
+    )
+    joined = imgs.join(
+        evs, join_type="inner", num_partitions=num_partitions, on=("cell",)
+    )
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ilon = batch["ilon"].to_numpy(zero_copy_only=False)
+        ilat = batch["ilat"].to_numpy(zero_copy_only=False)
+        elon = batch["elon"].to_numpy(zero_copy_only=False)
+        elat = batch["elat"].to_numpy(zero_copy_only=False)
+        d2 = (ilon - elon) ** 2 + (ilat - elat) ** 2
+        keep = pa.array(d2 <= e2)
+        return batch.select(["event_type", "image_id", "event_id"]).filter(keep)
+
+    pairs = joined.map_batches(confirm, batch_format="pyarrow").materialize()
+    n_pairs = partial_count_groupby(pairs, ["event_type"], alias="n_pairs")
+    img_d = partial_count_groupby(pairs, ["event_type", "image_id"], alias="__x")
+    ev_d = partial_count_groupby(pairs, ["event_type", "event_id"], alias="__x")
+    n_imgs = partial_count_groupby(img_d, ["event_type"], alias="n_images")
+    n_evs = partial_count_groupby(ev_d, ["event_type"], alias="n_events")
+    a = n_pairs.to_pandas().set_index("event_type")
+    a["n_images"] = n_imgs.to_pandas().set_index("event_type")["n_images"]
+    a["n_events"] = n_evs.to_pandas().set_index("event_type")["n_events"]
+    return a.reset_index()
+
+
+def sql_dist_join_events(images_source: str, eps: float = 0.05) -> str:
+    e2 = eps * eps
+    return f"""
+WITH {_sql_event_pos()},
+ic AS (
+  SELECT image_id, lon AS ilon, lat AS ilat,
+         CAST(floor(lon / {eps!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {eps!r}) AS BIGINT) AS cy
+  FROM {images_source}
+),
+ec AS (
+  SELECT p.event_id, e.event_type, p.lon AS elon, p.lat AS elat,
+         CAST(floor(p.lon / {eps!r}) AS BIGINT) AS cx,
+         CAST(floor(p.lat / {eps!r}) AS BIGINT) AS cy
+  FROM pos p JOIN events e USING (event_id)
+),
+pairs AS (
+  SELECT ec.event_type, ic.image_id, ec.event_id
+  FROM ic
+  JOIN ec
+    ON ic.cx BETWEEN ec.cx - 1 AND ec.cx + 1
+   AND ic.cy BETWEEN ec.cy - 1 AND ec.cy + 1
+  WHERE (ic.ilon - ec.elon) * (ic.ilon - ec.elon)
+      + (ic.ilat - ec.elat) * (ic.ilat - ec.elat) <= {e2!r}
+)
+SELECT event_type,
+       count(*) AS n_pairs,
+       count(DISTINCT image_id) AS n_images,
+       count(DISTINCT event_id) AS n_events
+FROM pairs
+GROUP BY 1
+"""
+
+
 def sql_od_flows() -> str:
     from ..sources.regions import regions_parquet_path
 
