@@ -115,3 +115,34 @@ def test_dissolve_regions_band_analytic_and_topology():
     assert len(sites) == 5
     assert (sites.euler_char == 1).all()
     assert (sites.n_cells >= 10).all()
+
+
+def test_pca_scatter_and_projection():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from texel_ray.pipelines.mlprep import pca_project, q_pca_scatter
+
+    out = q_pca_scatter(SF_DIR).to_pandas()
+    # brute-force scatter over the quantized embeddings
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(m * 1024.0).astype(np.int64)
+    S = q.T @ q
+    got = {(int(r.a), int(r.b)): int(r.s) for r in out.itertuples()}
+    assert got[(-1, -1)] == len(q)
+    for i in (0, 3, 63):
+        assert got[(i, -1)] == int(q[:, i].sum())
+        for j in (i, 17, 63):
+            if j >= i:
+                assert got[(i, j)] == int(S[i, j])
+    w, basis = pca_project(out, k=4)
+    # eigenvalues descending, basis orthonormal, sign convention applied
+    assert (np.diff(w) <= 1e-9).all()
+    assert np.allclose(basis.T @ basis, np.eye(4), atol=1e-9)
+    flip = np.abs(basis).argmax(axis=0)
+    assert (basis[flip, np.arange(4)] > 0).all()
+    # projected variance (in quantized units) matches the eigenvalues
+    cov = np.cov(q.T.astype(np.float64), bias=False)
+    proj_var = np.diag(basis.T @ cov @ basis)
+    assert np.allclose(proj_var, w, rtol=1e-6)

@@ -2172,6 +2172,97 @@ GROUP BY region_id
 """
 
 
+def q_pca_scatter(sf_dir: str, dim: int = 64):
+    """Distributed PCA, stage 1: the exact integer SCATTER matrix of the
+    quantized embeddings (q = floor(x * 1024) per element — one float64
+    multiply + floor, so DuckDB recomputes every entry exactly). Each
+    batch contributes Q^T Q (int64, dim x dim upper triangle), the
+    column sums, and the row count as skinny (a, b, s) partial rows; ONE
+    combiner groupby merges them. Vectors never cross an exchange — at
+    10^12 rows the only traffic is 2080 partial rows per block (at that
+    scale the int64 grand totals approach 2^63: promote the merge to
+    HUGEINT/float128 or re-quantize per shard — the partial shape is
+    unchanged). The
+    eigen-decomposition / projection runs on the driver over this exact
+    dim x dim table (pca_project below; pinned by pytest invariants —
+    orthonormality, variance ordering, scikit-free)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.agg import partial_sum_groupby
+
+    iu_a, iu_b = np.triu_indices(dim)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = flat.reshape(len(batch), dim)
+        q = np.floor(m * 1024.0).astype(np.int64)
+        scatter = q.T @ q  # exact: |q| < 2^17, dim*rows products < 2^63
+        sums = q.sum(axis=0)
+        a = np.concatenate([iu_a, np.arange(dim), [-1]])
+        b = np.concatenate([iu_b, np.full(dim, -1), [-1]])
+        s = np.concatenate([scatter[iu_a, iu_b], sums, [len(batch)]])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(moments, batch_format="pyarrow", batch_size=4096)
+    return partial_sum_groupby(ds, ["a", "b"], ["s"], coalesce=4)
+
+
+def sql_pca_scatter(dim: int = 64) -> str:
+    return f"""
+WITH q AS (
+  SELECT e.vec_id, t.i - 1 AS idx,
+         CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1024.0) AS BIGINT) AS v
+  FROM embeddings e, generate_series(1, {dim}) t(i)
+),
+upper AS (
+  SELECT qa.idx AS a, qb.idx AS b, sum(qa.v * qb.v) AS s
+  FROM q qa JOIN q qb ON qa.vec_id = qb.vec_id AND qa.idx <= qb.idx
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT idx AS a, -1 AS b, sum(v) AS s FROM q GROUP BY 1
+),
+cnt AS (
+  SELECT -1 AS a, -1 AS b, count(DISTINCT vec_id) AS s FROM q
+)
+SELECT a, b, CAST(s AS BIGINT) AS s FROM upper
+UNION ALL SELECT a, b, CAST(s AS BIGINT) FROM sums
+UNION ALL SELECT a, b, CAST(s AS BIGINT) FROM cnt
+"""
+
+
+def pca_project(scatter_df, dim: int = 64, k: int = 4):
+    """Driver-side stage 2: eigendecomposition of the exact-integer
+    covariance (n * Sxx - sx sx^T, symmetric PSD up to quantization) and
+    the top-k projection basis. Deterministic given the exact integers;
+    sign convention: largest-|component| entry positive."""
+    import numpy as np
+
+    piv = {(int(r.a), int(r.b)): int(r.s) for r in scatter_df.itertuples()}
+    n = piv[(-1, -1)]
+    sx = np.array([piv[(i, -1)] for i in range(dim)], dtype=np.float64)
+    S = np.zeros((dim, dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(i, dim):
+            S[i, j] = S[j, i] = piv[(i, j)]
+    cov = (S * n - np.outer(sx, sx)) / (float(n) * float(max(n - 1, 1)))
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    basis = v[:, order]
+    flip = np.abs(basis).argmax(axis=0)
+    basis = basis * np.sign(basis[flip, np.arange(basis.shape[1])])[None, :]
+    return w[order], basis
+
+
 def q_geohash_cells(sf_dir: str, precision: int = 5):
     """Per-geohash-cell image counts (stages/tiles.geohash_np — standard
     base32 interleave, pinned against the published test vectors

@@ -1341,6 +1341,7 @@ QUERIES = {
     "token_counts": mlprep.q_token_counts,
     "heavy_hitters": mlprep.q_heavy_hitters,
     "tfidf": mlprep.q_tfidf,
+    "pca_scatter": mlprep.q_pca_scatter,
     "vocab_encode": mlprep.q_vocab_encode,
     "fingerprint": mlprep.q_fingerprint,
     "langid": mlprep.q_langid,
@@ -1421,6 +1422,7 @@ ORACLE_SQL = {
     "token_counts": mlprep.SQL_TOKEN_COUNTS,
     "heavy_hitters": mlprep.SQL_HEAVY_HITTERS,
     "tfidf": mlprep.SQL_TFIDF,
+    "pca_scatter": mlprep.sql_pca_scatter(64),
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
