@@ -155,6 +155,7 @@ def run_benchmarks() -> dict:
         lambda: relational.q_dist_join_events(SF_DIR),
         consume=None,
     )
+    timed("pca_scatter", lambda: mlprep.q_pca_scatter(SF_DIR))
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))
     timed("map_match_edges", lambda: mlprep.q_map_match_edges(SF_DIR))
     from texel_ray.pipelines.queries import q_poly_intersect_join

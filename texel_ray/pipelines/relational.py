@@ -967,7 +967,7 @@ def q_od_flows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
+def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 16):
     """Bipartite epsilon-DISTANCE JOIN (the kNN-join cousin): every
     (event, image) pair whose geotags lie within ``eps`` degrees,
     summarized per event_type (pair count, distinct images, distinct
@@ -979,6 +979,8 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
     hash-partitioned ``Dataset.join`` on the packed cell key, then the
     exact d2 <= eps^2 filter. Only (cell, id, lon, lat) skinny rows
     shuffle. Exact SQL oracle: identical cell equijoin + predicate."""
+    import zlib
+
     import ray.data
 
     from ..sources.images import read_images
@@ -987,14 +989,19 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
     e2 = eps * eps
 
     def image_cells(batch: pa.Table) -> pa.Table:
+        # all-int payload: 13M candidate pairs of strings dominated the
+        # join exchange; image ids parse to their numeric suffix
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         cx = np.floor(lon / eps).astype(np.int64)
         cy = np.floor(lat / eps).astype(np.int64)
+        import pyarrow.compute as pc
+
+        img_int = pc.utf8_slice_codeunits(batch["image_id"], 3).cast(pa.int64())
         return pa.table(
             {
                 "cell": pa.array((cx << 32) | (cy & np.int64(0xFFFFFFFF))),
-                "image_id": batch["image_id"],
+                "image_int": img_int,
                 "ilon": batch["lon"],
                 "ilat": batch["lat"],
             }
@@ -1006,23 +1013,27 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
         lon, lat = _event_geo_np(uid, eid)
         cx = np.floor(lon / eps).astype(np.int64)
         cy = np.floor(lat / eps).astype(np.int64)
-        cells, eids, types, lons, lats = [], [], [], [], []
-        et = batch["event_type"]
+        # event_type -> stable int32 code (crc32; label map rebuilt on
+        # the driver from the skinny rollup, never shipped)
+        et = batch["event_type"].to_pylist()
+        tcode = np.fromiter(
+            (zlib.crc32(t.encode()) & 0x7FFFFFFF for t in et),
+            dtype=np.int64,
+            count=len(et),
+        )
+        cells, eids, codes, lons, lats = [], [], [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 cells.append(((cx + dx) << 32) | ((cy + dy) & np.int64(0xFFFFFFFF)))
                 eids.append(eid)
+                codes.append(tcode)
                 lons.append(lon)
                 lats.append(lat)
-                types.append(et)
         return pa.table(
             {
                 "cell": pa.array(np.concatenate(cells)),
                 "event_id": pa.array(np.concatenate(eids)),
-                "event_type": pa.concat_arrays(
-                    [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
-                     for t in types]
-                ),
+                "tcode": pa.array(np.concatenate(codes)),
                 "elon": pa.array(np.concatenate(lons)),
                 "elat": pa.array(np.concatenate(lats)),
             }
@@ -1039,26 +1050,32 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 4):
     )
 
     def confirm(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         ilon = batch["ilon"].to_numpy(zero_copy_only=False)
         ilat = batch["ilat"].to_numpy(zero_copy_only=False)
         elon = batch["elon"].to_numpy(zero_copy_only=False)
         elat = batch["elat"].to_numpy(zero_copy_only=False)
         d2 = (ilon - elon) ** 2 + (ilat - elat) ** 2
         keep = pa.array(d2 <= e2)
-        return batch.select(["event_type", "image_id", "event_id"]).filter(keep)
+        return batch.select(["tcode", "image_int", "event_id"]).filter(keep)
 
     pairs = joined.map_batches(confirm, batch_format="pyarrow").materialize()
-    n_pairs = partial_count_groupby(pairs, ["event_type"], alias="n_pairs")
-    img_d = partial_count_groupby(pairs, ["event_type", "image_id"], alias="__x")
-    ev_d = partial_count_groupby(pairs, ["event_type", "event_id"], alias="__x")
-    n_imgs = partial_count_groupby(img_d, ["event_type"], alias="n_images")
-    n_evs = partial_count_groupby(ev_d, ["event_type"], alias="n_events")
-    a = n_pairs.to_pandas().set_index("event_type")
-    a["n_images"] = n_imgs.to_pandas().set_index("event_type")["n_images"]
-    a["n_events"] = n_evs.to_pandas().set_index("event_type")["n_events"]
-    return a.reset_index()
+    n_pairs = partial_count_groupby(pairs, ["tcode"], alias="n_pairs")
+    img_d = partial_count_groupby(pairs, ["tcode", "image_int"], alias="__x")
+    ev_d = partial_count_groupby(pairs, ["tcode", "event_id"], alias="__x")
+    n_imgs = partial_count_groupby(img_d, ["tcode"], alias="n_images")
+    n_evs = partial_count_groupby(ev_d, ["tcode"], alias="n_events")
+    # tiny label map: 5 event types
+    types = (
+        _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    )
+    label = {zlib.crc32(t.encode()) & 0x7FFFFFFF: t for t in types}
+    a = n_pairs.to_pandas().set_index("tcode")
+    a["n_images"] = n_imgs.to_pandas().set_index("tcode")["n_images"]
+    a["n_events"] = n_evs.to_pandas().set_index("tcode")["n_events"]
+    a["event_type"] = [label[c] for c in a.index]
+    return a.reset_index(drop=True)[
+        ["event_type", "n_pairs", "n_images", "n_events"]
+    ]
 
 
 def sql_dist_join_events(images_source: str, eps: float = 0.05) -> str:
