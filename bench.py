@@ -156,6 +156,9 @@ def run_benchmarks() -> dict:
         consume=None,
     )
     timed("pca_scatter", lambda: mlprep.q_pca_scatter(SF_DIR))
+    from texel_ray.pipelines.queries import q_hotspots_gi
+
+    timed("hotspots_gi", lambda: q_hotspots_gi(SF_DIR), consume=None)
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))
     timed("map_match_edges", lambda: mlprep.q_map_match_edges(SF_DIR))
     from texel_ray.pipelines.queries import q_poly_intersect_join

@@ -146,3 +146,31 @@ def test_pca_scatter_and_projection():
     cov = np.cov(q.T.astype(np.float64), bias=False)
     proj_var = np.diag(basis.T @ cov @ basis)
     assert np.allclose(proj_var, w, rtol=1e-6)
+
+
+def test_hotspots_gi_flags_urban_tiles():
+    import math
+
+    from texel_ray.pipelines.queries import q_hotspots_gi
+    from texel_ray.sources.images import _URBAN_CENTERS
+
+    out = q_hotspots_gi(SF_DIR, zoom=6)
+    assert len(out) > 0
+    # every hot tile must sit near an urban cluster (z6 tile distance <= 2)
+    centers = []
+    for lon, lat in _URBAN_CENTERS:
+        # mercator tile of the center at z6
+        x = (lon + 180.0) / 360.0 * 64
+        y = (
+            (1.0 - math.log(math.tan(math.radians(lat))
+                            + 1.0 / math.cos(math.radians(lat))) / math.pi)
+            / 2.0 * 64
+        )
+        centers.append((int(x), int(y)))
+    for r in out.itertuples():
+        d = min(
+            max(abs(r.tile_x - cx), abs(r.tile_y - cy)) for cx, cy in centers
+        )
+        assert d <= 2, (r.tile_x, r.tile_y, d)
+    # exact-integer columns are self-consistent: k <= 9, g_sum >= n
+    assert (out.k <= 9).all() and (out.g_sum >= out.n).all()

@@ -436,6 +436,103 @@ FROM agg
 """
 
 
+def q_hotspots_gi(sf_dir: str, zoom: int = 6, z_thresh_sq_x10k: int = 66564):
+    """Getis-Ord Gi* HOT-SPOT detection over the z-level tile-count
+    lattice: tiles whose 3x3-neighborhood count sum is significantly
+    above the mean (z >= 2.58, the 99% hot-spot standard). The z test
+    runs in EXACT integer arithmetic — with S = sum(x), S2 = sum(x^2),
+    m occupied tiles, k_i the occupied-neighbor count and G_i the
+    neighborhood sum: z_i^2 = num_i^2 (m-1) / ((m S2 - S^2)(m k_i -
+    k_i^2)) with num_i = m G_i - k_i S, so 'hot' is the integer
+    comparison num_i > 0 AND num_i^2 (m-1) 10^4 >= 66564 (m S2 - S^2)
+    (m k_i - k_i^2) — order-independent, HUGEINT-recomputable (the same
+    derivation style as morans_i). Shape: one combiner groupby; the
+    statistic runs on the tile-DIMENSION table."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    counts = partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n")
+    pdf = counts.to_pandas()  # tile-dimension-sized
+    tx = pdf["tile_x"].to_numpy().astype(np.int64)
+    ty = pdf["tile_y"].to_numpy().astype(np.int64)
+    x = pdf["n"].to_numpy().astype(np.int64)
+    m = len(x)
+    key = (tx << 32) | ty
+    order = np.argsort(key)
+    skey, sx = key[order], x[order]
+    g = np.zeros(m, dtype=np.int64)
+    k = np.zeros(m, dtype=np.int64)
+    for dxx in (-1, 0, 1):
+        for dyy in (-1, 0, 1):
+            nkey = ((tx + dxx) << 32) | (ty + dyy)
+            pos = np.minimum(np.searchsorted(skey, nkey), m - 1)
+            hit = skey[pos] == nkey
+            g += np.where(hit, sx[pos], 0)
+            k += hit.astype(np.int64)
+    s_total = int(x.sum())
+    s2_total = int((x * x).sum())
+    lhs_const = m * s2_total - s_total * s_total  # exact python int
+    rows = []
+    for i in range(m):
+        num = m * int(g[i]) - int(k[i]) * s_total
+        if num <= 0:
+            continue
+        rhs = z_thresh_sq_x10k * lhs_const * (m * int(k[i]) - int(k[i]) ** 2)
+        if num * num * (m - 1) * 10000 >= rhs:
+            rows.append((int(tx[i]), int(ty[i]), int(x[i]), int(g[i]), int(k[i]), num))
+    import pandas as pd
+
+    out = pd.DataFrame(
+        rows, columns=["tile_x", "tile_y", "n", "g_sum", "k", "num"]
+    )
+    return out.astype("int64") if len(out) else pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ["tile_x", "tile_y", "n", "g_sum", "k", "num"]}
+    )
+
+
+def sql_hotspots_gi(zoom: int = 6, z_thresh_sq_x10k: int = 66564) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH counts AS (
+  SELECT {t['tx']} AS tx, {t['ty']} AS ty, count(*) AS x
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+), stats AS (
+  SELECT count(*) AS m, sum(x) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS s2
+  FROM counts
+), nb AS (
+  SELECT a.tx, a.ty, max(a.x) AS x,
+         sum(b.x) AS g, count(*) AS k
+  FROM counts a
+  JOIN counts b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+  GROUP BY 1, 2
+), z AS (
+  SELECT nb.tx, nb.ty, nb.x, nb.g, nb.k,
+         st.m * CAST(nb.g AS HUGEINT) - nb.k * CAST(st.s AS HUGEINT) AS num,
+         (st.m * st.s2 - CAST(st.s AS HUGEINT) * st.s) AS lhs_const,
+         st.m AS m
+  FROM nb CROSS JOIN stats st
+)
+SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+       CAST(x AS BIGINT) AS n, CAST(g AS BIGINT) AS g_sum,
+       CAST(k AS BIGINT) AS k, CAST(num AS BIGINT) AS num
+FROM z
+WHERE num > 0
+  AND num * num * (m - 1) * 10000
+      >= {z_thresh_sq_x10k} * lhs_const * (m * CAST(k AS HUGEINT) - k * k)
+"""
+
+
 def q_tile_focal_sum(sf_dir: str, zoom: int = 8):
     """FOCAL (neighborhood) raster op over the z-level tile-count grid:
     for every occupied tile, the 3x3-neighborhood sum of per-tile image
@@ -1294,6 +1391,7 @@ QUERIES = {
     "tile_focal_sum": q_tile_focal_sum,
     "morans_i": q_morans_i,
     "dissolve_regions": q_dissolve_regions,
+    "hotspots_gi": q_hotspots_gi,
     "kde_heatmap": mlprep.q_kde_heatmap,
     "map_match_edges": mlprep.q_map_match_edges,
     "region_sphere_area": mlprep.q_region_sphere_area,
@@ -1394,6 +1492,7 @@ ORACLE_SQL = {
     "tile_focal_sum": sql_tile_focal_sum(8),
     "morans_i": sql_morans_i(6),
     "dissolve_regions": sql_dissolve_regions(0.25),
+    "hotspots_gi": sql_hotspots_gi(6),
     "kde_heatmap": mlprep.sql_kde_heatmap(images_sql_source()),
     "map_match_edges": mlprep.sql_map_match_edges(images_sql_source()),
     "region_sphere_area": mlprep.sql_region_sphere_area(),
