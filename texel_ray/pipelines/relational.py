@@ -1078,6 +1078,118 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 16)
     ]
 
 
+def q_traj_edge_match(sf_dir: str):
+    """Trajectory MAP-MATCHING composition: every event geotag snaps to
+    its nearest region boundary segment (the q_map_match_edges kernel on
+    the deterministic event positions), then per-user consecutive
+    (from_edge -> to_edge) transitions in (ts, event_id) order — the
+    edge-sequence form of od_flows, i.e. the classic GPS-trace ->
+    road-segment -> transition-matrix pipeline. The 262-edge dimension
+    side regenerates per worker; one skinny groupby(user) exchange; the
+    transition matrix is edges^2-bounded. Exact SQL oracle: same
+    clamped-projection distance + row_number nearest + lag window."""
+    from ..sources.regions import region_boundary_edges
+    from ..stages.agg import partial_sum_groupby
+
+    e = region_boundary_edges()
+    ax = e["ax"].to_numpy()
+    ay = e["ay"].to_numpy()
+    dx = e["bx"].to_numpy() - ax
+    dy = e["by"].to_numpy() - ay
+    l2 = dx * dx + dy * dy
+    eid = e["edge_id"].to_numpy()
+
+    def nearest_edge(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, ev)
+        t = ((lon[:, None] - ax[None, :]) * dx[None, :]
+             + (lat[:, None] - ay[None, :]) * dy[None, :]) / l2[None, :]
+        t = np.clip(t, 0.0, 1.0)
+        qx = ax[None, :] + t * dx[None, :]
+        qy = ay[None, :] + t * dy[None, :]
+        d2 = (lon[:, None] - qx) ** 2 + (lat[:, None] - qy) ** 2
+        best = np.argmin(d2, axis=1)  # first min = smallest edge_id
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "edge": pa.array(eid[best]),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    skinny = ds.map_batches(nearest_edge, batch_format="pyarrow", batch_size=8192)
+
+    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "event_id"], kind="stable")
+        r = g["edge"].to_numpy()
+        pairs = pd.DataFrame({"from_edge": r[:-1], "to_edge": r[1:]})
+        return (
+            pairs.groupby(["from_edge", "to_edge"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = skinny.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["from_edge", "to_edge"], ["n_partial"], coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["from_edge", "to_edge", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_traj_edge_match() -> str:
+    from .mlprep import _dlit
+    from ..sources.regions import region_boundary_edges
+
+    e = region_boundary_edges()
+    ax = e["ax"].to_numpy()
+    ay = e["ay"].to_numpy()
+    dx = e["bx"].to_numpy() - ax
+    dy = e["by"].to_numpy() - ay
+    l2 = dx * dx + dy * dy
+    vals = ", ".join(
+        f"({int(i)}, {_dlit(a)}, {_dlit(b)}, {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
+        for i, a, b, c, d, l in zip(
+            e["edge_id"].to_pylist(), ax, ay, dx, dy, l2
+        )
+    )
+    return f"""
+WITH {_sql_event_pos()},
+eg(edge_id, ax, ay, dx, dy, l2) AS (VALUES {vals}),
+proj AS (
+  SELECT p.user_id, p.ts_us, p.event_id, eg.edge_id,
+         LEAST(1.0, GREATEST(0.0,
+           ((p.lon - eg.ax) * eg.dx + (p.lat - eg.ay) * eg.dy) / eg.l2)) AS t,
+         p.lon, p.lat, eg.ax, eg.ay, eg.dx, eg.dy
+  FROM pos p CROSS JOIN eg
+), dist AS (
+  SELECT user_id, ts_us, event_id, edge_id,
+         (lon - (ax + t * dx)) * (lon - (ax + t * dx))
+       + (lat - (ay + t * dy)) * (lat - (ay + t * dy)) AS d2
+  FROM proj
+), best AS (
+  SELECT user_id, ts_us, event_id, edge_id,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, edge_id) AS rk
+  FROM dist
+), seq AS (
+  SELECT user_id, edge_id AS to_edge,
+         lag(edge_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS from_edge
+  FROM best WHERE rk = 1
+)
+SELECT from_edge, to_edge, count(*) AS n
+FROM seq WHERE from_edge IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def sql_dist_join_events(images_source: str, eps: float = 0.05) -> str:
     e2 = eps * eps
     return f"""
