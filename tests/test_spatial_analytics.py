@@ -174,3 +174,24 @@ def test_hotspots_gi_flags_urban_tiles():
         assert d <= 2, (r.tile_x, r.tile_y, d)
     # exact-integer columns are self-consistent: k <= 9, g_sum >= n
     assert (out.k <= 9).all() and (out.g_sum >= out.n).all()
+
+
+def test_equalize_image_monotone_and_stretching():
+    from texel_ray.stages.multimodal import equalize_image
+
+    rng = np.random.default_rng(9)
+    # low-contrast image: values confined to [100, 140)
+    img = rng.integers(100, 140, size=(16, 16, 3)).astype(np.uint8)
+    eq = equalize_image(img)
+    # monotone: pixel ordering by value is preserved channel-wise
+    flat_in = img.reshape(-1).astype(np.int64)
+    flat_out = eq.reshape(-1).astype(np.int64)
+    order = np.argsort(flat_in, kind="stable")
+    assert (np.diff(flat_out[order]) >= 0).all()
+    # contrast stretched to (nearly) full range
+    assert int(eq.max()) == 255
+    assert int(eq.min()) < 20
+    # flat image maps without crashing and stays constant
+    flat = np.full((4, 4, 3), 7, dtype=np.uint8)
+    eqf = equalize_image(flat)
+    assert len(np.unique(eqf)) == 1

@@ -842,6 +842,40 @@ def q_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10, nprobe: int = 4):
 # ---- multimodal (image payload) stages ------------------------------------
 
 
+def q_image_histogram(sf_dir: str):
+    """Corpus-wide 256-bin luminance histogram per format: per-batch
+    integer bincount partials (stages/multimodal.ImageHistogram) -> one
+    combiner groupby. Exact integers, order-independent; INDEPENDENT
+    golden recomputes decode+bincount in a plain loop (SQL cannot
+    decode pixels)."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.multimodal import ImageHistogram
+
+    ds = read_images(sf_dir, columns=["bytes", "fmt"])
+    ds = ds.map_batches(
+        ImageHistogram, batch_format="pyarrow", batch_size=512,
+        concurrency=(2, 8),
+    )
+    return partial_sum_groupby(ds, ["fmt", "bin"], ["n_px"], coalesce=4)
+
+
+def q_image_equalize(sf_dir: str):
+    """Histogram equalization per image (exact-integer CDF mapping,
+    stages/multimodal.ImageEqualizer); output per image the equalized
+    CRC + range. Per-image transform at corpus scale = one actor pool;
+    INDEPENDENT golden recomputes the formula in a plain loop, and the
+    monotone-LUT/range invariants are pytest-pinned."""
+    from ..sources.images import read_images
+    from ..stages.multimodal import ImageEqualizer
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        ImageEqualizer, batch_format="pyarrow", batch_size=512,
+        concurrency=(2, 8),
+    )
+
+
 def q_image_stats(sf_dir: str):
     """Decode every image payload; per-format aggregate of pixel stats.
     Deterministic integer sums; rows-only check (SQL cannot decode)."""

@@ -1429,6 +1429,8 @@ QUERIES = {
     "stratified_sample": mlprep.q_stratified_sample,
     # multimodal image stages
     "image_stats": mlprep.q_image_stats,
+    "image_histogram": mlprep.q_image_histogram,
+    "image_equalize": mlprep.q_image_equalize,
     "zonal_stats": mlprep.q_zonal_stats,
     "tile_pyramid": mlprep.q_tile_pyramid,
     "image_embed_neardup": mlprep.q_image_embed_neardup,
@@ -1602,6 +1604,8 @@ for _name in (
     "ivf_topk",
     "approx_distinct",
     "image_stats",
+    "image_histogram",
+    "image_equalize",
     "image_embed_neardup",
     "curate_images",
     "image_resize",

@@ -49,6 +49,86 @@ class ImageStats:
         )
 
 
+class ImageHistogram:
+    """Corpus luminance histogram PARTIALS: per batch, the 256-bin
+    count of integer luma = (r + g + b) // 3 per pixel, keyed by format
+    — the combiner shape (<= formats x 256 skinny rows per batch; one
+    groupby merges). Exact integers, order-independent."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        hists: dict[str, np.ndarray] = {}
+        for buf, fmt in zip(payloads, fmts):
+            img = decode_image(buf, fmt).astype(np.int64)
+            luma = img.reshape(-1, 3).sum(axis=1) // 3
+            h = hists.setdefault(fmt, np.zeros(256, dtype=np.int64))
+            h += np.bincount(luma, minlength=256)
+        out_f, out_b, out_n = [], [], []
+        for fmt, h in sorted(hists.items()):
+            nz = np.nonzero(h)[0]
+            out_f.extend([fmt] * len(nz))
+            out_b.append(nz.astype(np.int64))
+            out_n.append(h[nz])
+        if not out_b:
+            return pa.table(
+                {
+                    "fmt": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "n_px": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fmt": pa.array(out_f, pa.string()),
+                "bin": pa.array(np.concatenate(out_b)),
+                "n_px": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+
+def equalize_image(img: np.ndarray) -> np.ndarray:
+    """Exact-integer histogram equalization: the luma CDF maps every
+    channel value v -> floor((cdf[v] - cdf_min) * 255 / (n - cdf_min))
+    (the standard discrete formula; monotone by construction)."""
+    im = img.astype(np.int64)
+    luma = im.reshape(-1, 3).sum(axis=1) // 3
+    hist = np.bincount(luma, minlength=256)
+    cdf = np.cumsum(hist)
+    nz = np.nonzero(hist)[0]
+    cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+    n = int(cdf[-1])
+    denom = max(n - cdf_min, 1)
+    lut = ((np.maximum(cdf - cdf_min, 0)) * 255 // denom).astype(np.uint8)
+    return lut[im]
+
+
+class ImageEqualizer:
+    """Per-image histogram equalization (actor-pool transform stage);
+    emits the equalized-pixel CRC + integer range per image so the
+    output is comparable without binary columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        crcs, out_min, out_max = [], [], []
+        for buf, fmt in zip(payloads, fmts):
+            eq = equalize_image(decode_image(buf, fmt))
+            crcs.append(zlib.crc32(eq.tobytes()))
+            out_min.append(int(eq.min()))
+            out_max.append(int(eq.max()))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "crc": pa.array(crcs, pa.int64()),
+                "out_min": pa.array(out_min, pa.int64()),
+                "out_max": pa.array(out_max, pa.int64()),
+            }
+        )
+
+
 class ImageResizer:
     """Nearest-neighbor resize (pure numpy — real, not stubbed) and
     re-encode in the source format."""

@@ -185,6 +185,57 @@ def _sf_images(columns):
     return pq.read_table(ensure_images_for_sf_dir(SF_DIR), columns=columns)
 
 
+def golden_image_histogram():
+    """Independent recompute: decode every image, plain-dict luminance
+    bincount per format — no Ray stage code, no combiner machinery."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["bytes", "fmt"])
+    hists: dict = {}
+    for buf, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+        img = decode_image(buf, fmt).astype(np.int64)
+        luma = img.reshape(-1, 3).sum(axis=1) // 3
+        h = hists.setdefault(fmt, np.zeros(256, dtype=np.int64))
+        h += np.bincount(luma, minlength=256)
+    rows = []
+    for fmt in sorted(hists):
+        h = hists[fmt]
+        for b in np.nonzero(h)[0]:
+            rows.append((fmt, int(b), int(h[b])))
+    return pd.DataFrame(rows, columns=["fmt", "bin", "n_px"])
+
+
+def golden_image_equalize():
+    """Independent recompute of the discrete equalization formula
+    (cdf-min mapping, channel-wise LUT) in a plain loop."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["image_id", "bytes", "fmt"])
+    rows = []
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        im = decode_image(buf, fmt).astype(np.int64)
+        luma = im.reshape(-1, 3).sum(axis=1) // 3
+        hist = np.bincount(luma, minlength=256)
+        cdf = np.cumsum(hist)
+        nz = np.nonzero(hist)[0]
+        cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+        denom = max(int(cdf[-1]) - cdf_min, 1)
+        lut = ((np.maximum(cdf - cdf_min, 0)) * 255 // denom).astype(np.uint8)
+        eq = lut[im]
+        rows.append((iid, zlib.crc32(eq.tobytes()), int(eq.min()), int(eq.max())))
+    return pd.DataFrame(rows, columns=["image_id", "crc", "out_min", "out_max"])
+
+
 def golden_image_stats():
     """Independent recompute: decode every image (codec pinned by PSNR /
     real-fixture tests), per-format aggregation in a plain dict loop —
@@ -802,6 +853,8 @@ INDEPENDENT = {
     "h3_compact": golden_h3_compact,
     "dbscan": golden_dbscan,
     "image_stats": golden_image_stats,
+    "image_histogram": golden_image_histogram,
+    "image_equalize": golden_image_equalize,
     "image_resize": golden_image_resize,
     "image_augment": golden_image_augment,
     "audio_features": golden_audio_features,
