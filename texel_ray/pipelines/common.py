@@ -7,6 +7,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def dlit(x) -> str:
+    """A float as a DuckDB DOUBLE literal. Bare decimals are typed
+    DECIMAL, and DuckDB's decimal->double cast is NOT correctly rounded
+    (measured 1 ulp off on 17-digit literals) — scientific notation
+    forces direct strtod parsing, bit-identical to the Python float."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
 def read_table(sf_dir: str, table: str, columns=None):
     import ray.data
 

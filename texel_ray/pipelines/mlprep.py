@@ -7,7 +7,12 @@ import numpy as np
 import pyarrow as pa
 
 
-from .common import distinct_pairs, hot_bucket_filter, read_table as _read
+from .common import (
+    distinct_pairs,
+    dlit as _dlit,
+    hot_bucket_filter,
+    read_table as _read,
+)
 
 
 # ---- text analysis --------------------------------------------------------
@@ -1989,35 +1994,26 @@ def sql_kde_heatmap(images_source: str, g: float = 0.5) -> str:
     d2 = (
         "(p.lon - (p.cx + o.dx + 0.5) * {g}) * (p.lon - (p.cx + o.dx + 0.5) * {g})"
         " + (p.lat - (p.cy + o.dy + 0.5) * {g}) * (p.lat - (p.cy + o.dy + 0.5) * {g})"
-    ).format(g=repr(g))
+    ).format(g=_dlit(g))
     return f"""
 WITH pts AS (
   SELECT lon, lat,
-         CAST(floor(lon / {g!r}) AS BIGINT) AS cx,
-         CAST(floor(lat / {g!r}) AS BIGINT) AS cy
+         CAST(floor(lon / {_dlit(g)}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_dlit(g)}) AS BIGINT) AS cy
   FROM {images_source}
 ), fan AS (
   SELECT p.cx + o.dx AS gx, p.cy + o.dy AS gy,
-         CAST(floor(1048576.0 * (1.0 - ({d2}) / {g * g!r})) AS BIGINT) AS wfp,
+         CAST(floor(1048576.0 * (1.0 - ({d2}) / {_dlit(g * g)})) AS BIGINT) AS wfp,
          CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END AS is_res
   FROM pts p
   CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
-  WHERE {d2} <= {g * g!r}
+  WHERE {d2} <= {_dlit(g * g)}
 )
 SELECT gx, gy, count(*) AS n, sum(wfp) AS density
 FROM fan
 GROUP BY 1, 2
 HAVING sum(is_res) > 0
 """
-
-
-def _dlit(x) -> str:
-    """A float as a DuckDB DOUBLE literal. Bare decimals are typed
-    DECIMAL, and DuckDB's decimal->double cast is NOT correctly rounded
-    (measured 1 ulp off on 17-digit literals) — scientific notation
-    forces direct strtod parsing, bit-identical to the Python float."""
-    s = repr(float(x))
-    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
 
 
 def q_map_match_edges(sf_dir: str):
@@ -2031,33 +2027,18 @@ def q_map_match_edges(sf_dir: str):
     edge tables the same kernel runs behind a cell-cover candidate
     prefilter (the stages/pip_join.py grid pattern); the dense matrix is
     the correct form for dimension-sized edge sets."""
-    import numpy as np
     import pyarrow as pa
 
     from ..sources.images import read_images
-    from ..sources.regions import region_boundary_edges
+    from ..sources.regions import edge_geom_arrays, nearest_edge_index
     from ..stages.agg import partial_count_groupby
 
-    e = region_boundary_edges()
-    ax = e["ax"].to_numpy()
-    ay = e["ay"].to_numpy()
-    dx = e["bx"].to_numpy() - ax
-    dy = e["by"].to_numpy() - ay
-    l2 = dx * dx + dy * dy
-    rid = e["region_id"].to_numpy()
-    eid = e["edge_id"].to_numpy()
+    eid, rid, ax, ay, dx, dy, l2 = edge_geom_arrays()
 
     def nearest_edge(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        t = ((lon[:, None] - ax[None, :]) * dx[None, :]
-             + (lat[:, None] - ay[None, :]) * dy[None, :]) / l2[None, :]
-        t = np.clip(t, 0.0, 1.0)
-        qx = ax[None, :] + t * dx[None, :]
-        qy = ay[None, :] + t * dy[None, :]
-        d2 = (lon[:, None] - qx) ** 2 + (lat[:, None] - qy) ** 2
-        best = np.argmin(d2, axis=1)  # first index wins exact ties =
-        # smallest edge_id (edges are edge_id-ordered)
+        best = nearest_edge_index(lon, lat, ax, ay, dx, dy, l2)
         return pa.table(
             {
                 "region_id": pa.array(rid[best]),
@@ -2070,23 +2051,27 @@ def q_map_match_edges(sf_dir: str):
     return partial_count_groupby(ds, ["region_id", "edge_id"], alias="n")
 
 
-def sql_map_match_edges(images_source: str) -> str:
-    from ..sources.regions import region_boundary_edges
+def edge_values_sql(with_region: bool = True) -> str:
+    """The edge table as DOUBLE-literal VALUES rows (shared by the
+    map-match and trajectory-match oracles; derives from
+    edge_geom_arrays so both mirror the same floats)."""
+    from ..sources.regions import edge_geom_arrays
 
-    e = region_boundary_edges()
-    ax = e["ax"].to_numpy()
-    ay = e["ay"].to_numpy()
-    dx = e["bx"].to_numpy() - ax
-    dy = e["by"].to_numpy() - ay
-    l2 = dx * dx + dy * dy
-    vals = ", ".join(
-        f"({int(i)}, {int(r)}, {_dlit(a)}, {_dlit(b)},"
-        f" {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
-        for i, r, a, b, c, d, l in zip(
-            e["edge_id"].to_pylist(), e["region_id"].to_pylist(),
-            ax, ay, dx, dy, l2,
+    eid, rid, ax, ay, dx, dy, l2 = edge_geom_arrays()
+    return ", ".join(
+        (
+            f"({int(i)}, {int(r)}, {_dlit(a)}, {_dlit(b)},"
+            f" {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
+            if with_region
+            else f"({int(i)}, {_dlit(a)}, {_dlit(b)},"
+                 f" {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
         )
+        for i, r, a, b, c, d, l in zip(eid, rid, ax, ay, dx, dy, l2)
     )
+
+
+def sql_map_match_edges(images_source: str) -> str:
+    vals = edge_values_sql(with_region=True)
     # float ops mirror the numpy kernel 1:1 (clip == LEAST/GREATEST)
     return f"""
 WITH e(edge_id, region_id, ax, ay, dx, dy, l2) AS (VALUES {vals}),

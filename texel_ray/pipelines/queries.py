@@ -421,8 +421,8 @@ WITH counts AS (
     OR (a.tx = b.tx AND abs(a.ty - b.ty) = 1)
 ), agg AS (
   SELECT (SELECT count(*) FROM pairs) AS w_pairs,
-         CAST((SELECT sum(da * db) FROM pairs) AS BIGINT) AS num,
-         CAST((SELECT sum(d * d) FROM dev) AS BIGINT) AS den,
+         CAST(COALESCE((SELECT sum(da * db) FROM pairs), 0) AS BIGINT) AS num,
+         CAST(COALESCE((SELECT sum(d * d) FROM dev), 0) AS BIGINT) AS den,
          (SELECT m FROM stats) AS m
 )
 SELECT CAST(m AS BIGINT) AS n_cells,

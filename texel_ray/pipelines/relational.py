@@ -1088,28 +1088,16 @@ def q_traj_edge_match(sf_dir: str):
     side regenerates per worker; one skinny groupby(user) exchange; the
     transition matrix is edges^2-bounded. Exact SQL oracle: same
     clamped-projection distance + row_number nearest + lag window."""
-    from ..sources.regions import region_boundary_edges
+    from ..sources.regions import edge_geom_arrays, nearest_edge_index
     from ..stages.agg import partial_sum_groupby
 
-    e = region_boundary_edges()
-    ax = e["ax"].to_numpy()
-    ay = e["ay"].to_numpy()
-    dx = e["bx"].to_numpy() - ax
-    dy = e["by"].to_numpy() - ay
-    l2 = dx * dx + dy * dy
-    eid = e["edge_id"].to_numpy()
+    eid, _rid, ax, ay, dx, dy, l2 = edge_geom_arrays()
 
     def nearest_edge(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         ev = batch["event_id"].to_numpy(zero_copy_only=False)
         lon, lat = _event_geo_np(uid, ev)
-        t = ((lon[:, None] - ax[None, :]) * dx[None, :]
-             + (lat[:, None] - ay[None, :]) * dy[None, :]) / l2[None, :]
-        t = np.clip(t, 0.0, 1.0)
-        qx = ax[None, :] + t * dx[None, :]
-        qy = ay[None, :] + t * dy[None, :]
-        d2 = (lon[:, None] - qx) ** 2 + (lat[:, None] - qy) ** 2
-        best = np.argmin(d2, axis=1)  # first min = smallest edge_id
+        best = nearest_edge_index(lon, lat, ax, ay, dx, dy, l2)
         ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {
@@ -1145,21 +1133,9 @@ def q_traj_edge_match(sf_dir: str):
 
 
 def sql_traj_edge_match() -> str:
-    from .mlprep import _dlit
-    from ..sources.regions import region_boundary_edges
+    from .mlprep import edge_values_sql
 
-    e = region_boundary_edges()
-    ax = e["ax"].to_numpy()
-    ay = e["ay"].to_numpy()
-    dx = e["bx"].to_numpy() - ax
-    dy = e["by"].to_numpy() - ay
-    l2 = dx * dx + dy * dy
-    vals = ", ".join(
-        f"({int(i)}, {_dlit(a)}, {_dlit(b)}, {_dlit(c)}, {_dlit(d)}, {_dlit(l)})"
-        for i, a, b, c, d, l in zip(
-            e["edge_id"].to_pylist(), ax, ay, dx, dy, l2
-        )
-    )
+    vals = edge_values_sql(with_region=False)
     return f"""
 WITH {_sql_event_pos()},
 eg(edge_id, ax, ay, dx, dy, l2) AS (VALUES {vals}),
@@ -1191,19 +1167,21 @@ GROUP BY 1, 2
 
 
 def sql_dist_join_events(images_source: str, eps: float = 0.05) -> str:
+    from .mlprep import _dlit
+
     e2 = eps * eps
     return f"""
 WITH {_sql_event_pos()},
 ic AS (
   SELECT image_id, lon AS ilon, lat AS ilat,
-         CAST(floor(lon / {eps!r}) AS BIGINT) AS cx,
-         CAST(floor(lat / {eps!r}) AS BIGINT) AS cy
+         CAST(floor(lon / {_dlit(eps)}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_dlit(eps)}) AS BIGINT) AS cy
   FROM {images_source}
 ),
 ec AS (
   SELECT p.event_id, e.event_type, p.lon AS elon, p.lat AS elat,
-         CAST(floor(p.lon / {eps!r}) AS BIGINT) AS cx,
-         CAST(floor(p.lat / {eps!r}) AS BIGINT) AS cy
+         CAST(floor(p.lon / {_dlit(eps)}) AS BIGINT) AS cx,
+         CAST(floor(p.lat / {_dlit(eps)}) AS BIGINT) AS cy
   FROM pos p JOIN events e USING (event_id)
 ),
 pairs AS (
@@ -1213,7 +1191,7 @@ pairs AS (
     ON ic.cx BETWEEN ec.cx - 1 AND ec.cx + 1
    AND ic.cy BETWEEN ec.cy - 1 AND ec.cy + 1
   WHERE (ic.ilon - ec.elon) * (ic.ilon - ec.elon)
-      + (ic.ilat - ec.elat) * (ic.ilat - ec.elat) <= {e2!r}
+      + (ic.ilat - ec.elat) * (ic.ilat - ec.elat) <= {_dlit(e2)}
 )
 SELECT event_type,
        count(*) AS n_pairs,

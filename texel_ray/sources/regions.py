@@ -195,3 +195,41 @@ def region_boundary_edges() -> pa.Table:
             "by": pa.array(np.array(by_l, dtype=np.float64)),
         }
     )
+
+
+def edge_geom_arrays():
+    """Precomputed segment geometry for the nearest-edge kernel:
+    (edge_id, region_id, ax, ay, dx, dy, l2) numpy arrays. ONE source of
+    truth for both the Ray kernels and the SQL VALUES literals — the
+    oracles depend on the float ops mirroring 1:1."""
+    e = region_boundary_edges()
+    ax = e["ax"].to_numpy()
+    ay = e["ay"].to_numpy()
+    dx = e["bx"].to_numpy() - ax
+    dy = e["by"].to_numpy() - ay
+    return (
+        e["edge_id"].to_numpy(),
+        e["region_id"].to_numpy(),
+        ax,
+        ay,
+        dx,
+        dy,
+        dx * dx + dy * dy,
+    )
+
+
+def nearest_edge_index(
+    lon: np.ndarray, lat: np.ndarray, ax, ay, dx, dy, l2
+) -> np.ndarray:
+    """Index of each point's nearest segment: clamped projection +
+    argmin with the deterministic (d2, index) tie-break (first minimum
+    = smallest edge_id when arrays are edge_id-ordered). Dense
+    (points x edges) matrix — correct for dimension-sized edge tables;
+    large edge sets sit behind a cell-cover prefilter."""
+    t = ((lon[:, None] - ax[None, :]) * dx[None, :]
+         + (lat[:, None] - ay[None, :]) * dy[None, :]) / l2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    qx = ax[None, :] + t * dx[None, :]
+    qy = ay[None, :] + t * dy[None, :]
+    d2 = (lon[:, None] - qx) ** 2 + (lat[:, None] - qy) ** 2
+    return np.argmin(d2, axis=1)

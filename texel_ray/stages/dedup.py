@@ -447,6 +447,9 @@ def hamming_pairs_exact(
     not member count), then expand winning signature pairs to member pairs
     — so identical-signature cliques cost output-dimensional work only,
     which is inherent (their pairs are the answer)."""
+    if len(sig) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
     uniq, inv = np.unique(sig.astype(np.uint64), return_inverse=True)
     ua, ub, ud = _distinct_hamming_pairs(
         uniq, max_hamming, np.arange(64, dtype=np.uint64), leaf
@@ -527,18 +530,32 @@ def simhash_bucket_pairs(
 
 def _tiled_cosine_pairs(m: np.ndarray, threshold: float, tile: int = 2048):
     """(ia, ib, cos) for ALL row pairs of unit-normalized ``m`` with
-    cosine >= threshold, ia < ib. The similarity matrix is computed in
-    tile x tile blocks so memory stays bounded at any bucket size; work
-    is quadratic, which is inherent to candidate generation — LSH
+    cosine >= threshold, ia < ib. The similarity matrix is computed as
+    tile x tile BLOCK MATMULS (the same BLAS path as the dense small-
+    bucket case; a per-pair row gather would cost ~dim x the block's
+    memory), so peak memory is one tile^2 block at any bucket size;
+    work is quadratic, which is inherent to candidate generation — LSH
     bucketing keeps hot buckets meaning 'mostly genuine near-dups'."""
+    n = len(m)
     outs_a, outs_b, outs_c = [], [], []
-    for ia, ib in _triangle_pair_indices(len(m), tile):
-        c = np.einsum("ij,ij->i", m[ia], m[ib])
-        keep = c >= threshold
-        if keep.any():
-            outs_a.append(ia[keep])
-            outs_b.append(ib[keep])
-            outs_c.append(c[keep].astype(np.float64))
+    for s0 in range(0, n, tile):
+        e0 = min(s0 + tile, n)
+        a = m[s0:e0]
+        for s1 in range(s0, n, tile):
+            e1 = min(s1 + tile, n)
+            s = a @ m[s1:e1].T
+            if s0 == s1:  # diagonal block: strict upper triangle only
+                iu, ju = np.triu_indices(e0 - s0, k=1)
+                v = s[iu, ju]
+                keep = v >= threshold
+                ii, jj, v = iu[keep], ju[keep], v[keep]
+            else:
+                ii, jj = np.nonzero(s >= threshold)
+                v = s[ii, jj]
+            if len(ii):
+                outs_a.append(ii.astype(np.int64) + s0)
+                outs_b.append(jj.astype(np.int64) + s1)
+                outs_c.append(v.astype(np.float64))
     if not outs_a:
         e = np.array([], dtype=np.int64)
         return e, e.copy(), np.array([], dtype=np.float64)
