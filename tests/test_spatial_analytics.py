@@ -195,3 +195,68 @@ def test_equalize_image_monotone_and_stretching():
     flat = np.full((4, 4, 3), 7, dtype=np.uint8)
     eqf = equalize_image(flat)
     assert len(np.unique(eqf)) == 1
+
+
+def test_dissolve_topology_cross_checks_marching_squares():
+    """Tie dissolve's cell-complex invariants to an independent geometry
+    path: re-rasterize each group's union with plain numpy PIP, vectorize
+    the mask with core/marching, and check n_loops == euler_char (hole-
+    free unions: boundary loops == components == chi). Marching uses the
+    midpoint rule (chamfered corners), so area/perimeter are checked as
+    bounds: each chamfer trims half a half-unit^2 from the full cell
+    union and there are at most `perimeter` corners."""
+    from texel_ray.core.geom import wkb_decode
+    from texel_ray.core.marching import vectorize_mask
+    from texel_ray.pipelines.queries import q_dissolve_regions
+    from texel_ray.sources.regions import generate_regions_table
+
+    res = 0.25
+    nx = int(round(360.0 / res))
+    ny = int(round(170.0 / res))
+    regs = generate_regions_table()
+    cells: dict[str, set] = {}
+    for rid, name, kind, minx, miny, maxx, maxy, buf in zip(
+        regs["region_id"].to_pylist(), regs["name"].to_pylist(),
+        regs["kind"].to_pylist(), regs["minx"].to_pylist(),
+        regs["miny"].to_pylist(), regs["maxx"].to_pylist(),
+        regs["maxy"].to_pylist(), regs["geom_wkb"].to_pylist(),
+    ):
+        part = name.split("_")[1]
+        grp = f"band_{part}" if name.startswith("grid_") else f"site_{part}"
+        s = cells.setdefault(grp, set())
+        px0 = max(int(np.floor((minx + 180.0) / res)) - 1, 0)
+        px1 = min(int(np.floor((maxx + 180.0) / res)) + 1, nx - 1)
+        py0 = max(int(np.floor((miny + 85.0) / res)) - 1, 0)
+        py1 = min(int(np.floor((maxy + 85.0) / res)) + 1, ny - 1)
+        pxs, pys = np.meshgrid(
+            np.arange(px0, px1 + 1), np.arange(py0, py1 + 1)
+        )
+        pxs, pys = pxs.ravel(), pys.ravel()
+        lon = -180.0 + (pxs + 0.5) * res
+        lat = -85.0 + (pys + 0.5) * res
+        if kind == "rect":
+            inside = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+        else:
+            _, rings = wkb_decode(buf)
+            ring = rings[0]
+            inside = np.ones(len(lon), dtype=bool)
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+                inside &= ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)) >= 0
+        for p, q in zip(pxs[inside], pys[inside]):
+            s.add((int(p), int(q)))
+    out = q_dissolve_regions(SF_DIR, res=res).set_index("grp")
+    for grp, cs in cells.items():
+        xs = np.array([c[0] for c in cs])
+        ys = np.array([c[1] for c in cs])
+        mask = np.zeros(
+            (ys.max() - ys.min() + 1, xs.max() - xs.min() + 1), dtype=bool
+        )
+        mask[ys - ys.min(), xs - xs.min()] = True
+        v = vectorize_mask(mask)
+        row = out.loc[grp]
+        assert len(cs) == row.n_cells, grp
+        assert v["n_loops"] == row.euler_char, (grp, v["n_loops"])
+        # area2 = 2 x shoelace in half-units: full union = 8 * n_cells,
+        # minus one unit per chamfered corner (bounded by corner count)
+        assert v["area2"] <= 8 * row.n_cells, grp
+        assert v["area2"] >= 8 * row.n_cells - 2 * row.perimeter, grp
