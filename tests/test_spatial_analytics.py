@@ -260,3 +260,22 @@ def test_dissolve_topology_cross_checks_marching_squares():
         # minus one unit per chamfered corner (bounded by corner count)
         assert v["area2"] <= 8 * row.n_cells, grp
         assert v["area2"] >= 8 * row.n_cells - 2 * row.perimeter, grp
+
+
+def test_dist_join_paths_agree():
+    # the cogroup kernel (default) and the Dataset.join path must
+    # produce identical per-type rollups
+    from texel_ray.pipelines.relational import q_dist_join_events
+
+    a = (
+        q_dist_join_events(SF_DIR)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_dist_join_events(SF_DIR, use_join=True)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a.n_pairs > 0).any()

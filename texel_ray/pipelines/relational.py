@@ -967,43 +967,54 @@ def q_od_flows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 16):
+def q_dist_join_events(
+    sf_dir: str, eps: float = 0.05, num_partitions: int = 16,
+    use_join: bool = False,
+):
     """Bipartite epsilon-DISTANCE JOIN (the kNN-join cousin): every
     (event, image) pair whose geotags lie within ``eps`` degrees,
     summarized per event_type (pair count, distinct images, distinct
     events). A genuine TWO-SIDED exchange — neither side is
-    dimension-sized — so this is the scale formulation: images carry
-    their single home cell, events donate to their 3x3 neighbor cells
-    (any pair within eps differs by <= 1 cell coordinate, so blocking is
-    complete and each candidate appears exactly once), one
-    hash-partitioned ``Dataset.join`` on the packed cell key, then the
-    exact d2 <= eps^2 filter. Only (cell, id, lon, lat) skinny rows
-    shuffle. Exact SQL oracle: identical cell equijoin + predicate."""
+    dimension-sized. Blocking: images carry their single home cell,
+    events donate to their 3x3 neighbor cells (any pair within eps
+    differs by <= 1 cell coordinate, so blocking is complete and each
+    candidate appears exactly once). Only all-int skinny rows shuffle.
+
+    Two equivalent exchanges (pytest-pinned identical):
+    - default COGROUP kernel: union both sides with a side tag, ONE
+      hash-bucketed groupby on the cell, per-cell vectorized bipartite
+      distance matrix, per-type partials aggregated INSIDE the group —
+      the 13M-pair candidate set never materializes (9.1 s vs 16.2 s at
+      sf0.1/32cpus);
+    - ``use_join=True``: hash-partitioned ``Dataset.join`` on the packed
+      cell key + exact d2 filter (the generic relational form).
+    Exact SQL oracle: identical cell equijoin + predicate."""
     import zlib
 
     import ray.data
 
     from ..sources.images import read_images
-    from ..stages.agg import partial_count_groupby
+    from ..stages.agg import partial_count_groupby, partial_sum_groupby
 
     e2 = eps * eps
 
     def image_cells(batch: pa.Table) -> pa.Table:
-        # all-int payload: 13M candidate pairs of strings dominated the
-        # join exchange; image ids parse to their numeric suffix
+        import pyarrow.compute as pc
+
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         cx = np.floor(lon / eps).astype(np.int64)
         cy = np.floor(lat / eps).astype(np.int64)
-        import pyarrow.compute as pc
-
         img_int = pc.utf8_slice_codeunits(batch["image_id"], 3).cast(pa.int64())
+        n = len(lon)
         return pa.table(
             {
                 "cell": pa.array((cx << 32) | (cy & np.int64(0xFFFFFFFF))),
-                "image_int": img_int,
-                "ilon": batch["lon"],
-                "ilat": batch["lat"],
+                "ida": img_int,
+                "x": batch["lon"],
+                "y": batch["lat"],
+                "tcode": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
             }
         )
 
@@ -1013,29 +1024,29 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 16)
         lon, lat = _event_geo_np(uid, eid)
         cx = np.floor(lon / eps).astype(np.int64)
         cy = np.floor(lat / eps).astype(np.int64)
-        # event_type -> stable int32 code (crc32; label map rebuilt on
-        # the driver from the skinny rollup, never shipped)
         et = batch["event_type"].to_pylist()
         tcode = np.fromiter(
             (zlib.crc32(t.encode()) & 0x7FFFFFFF for t in et),
             dtype=np.int64,
             count=len(et),
         )
-        cells, eids, codes, lons, lats = [], [], [], [], []
+        cells, ids, xs, ys, tc = [], [], [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 cells.append(((cx + dx) << 32) | ((cy + dy) & np.int64(0xFFFFFFFF)))
-                eids.append(eid)
-                codes.append(tcode)
-                lons.append(lon)
-                lats.append(lat)
+                ids.append(eid)
+                xs.append(lon)
+                ys.append(lat)
+                tc.append(tcode)
+        n9 = len(eid) * 9
         return pa.table(
             {
                 "cell": pa.array(np.concatenate(cells)),
-                "event_id": pa.array(np.concatenate(eids)),
-                "tcode": pa.array(np.concatenate(codes)),
-                "elon": pa.array(np.concatenate(lons)),
-                "elat": pa.array(np.concatenate(lats)),
+                "ida": pa.array(np.concatenate(ids)),
+                "x": pa.array(np.concatenate(xs)),
+                "y": pa.array(np.concatenate(ys)),
+                "tcode": pa.array(np.concatenate(tc)),
+                "side": pa.array(np.ones(n9, np.int8)),
             }
         )
 
@@ -1045,33 +1056,136 @@ def q_dist_join_events(sf_dir: str, eps: float = 0.05, num_partitions: int = 16)
     evs = _read(sf_dir, "events", ["user_id", "event_id", "event_type"]).map_batches(
         event_cells, batch_format="pyarrow", batch_size=16384
     )
-    joined = imgs.join(
-        evs, join_type="inner", num_partitions=num_partitions, on=("cell",)
-    )
 
-    def confirm(batch: pa.Table) -> pa.Table:
-        ilon = batch["ilon"].to_numpy(zero_copy_only=False)
-        ilat = batch["ilat"].to_numpy(zero_copy_only=False)
-        elon = batch["elon"].to_numpy(zero_copy_only=False)
-        elat = batch["elat"].to_numpy(zero_copy_only=False)
-        d2 = (ilon - elon) ** 2 + (ilat - elat) ** 2
-        keep = pa.array(d2 <= e2)
-        return batch.select(["tcode", "image_int", "event_id"]).filter(keep)
+    if use_join:
+        joined = imgs.join(
+            evs,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("cell",),
+            left_suffix="_i",
+            right_suffix="_e",
+        )
 
-    pairs = joined.map_batches(confirm, batch_format="pyarrow").materialize()
-    n_pairs = partial_count_groupby(pairs, ["tcode"], alias="n_pairs")
-    img_d = partial_count_groupby(pairs, ["tcode", "image_int"], alias="__x")
-    ev_d = partial_count_groupby(pairs, ["tcode", "event_id"], alias="__x")
-    n_imgs = partial_count_groupby(img_d, ["tcode"], alias="n_images")
-    n_evs = partial_count_groupby(ev_d, ["tcode"], alias="n_events")
+        def confirm(batch: pa.Table) -> pa.Table:
+            ix = batch["x_i"].to_numpy(zero_copy_only=False)
+            iy = batch["y_i"].to_numpy(zero_copy_only=False)
+            ex = batch["x_e"].to_numpy(zero_copy_only=False)
+            ey = batch["y_e"].to_numpy(zero_copy_only=False)
+            d2 = (ix - ex) ** 2 + (iy - ey) ** 2
+            keep = pa.array(d2 <= e2)
+            t = batch.filter(keep)
+            return pa.table(
+                {
+                    "tcode": t["tcode_e"],
+                    "image_int": t["ida_i"],
+                    "event_id": t["ida_e"],
+                }
+            )
+
+        pairs = joined.map_batches(confirm, batch_format="pyarrow").materialize()
+        n_pairs = partial_count_groupby(pairs, ["tcode"], alias="n_pairs")
+        img_d = partial_count_groupby(pairs, ["tcode", "image_int"], alias="__x")
+        ev_d = partial_count_groupby(pairs, ["tcode", "event_id"], alias="__x")
+        n_imgs = partial_count_groupby(img_d, ["tcode"], alias="n_images")
+        n_evs = partial_count_groupby(ev_d, ["tcode"], alias="n_events")
+        a = n_pairs.to_pandas().set_index("tcode")
+        a["n_images"] = n_imgs.to_pandas().set_index("tcode")["n_images"]
+        a["n_events"] = n_evs.to_pandas().set_index("tcode")["n_events"]
+    else:
+        u = imgs.union(evs)
+
+        def sb(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.append_column(
+                "__sb",
+                pa.array(((c * np.uint64(2654435761)) % 512).astype(np.int64)),
+            )
+
+        u = u.map_batches(sb, batch_format="pyarrow")
+
+        def cogroup(g: pa.Table) -> pa.Table:
+            cell = g["cell"].to_numpy(zero_copy_only=False)
+            side = g["side"].to_numpy(zero_copy_only=False)
+            ida = g["ida"].to_numpy(zero_copy_only=False)
+            x = g["x"].to_numpy(zero_copy_only=False)
+            y = g["y"].to_numpy(zero_copy_only=False)
+            tc = g["tcode"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((side, cell))
+            cell, side, ida = cell[order], side[order], ida[order]
+            x, y, tc = x[order], y[order], tc[order]
+            bnd = np.nonzero(cell[1:] != cell[:-1])[0] + 1
+            starts = np.concatenate(([0], bnd))
+            ends = np.concatenate((bnd, [len(cell)]))
+            pair_n: dict[int, int] = {}
+            img_n: dict[int, int] = {}
+            ev_rows_t, ev_rows_e = [], []
+            for s, e in zip(starts, ends):
+                k = s + int(np.searchsorted(side[s:e], 1))  # images first
+                if k == s or k == e:
+                    continue  # one-sided cell
+                d2 = (x[s:k][:, None] - x[k:e][None, :]) ** 2 + (
+                    y[s:k][:, None] - y[k:e][None, :]
+                ) ** 2
+                hit = d2 <= e2
+                if not hit.any():
+                    continue
+                per_event = hit.sum(axis=0)
+                etc = tc[k:e]
+                for t in np.unique(etc):
+                    m = etc == t
+                    pair_n[t] = pair_n.get(t, 0) + int(per_event[m].sum())
+                    # distinct images are exact per group: an image's
+                    # single home cell holds ALL its candidate pairs
+                    img_n[t] = img_n.get(t, 0) + int(
+                        hit[:, m].any(axis=1).sum()
+                    )
+                got = per_event > 0
+                ev_rows_t.append(etc[got])
+                ev_rows_e.append(ida[k:e][got])
+            ts = list(pair_n)
+            out1 = pa.table(
+                {
+                    "tcode": pa.array(ts, pa.int64()),
+                    "event_id": pa.array([-1] * len(ts), pa.int64()),
+                    "n_pairs": pa.array([pair_n[t] for t in ts], pa.int64()),
+                    "n_images": pa.array([img_n[t] for t in ts], pa.int64()),
+                }
+            )
+            if not ev_rows_t:
+                return out1
+            et = np.concatenate(ev_rows_t)
+            ee = np.concatenate(ev_rows_e)
+            z = np.zeros(len(et), np.int64)
+            out2 = pa.table(
+                {
+                    "tcode": pa.array(et),
+                    "event_id": pa.array(ee),
+                    "n_pairs": pa.array(z),
+                    "n_images": pa.array(z),
+                }
+            )
+            return pa.concat_tables([out1, out2])
+
+        parts = u.groupby("__sb").map_groups(
+            cogroup, batch_format="pyarrow"
+        ).materialize()  # skinny: per-(group, type) partials + event rows
+        summary = partial_sum_groupby(
+            parts.filter(expr="event_id == -1"),
+            ["tcode"],
+            ["n_pairs", "n_images"],
+            coalesce=4,
+        )
+        evd = partial_count_groupby(
+            parts.filter(expr="event_id >= 0"), ["tcode", "event_id"], alias="__x"
+        )
+        n_evs = partial_count_groupby(evd, ["tcode"], alias="n_events")
+        a = summary.to_pandas().set_index("tcode")
+        a["n_events"] = n_evs.to_pandas().set_index("tcode")["n_events"]
+
     # tiny label map: 5 event types
-    types = (
-        _read(sf_dir, "events", ["event_type"]).unique("event_type")
-    )
+    types = _read(sf_dir, "events", ["event_type"]).unique("event_type")
     label = {zlib.crc32(t.encode()) & 0x7FFFFFFF: t for t in types}
-    a = n_pairs.to_pandas().set_index("tcode")
-    a["n_images"] = n_imgs.to_pandas().set_index("tcode")["n_images"]
-    a["n_events"] = n_evs.to_pandas().set_index("tcode")["n_events"]
     a["event_type"] = [label[c] for c in a.index]
     return a.reset_index(drop=True)[
         ["event_type", "n_pairs", "n_images", "n_events"]
