@@ -1472,6 +1472,7 @@ QUERIES = {
     "od_flows": relational.q_od_flows,
     "dist_join_events": relational.q_dist_join_events,
     "traj_edge_match": relational.q_traj_edge_match,
+    "late_events": relational.q_late_events,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1558,6 +1559,7 @@ ORACLE_SQL = {
     "od_flows": relational.sql_od_flows(),
     "dist_join_events": relational.sql_dist_join_events(images_sql_source()),
     "traj_edge_match": relational.sql_traj_edge_match(),
+    "late_events": relational.sql_late_events(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

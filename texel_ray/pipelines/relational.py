@@ -272,6 +272,88 @@ def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     )
 
 
+def q_late_events(sf_dir: str, lateness_s: int = 3600):
+    """Streaming WATERMARK semantics on a batch engine: the per-user
+    watermark is the running max event time (in ARRIVAL order) minus the
+    allowed lateness, and an event is LATE if its timestamp falls behind
+    the watermark at its arrival — the late-data/side-output
+    classification every windowed streaming pipeline needs. The
+    synthetic events are time-ordered by event_id, so arrival order is a
+    deterministic scramble (arrival_seq = event_id * 2654435761 mod
+    2^31) — out-of-order delivery with real late events at any
+    lateness. One skinny groupby(user) exchange, vectorized cummax per
+    group; output bounded by event types. Exact SQL oracle: running max
+    window with 1 PRECEDING over the same arrival key."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_us(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arrival = ((eid * np.uint64(2654435761)) % np.uint64(1 << 31)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "arrival_seq": pa.array(arrival),
+                "event_type": batch["event_type"],
+                "ts_us": ts_us,
+            }
+        )
+
+    skinny = ds.map_batches(add_us, batch_format="pyarrow", batch_size=16384)
+    late_us = lateness_s * 1_000_000
+
+    def classify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["arrival_seq", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        # half-range sentinel: int64 min would underflow when the
+        # lateness is subtracted (wrapping positive = first event late)
+        prior_max = np.concatenate(
+            ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
+        )
+        late = ts < (prior_max - late_us)
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(), "late": late})
+        t = (
+            out.groupby(["event_type", "late"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+        return t
+
+    parts = skinny.groupby("user_id").map_groups(classify, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["event_type", "late"], ["n_partial"], coalesce=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["event_type", "late", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_late_events(lateness_s: int = 3600) -> str:
+    late_us = lateness_s * 1_000_000
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY (CAST(event_id AS UBIGINT) * 2654435761) % 2147483648,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_max
+  FROM events
+)
+SELECT event_type,
+       (prior_max IS NOT NULL AND ts_us < prior_max - {late_us}) AS late,
+       count(*) AS n
+FROM seq
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (sorted-group streaming semantics)."""
     from ..stages.window import session_windows
