@@ -161,6 +161,8 @@ def run_benchmarks() -> dict:
     timed("hotspots_gi", lambda: q_hotspots_gi(SF_DIR), consume=None)
     timed("traj_edge_match", lambda: relational.q_traj_edge_match(SF_DIR))
     timed("late_events", lambda: relational.q_late_events(SF_DIR))
+    timed("topk_per_group", lambda: relational.q_topk_per_group(SF_DIR))
+    timed("region_buffer", lambda: mlprep.q_region_buffer(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))

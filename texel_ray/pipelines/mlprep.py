@@ -2282,6 +2282,131 @@ def pca_project(scatter_df, dim: int = 64, k: int = 4):
     return w[order], basis
 
 
+def q_region_buffer(sf_dir: str, r: float = 0.1):
+    """Polygon BUFFER (offset by ``r`` degrees, mitered joins): every
+    region ring is convex and CCW, so the buffered ring is the
+    intersection of consecutive outward-offset edge lines — pure
+    +-*/sqrt vertex algebra that DuckDB mirrors 1:1. Per region the
+    buffered ring's shoelace area and perimeter are emitted as
+    fixed-point integer sums (floor(term * 1e6); order-independent).
+    Map-only over the polygon corpus; pytest pins the analytic mitered
+    area A + P*r + r^2 * sum(tan(theta_ext/2)) for the rectangles."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..sources.regions import regions_parquet_path
+
+    def buffer_terms(batch: pa.Table) -> pa.Table:
+        from ..core.geom import wkb_decode
+
+        rids, nv, area_l, perim_l = [], [], [], []
+        for rid, buf in zip(
+            batch["region_id"].to_pylist(), batch["geom_wkb"].to_pylist()
+        ):
+            kind, coords = wkb_decode(buf)
+            ring = (coords if kind == "Polygon" else coords[0])[0]
+            v = np.asarray(ring, dtype=np.float64)
+            pv = np.roll(v, 1, axis=0)   # v_{k-1}
+            nx = np.roll(v, -1, axis=0)  # v_{k+1}
+            d1 = v - pv
+            d2 = nx - v
+            l1 = np.sqrt(d1[:, 0] * d1[:, 0] + d1[:, 1] * d1[:, 1])
+            l2 = np.sqrt(d2[:, 0] * d2[:, 0] + d2[:, 1] * d2[:, 1])
+            n1 = np.stack((d1[:, 1] / l1, -d1[:, 0] / l1), axis=1)
+            n2 = np.stack((d2[:, 1] / l2, -d2[:, 0] / l2), axis=1)
+            q1 = pv + r * n1
+            q2 = v + r * n2
+            denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+            t = ((q2[:, 0] - q1[:, 0]) * d2[:, 1]
+                 - (q2[:, 1] - q1[:, 1]) * d2[:, 0]) / denom
+            wx = q1[:, 0] + t * d1[:, 0]
+            wy = q1[:, 1] + t * d1[:, 1]
+            wx2 = np.roll(wx, -1)
+            wy2 = np.roll(wy, -1)
+            area_fp = int(
+                np.floor((wx * wy2 - wx2 * wy) * 1e6).astype(np.int64).sum()
+            )
+            perim_fp = int(
+                np.floor(
+                    np.sqrt((wx2 - wx) ** 2 + (wy2 - wy) ** 2) * 1e6
+                ).astype(np.int64).sum()
+            )
+            rids.append(rid)
+            nv.append(len(v))
+            area_l.append(area_fp)
+            perim_l.append(perim_fp)
+        return pa.table(
+            {
+                "region_id": pa.array(rids, pa.int64()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area_fp": pa.array(area_l, pa.int64()),
+                "perim_fp": pa.array(perim_l, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        regions_parquet_path(), columns=["region_id", "geom_wkb"]
+    )
+    return ds.map_batches(buffer_terms, batch_format="pyarrow")
+
+
+def sql_region_buffer(r: float = 0.1) -> str:
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    t = generate_regions_table()
+    rows = []
+    for rid, buf in zip(t["region_id"].to_pylist(), t["geom_wkb"].to_pylist()):
+        kind, coords = wkb_decode(buf)
+        ring = (coords if kind == "Polygon" else coords[0])[0]
+        m = len(ring)
+        for k in range(m):
+            px, py = ring[(k - 1) % m]
+            cx, cy = ring[k]
+            nx_, ny_ = ring[(k + 1) % m]
+            rows.append(
+                f"({int(rid)}, {k}, {_dlit(px)}, {_dlit(py)},"
+                f" {_dlit(cx)}, {_dlit(cy)}, {_dlit(nx_)}, {_dlit(ny_)})"
+            )
+    vals = ", ".join(rows)
+    rl = _dlit(r)
+    return f"""
+WITH v(region_id, k, px, py, cx, cy, nx, ny) AS (VALUES {vals}),
+w AS (
+  -- lateral column aliases mirror the numpy kernel step-for-step
+  SELECT region_id, k,
+         (cx - px) AS d1x, (cy - py) AS d1y,
+         (nx - cx) AS d2x, (ny - cy) AS d2y,
+         sqrt(d1x * d1x + d1y * d1y) AS l1,
+         sqrt(d2x * d2x + d2y * d2y) AS l2,
+         px + {rl} * (d1y / l1) AS q1x,
+         py + {rl} * (-d1x / l1) AS q1y,
+         cx + {rl} * (d2y / l2) AS q2x,
+         cy + {rl} * (-d2x / l2) AS q2y,
+         ((q2x - q1x) * d2y - (q2y - q1y) * d2x) / (d1x * d2y - d1y * d2x) AS t,
+         q1x + t * d1x AS wx,
+         q1y + t * d1y AS wy
+  FROM v
+),
+paired AS (
+  SELECT region_id, k, wx, wy,
+         COALESCE(lead(wx) OVER ord, first_value(wx) OVER ord) AS wx2,
+         COALESCE(lead(wy) OVER ord, first_value(wy) OVER ord) AS wy2
+  FROM w
+  WINDOW ord AS (PARTITION BY region_id ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT region_id,
+       count(*) AS n_vertices,
+       CAST(sum(CAST(floor((wx * wy2 - wx2 * wy) * 1e6) AS BIGINT)) AS BIGINT)
+         AS area_fp,
+       CAST(sum(CAST(floor(sqrt((wx2 - wx) * (wx2 - wx) + (wy2 - wy) * (wy2 - wy)) * 1e6) AS BIGINT)) AS BIGINT)
+         AS perim_fp
+FROM paired
+GROUP BY region_id
+"""
+
+
 def q_geohash_cells(sf_dir: str, precision: int = 5):
     """Per-geohash-cell image counts (stages/tiles.geohash_np — standard
     base32 interleave, pinned against the published test vectors

@@ -1395,6 +1395,7 @@ QUERIES = {
     "kde_heatmap": mlprep.q_kde_heatmap,
     "map_match_edges": mlprep.q_map_match_edges,
     "region_sphere_area": mlprep.q_region_sphere_area,
+    "region_buffer": mlprep.q_region_buffer,
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
@@ -1473,6 +1474,7 @@ QUERIES = {
     "dist_join_events": relational.q_dist_join_events,
     "traj_edge_match": relational.q_traj_edge_match,
     "late_events": relational.q_late_events,
+    "topk_per_group": relational.q_topk_per_group,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1500,6 +1502,7 @@ ORACLE_SQL = {
     "kde_heatmap": mlprep.sql_kde_heatmap(images_sql_source()),
     "map_match_edges": mlprep.sql_map_match_edges(images_sql_source()),
     "region_sphere_area": mlprep.sql_region_sphere_area(),
+    "region_buffer": mlprep.sql_region_buffer(),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
@@ -1560,6 +1563,7 @@ ORACLE_SQL = {
     "dist_join_events": relational.sql_dist_join_events(images_sql_source()),
     "traj_edge_match": relational.sql_traj_edge_match(),
     "late_events": relational.sql_late_events(),
+    "topk_per_group": relational.sql_topk_per_group(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

@@ -161,6 +161,83 @@ LIMIT 25
 """
 
 
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """GROUPED top-k (top orders per market segment) with the combiner
+    shape: the broadcast customer join tags each order with its segment,
+    each batch keeps only its local per-segment top-k (k x segments rows
+    leave every block — never the fact table), and a final tiny
+    per-segment selection emits ranks. Exact SQL oracle: row_number
+    window with the same (price desc, orderkey) tie-break."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(lookup_keys)
+    lookup_keys = lookup_keys[order]
+    lookup_vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(lookup_keys, ck), 0, len(lookup_keys) - 1)
+        matched = lookup_keys[pos] == ck
+        seg = lookup_vals[pos][matched]
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[matched]
+        cents = np.trunc(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)[matched] * 100.0
+        ).astype(np.int64)
+        # within-batch per-segment top-k: sort by (segment, -price, key)
+        o = np.lexsort((okey, -cents, seg))
+        seg, okey, cents = seg[o], okey[o], cents[o]
+        bnd = np.nonzero(seg[1:] != seg[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        keep = np.zeros(len(seg), dtype=bool)
+        for s in starts:
+            keep[s : s + k] = True
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg[keep].tolist(), pa.string()),
+                "o_orderkey": pa.array(okey[keep]),
+                "price_cents": pa.array(cents[keep]),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_mktsegment", "rank", "o_orderkey", "price_cents"]]
+
+    return parts.groupby("c_mktsegment").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def sql_topk_per_group(k: int = 3) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT c.c_mktsegment,
+         o.o_orderkey,
+         CAST(trunc(o.o_totalprice * 100.0) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY CAST(trunc(o.o_totalprice * 100.0) AS BIGINT) DESC,
+                    o.o_orderkey
+         ) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Distinct user count per event type (two-stage distinct)."""
     from ray.data.aggregate import Count
