@@ -163,6 +163,7 @@ def run_benchmarks() -> dict:
     timed("late_events", lambda: relational.q_late_events(SF_DIR))
     timed("topk_per_group", lambda: relational.q_topk_per_group(SF_DIR))
     timed("region_buffer", lambda: mlprep.q_region_buffer(SF_DIR))
+    timed("tile_atlas", lambda: spatial.q_tile_atlas(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))

@@ -1368,6 +1368,7 @@ QUERIES = {
     "tilecut_z13": spatial.q_tilecut,
     "vector_tilecut": spatial.q_vector_tilecut,
     "snap_deadletter": spatial.q_snap_deadletter,
+    "tile_atlas": spatial.q_tile_atlas,
     "simplify_shapes": spatial.q_simplify_shapes,
     "vector_chain": spatial.q_vector_chain,
     # spatial: tiling + joins + kNN
@@ -1610,6 +1611,7 @@ for _name in (
     "ivf_topk",
     "approx_distinct",
     "image_stats",
+    "tile_atlas",
     "image_histogram",
     "image_equalize",
     "image_embed_neardup",

@@ -241,6 +241,46 @@ def write_tiles(sf_dir: str, out_dir: str, zooms: tuple[int, ...] = (4, 8)):
     )
 
 
+def q_tile_atlas(sf_dir: str, zoom: int = 6, max_pieces: int = 256):
+    """Tile ASSEMBLY on the driver surface: cut -> groupby(tile) ->
+    per-tile atlas (pieces stacked deterministically into one PNG) — the
+    engine's ONE payload-moving shuffle (moving pieces IS the
+    computation; SCALE.md documents the refs-only alternative). Emits
+    per tile the atlas CRC/dims + piece accounting instead of the binary
+    (comparator-safe). INDEPENDENT golden: a plain single-node loop
+    re-derives the cut windows and stacks the same atlases."""
+    import zlib
+
+    from ..sources.images import read_images
+    from ..stages.tilecut import assemble_tiles, cut_images
+
+    ds = read_images(
+        sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "lon", "lat"]
+    )
+    pieces = cut_images(ds, zoom=zoom)
+    atlases = assemble_tiles(pieces, max_pieces_per_tile=max_pieces)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        crcs = [zlib.crc32(b) for b in batch["atlas"].to_pylist()]
+        idx_md5 = [
+            __import__("hashlib").md5(s.encode()).hexdigest()
+            for s in batch["piece_index"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "tm_id": batch["tm_id"],
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "n_pieces": batch["n_pieces"],
+                "dropped": batch["dropped"],
+                "atlas_crc": pa.array(crcs, pa.int64()),
+                "index_md5": pa.array(idx_md5, pa.string()),
+            }
+        )
+
+    return atlases.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_snap_deadletter(sf_dir: str, zooms: tuple[int, ...] = (0, 10)):
     """Snap with the dead-letter channel: features a plain snap run
     silently drops surface as status rows with the input geometry's WKT

@@ -236,6 +236,107 @@ def golden_image_equalize():
     return pd.DataFrame(rows, columns=["image_id", "crc", "out_min", "out_max"])
 
 
+def golden_tile_atlas():
+    """Independent single-node recompute of cut -> per-tile atlas: the
+    pixel cut windows are re-derived inline from the tile grid (no
+    TileCutter/assemble_tiles code), pieces grouped and stacked in a
+    plain pandas loop with the same deterministic (image_id, px, py)
+    order, atlas PNG CRC per tile."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image, encode_image
+    from texel_ray.core.tms import builtin_tms, lonlat_to_webmercator_np
+
+    zoom, ground_res, max_pieces = 6, 200.0, 256
+    tms = builtin_tms("WebMercatorQuad")
+    tm = tms.tile_matrices[zoom]
+    tile_span = float(tm.tile_width) * tm.cell_size
+    ox, oy = tm.point_of_origin
+    matrix = tm.matrix_width
+
+    t = _sf_images(["image_id", "bytes", "w", "h", "fmt", "lon", "lat"])
+    mx, my = lonlat_to_webmercator_np(
+        t["lon"].to_numpy(), t["lat"].to_numpy()
+    )
+    rows = []
+    for i, (iid, buf, w, h, fmt) in enumerate(
+        zip(
+            t["image_id"].to_pylist(), t["bytes"].to_pylist(),
+            t["w"].to_pylist(), t["h"].to_pylist(), t["fmt"].to_pylist(),
+        )
+    ):
+        if not np.isfinite(my[i]):
+            continue
+        half_w = w * ground_res / 2.0
+        half_h = h * ground_res / 2.0
+        min_x, max_x = mx[i] - half_w, mx[i] + half_w
+        max_y, min_y = my[i] + half_h, my[i] - half_h
+        img = None
+        tx0 = int(np.floor((min_x - ox) / tile_span))
+        tx1 = int(np.floor((max_x - ox) / tile_span))
+        ty0 = int(np.floor((oy - max_y) / tile_span))
+        ty1 = int(np.floor((oy - min_y) / tile_span))
+        for tx in range(tx0, tx1 + 1):
+            if tx < 0 or tx >= matrix:
+                continue
+            cut_x0 = ox + tx * tile_span
+            px0 = max(0, int(np.ceil((cut_x0 - min_x) / ground_res - 1e-9)))
+            px1 = min(w, int(np.ceil((cut_x0 + tile_span - min_x) / ground_res - 1e-9)))
+            if px1 <= px0:
+                continue
+            for ty in range(ty0, ty1 + 1):
+                if ty < 0 or ty >= matrix:
+                    continue
+                cut_y0 = oy - ty * tile_span
+                py0 = max(0, int(np.ceil((max_y - cut_y0) / ground_res - 1e-9)))
+                py1 = min(h, int(np.ceil((max_y - (cut_y0 - tile_span)) / ground_res - 1e-9)))
+                if py1 <= py0:
+                    continue
+                if img is None:
+                    img = decode_image(buf, fmt)
+                piece = np.ascontiguousarray(img[py0:py1, px0:px1])
+                rows.append(
+                    (tx, ty, iid, px0, py0,
+                     encode_image(piece, fmt, level=1), fmt)
+                )
+    df = pd.DataFrame(
+        rows, columns=["tile_x", "tile_y", "image_id", "px", "py", "bytes", "fmt"]
+    )
+    out = []
+    for (tx, ty), g in df.groupby(["tile_x", "tile_y"]):
+        g2 = g.sort_values(["image_id", "px", "py"]).head(max_pieces)
+        imgs = [decode_image(b, f) for b, f in zip(g2["bytes"], g2["fmt"])]
+        width = max(im.shape[1] for im in imgs)
+        height = sum(im.shape[0] for im in imgs)
+        atlas = np.zeros((height, width, 3), dtype=np.uint8)
+        y = 0
+        index = []
+        for im, iid in zip(imgs, g2["image_id"]):
+            atlas[y : y + im.shape[0], : im.shape[1]] = im
+            index.append(f"{iid}:{y}")
+            y += im.shape[0]
+        out.append(
+            (
+                zoom, int(tx), int(ty), len(imgs), len(g) - len(g2),
+                zlib.crc32(encode_image(atlas, "png")),
+                hashlib.md5(";".join(index).encode()).hexdigest(),
+            )
+        )
+    res = pd.DataFrame(
+        out,
+        columns=["tm_id", "tile_x", "tile_y", "n_pieces", "dropped",
+                 "atlas_crc", "index_md5"],
+    )
+    res["tm_id"] = res["tm_id"].astype("int32")
+    res["n_pieces"] = res["n_pieces"].astype("int64")
+    res["dropped"] = res["dropped"].astype("int64")
+    return res
+
+
 def golden_image_stats():
     """Independent recompute: decode every image (codec pinned by PSNR /
     real-fixture tests), per-format aggregation in a plain dict loop —
@@ -853,6 +954,7 @@ INDEPENDENT = {
     "h3_compact": golden_h3_compact,
     "dbscan": golden_dbscan,
     "image_stats": golden_image_stats,
+    "tile_atlas": golden_tile_atlas,
     "image_histogram": golden_image_histogram,
     "image_equalize": golden_image_equalize,
     "image_resize": golden_image_resize,
