@@ -1476,6 +1476,7 @@ QUERIES = {
     "traj_edge_match": relational.q_traj_edge_match,
     "late_events": relational.q_late_events,
     "topk_per_group": relational.q_topk_per_group,
+    "value_drift": relational.q_value_drift,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1565,6 +1566,7 @@ ORACLE_SQL = {
     "traj_edge_match": relational.sql_traj_edge_match(),
     "late_events": relational.sql_late_events(),
     "topk_per_group": relational.sql_topk_per_group(),
+    "value_drift": relational.sql_value_drift(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

@@ -431,6 +431,108 @@ GROUP BY 1, 2
 """
 
 
+def q_value_drift(sf_dir: str, bin_width: float = 5.0):
+    """Distribution DRIFT between two corpus halves (the
+    population-stability-index monitor every production training
+    pipeline runs before a refresh): events split ref/cur by the
+    deterministic Knuth-hash rule (the train_test_split rule), the value
+    column binned, and per event_type PSI = sum (p_cur - p_ref) *
+    ln(p_cur / p_ref) over bins populated in BOTH halves. Per-bin terms
+    are fixed-point floored (1e-12) so the reduction is
+    order-independent; probabilities divide int64-cast counts, so every
+    float is deterministic and the SQL oracle recomputes PSI exactly.
+    One combiner groupby; the statistic runs on the (type, bin)
+    dimension table."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cur = ((eid * np.uint64(2654435761)) % np.uint64(100)) < np.uint64(50)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cur": pa.array(cur),
+                "bin": pa.array(np.floor(v / bin_width).astype(np.int64)),
+            }
+        )
+
+    skinny = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=16384)
+    counts = partial_count_groupby(skinny, ["event_type", "cur", "bin"], alias="n")
+    pdf = counts.to_pandas()  # (type x split x bin)-dimension table
+    import pandas as pd
+
+    rows = []
+    for et, g in pdf.groupby("event_type"):
+        ref = g[~g["cur"]].set_index("bin")["n"]
+        cur = g[g["cur"]].set_index("bin")["n"]
+        both = sorted(set(ref.index) & set(cur.index))
+        n_ref = int(ref.sum())
+        n_cur = int(cur.sum())
+        psi_fp = 0
+        for b in both:
+            pr = float(int(ref[b])) / float(n_ref)
+            pc = float(int(cur[b])) / float(n_cur)
+            term = (pc - pr) * np.log(pc / pr)
+            psi_fp += int(np.floor(term * 1e12))
+        rows.append(
+            (et, len(both), len(ref.index) + len(cur.index) - 2 * len(both), psi_fp)
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_bins", "n_one_sided", "psi_fp"]
+    )
+    for c in ("n_bins", "n_one_sided", "psi_fp"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def sql_value_drift(bin_width: float = 5.0) -> str:
+    from .mlprep import _dlit
+
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         ((CAST(event_id AS UBIGINT) * 2654435761) % 100) < 50 AS cur,
+         CAST(floor(value / {_dlit(bin_width)}) AS BIGINT) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, cur, bin, count(*) AS n
+  FROM b GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, cur, sum(n) AS total
+  FROM counts GROUP BY 1, 2
+), wide AS (
+  SELECT r.event_type, r.bin,
+         r.n AS n_ref, c.n AS n_cur,
+         tr.total AS tot_ref, tc.total AS tot_cur
+  FROM counts r
+  JOIN counts c ON c.event_type = r.event_type AND c.bin = r.bin AND c.cur
+  JOIN tot tr ON tr.event_type = r.event_type AND NOT tr.cur
+  JOIN tot tc ON tc.event_type = r.event_type AND tc.cur
+  WHERE NOT r.cur
+), sided AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE cur) AS bins_cur,
+         count(*) FILTER (WHERE NOT cur) AS bins_ref
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT event_type,
+         CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS pc,
+         CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS pr
+  FROM wide
+)
+SELECT t.event_type,
+       count(*) AS n_bins,
+       CAST(s.bins_cur + s.bins_ref - 2 * count(*) AS BIGINT) AS n_one_sided,
+       CAST(sum(CAST(floor((pc - pr) * ln(pc / pr) * 1e12) AS BIGINT)) AS BIGINT)
+         AS psi_fp
+FROM terms t JOIN sided s USING (event_type)
+GROUP BY t.event_type, s.bins_cur, s.bins_ref
+"""
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (sorted-group streaming semantics)."""
     from ..stages.window import session_windows
