@@ -302,5 +302,28 @@ def test_region_buffer_rect_analytic():
         assert abs(perim - 2 * (w + h + 4 * r)) < 1e-4, rid
         checked += 1
     assert checked >= 50
-    # hexagons: buffered area must exceed A + P*r (mitered >= round)
-    assert (out["area_fp"] > 0).all()
+    # hexagons: mitered buffer area must sit between the round-join
+    # analytic (A + P*r + pi*r^2) and the miter bound
+    # (A + P*r + r^2 * 6*tan(30deg)) for a regular hexagon
+    from texel_ray.core.geom import wkb_decode
+
+    regs_t = generate_regions_table()
+    hex_checked = 0
+    for rid, kind, buf in zip(
+        regs_t["region_id"].to_pylist(), regs_t["kind"].to_pylist(),
+        regs_t["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        v = np.asarray(rings[0], dtype=np.float64)
+        x, y = v[:, 0], v[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        A = 0.5 * abs(np.sum(x * y2 - x2 * y))
+        P = np.sum(np.hypot(x2 - x, y2 - y))
+        got = out.loc[rid, "area_fp"] / 1e6 / 2.0
+        lo = A + P * r + math.pi * r * r
+        hi = A + P * r + r * r * 6.0 * math.tan(math.pi / 6.0)
+        assert lo - 1e-4 <= got <= hi + 1e-4, (rid, got, lo, hi)
+        hex_checked += 1
+    assert hex_checked >= 5

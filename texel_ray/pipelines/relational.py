@@ -82,21 +82,28 @@ GROUP BY 1, 2
 """
 
 
+def _customer_segment_lookup(sf_dir: str):
+    """Sorted (custkey, mktsegment) arrays for the broadcast join side —
+    shared by q_join_mktsegment and q_topk_per_group (one source for the
+    searchsorted-match semantics)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+    return keys[order], vals
+
+
 def q_join_mktsegment(sf_dir: str):
     """Broadcast hash join: orders x customer -> order counts + cent-sums
     per market segment. The customer side is small -> shipped once per
     actor; no shuffle of the fact table."""
     from ray.data.aggregate import Sum
 
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    lookup_keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(lookup_keys)
-    lookup_keys = lookup_keys[order]
-    lookup_vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+    lookup_keys, lookup_vals = _customer_segment_lookup(sf_dir)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -168,15 +175,7 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
     leave every block — never the fact table), and a final tiny
     per-segment selection emits ranks. Exact SQL oracle: row_number
     window with the same (price desc, orderkey) tie-break."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    lookup_keys = cust["c_custkey"].to_numpy()
-    order = np.argsort(lookup_keys)
-    lookup_keys = lookup_keys[order]
-    lookup_vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+    lookup_keys, lookup_vals = _customer_segment_lookup(sf_dir)
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -367,10 +366,11 @@ def q_late_events(sf_dir: str, lateness_s: int = 3600):
 
     def add_us(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        arrival = ((eid * np.uint64(2654435761)) % np.uint64(1 << 31)).astype(
-            np.int64
-        )
+        # fold to 31 bits before the multiply (overflow-free in both
+        # engines; a raw uint64 product would raise in DuckDB)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        folded = eid & np.int64(0x7FFFFFFF)
+        arrival = (folded * np.int64(2654435761)) % np.int64(1 << 31)
         return pa.table(
             {
                 "user_id": batch["user_id"],
@@ -417,7 +417,7 @@ WITH seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          max(epoch_us(ts)) OVER (
            PARTITION BY user_id
-           ORDER BY (CAST(event_id AS UBIGINT) * 2654435761) % 2147483648,
+           ORDER BY ((event_id & 2147483647) * 2654435761) % 2147483648,
                     event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) AS prior_max
@@ -448,8 +448,12 @@ def q_value_drift(sf_dir: str, bin_width: float = 5.0):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        cur = ((eid * np.uint64(2654435761)) % np.uint64(100)) < np.uint64(50)
+        # fold to 31 bits BEFORE the Knuth multiply: 2^31 * 2654435761
+        # fits int64/BIGINT in both engines (a raw uint64 product would
+        # silently wrap in numpy but raise in DuckDB)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        folded = eid & np.int64(0x7FFFFFFF)
+        cur = ((folded * np.int64(2654435761)) % np.int64(100)) < np.int64(50)
         v = batch["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -494,7 +498,7 @@ def sql_value_drift(bin_width: float = 5.0) -> str:
     return f"""
 WITH b AS (
   SELECT event_type,
-         ((CAST(event_id AS UBIGINT) * 2654435761) % 100) < 50 AS cur,
+         (((event_id & 2147483647) * 2654435761) % 100) < 50 AS cur,
          CAST(floor(value / {_dlit(bin_width)}) AS BIGINT) AS bin
   FROM events
 ), counts AS (
@@ -523,13 +527,18 @@ WITH b AS (
          CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS pr
   FROM wide
 )
-SELECT t.event_type,
-       count(*) AS n_bins,
-       CAST(s.bins_cur + s.bins_ref - 2 * count(*) AS BIGINT) AS n_one_sided,
-       CAST(sum(CAST(floor((pc - pr) * ln(pc / pr) * 1e12) AS BIGINT)) AS BIGINT)
-         AS psi_fp
-FROM terms t JOIN sided s USING (event_type)
-GROUP BY t.event_type, s.bins_cur, s.bins_ref
+, agg AS (
+  SELECT event_type, count(*) AS n_bins,
+         CAST(sum(CAST(floor((pc - pr) * ln(pc / pr) * 1e12) AS BIGINT)) AS BIGINT)
+           AS psi_fp
+  FROM terms GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(COALESCE(a.n_bins, 0) AS BIGINT) AS n_bins,
+       CAST(s.bins_cur + s.bins_ref - 2 * COALESCE(a.n_bins, 0) AS BIGINT)
+         AS n_one_sided,
+       CAST(COALESCE(a.psi_fp, 0) AS BIGINT) AS psi_fp
+FROM sided s LEFT JOIN agg a USING (event_type)
 """
 
 
