@@ -165,6 +165,7 @@ def run_benchmarks() -> dict:
     timed("region_buffer", lambda: mlprep.q_region_buffer(SF_DIR))
     timed("tile_atlas", lambda: spatial.q_tile_atlas(SF_DIR))
     timed("value_drift", lambda: relational.q_value_drift(SF_DIR), consume=None)
+    timed("name_linkage", lambda: relational.q_name_linkage(SF_DIR), consume=None)
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))

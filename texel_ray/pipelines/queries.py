@@ -1477,6 +1477,7 @@ QUERIES = {
     "late_events": relational.q_late_events,
     "topk_per_group": relational.q_topk_per_group,
     "value_drift": relational.q_value_drift,
+    "name_linkage": relational.q_name_linkage,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1567,6 +1568,7 @@ ORACLE_SQL = {
     "late_events": relational.sql_late_events(),
     "topk_per_group": relational.sql_topk_per_group(),
     "value_drift": relational.sql_value_drift(),
+    "name_linkage": relational.sql_name_linkage(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

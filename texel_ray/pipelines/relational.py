@@ -431,6 +431,128 @@ GROUP BY 1, 2
 """
 
 
+def q_name_linkage(sf_dir: str, max_dist: int = 1):
+    """RECORD LINKAGE (fuzzy self-join on names): customer pairs whose
+    equal-length names differ by at most ``max_dist`` substitutions.
+    Blocking is the EXACT string pigeonhole: split each name into
+    max_dist+1 slices — a qualifying pair matches at least one slice
+    exactly — so one groupby on (slice_id, crc(slice), length) finds
+    every candidate; within-bucket verification is a vectorized byte
+    mismatch count. Only (slice hash, id) rows shuffle; pairs dedupe on
+    the driver (pair-dimension list). Exact SQL oracle: brute
+    levenshtein self-join (== hamming for equal lengths at dist<=1)."""
+    import zlib
+
+    from ..stages.agg import partial_count_groupby  # noqa: F401 (shape doc)
+
+    nb = max_dist + 1
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def slices(batch: pa.Table) -> pa.Table:
+        names = batch["c_name"].to_pylist()
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        sid_l, h_l, ln_l, id_l, nm_l = [], [], [], [], []
+        for k, nm in zip(keys, names):
+            n = len(nm)
+            for s in range(nb):
+                lo = s * n // nb
+                hi = (s + 1) * n // nb
+                sid_l.append(s)
+                h_l.append(zlib.crc32(nm[lo:hi].encode()))
+                ln_l.append(n)
+                id_l.append(int(k))
+                nm_l.append(nm)
+        return pa.table(
+            {
+                "sid": pa.array(sid_l, pa.int32()),
+                "h": pa.array(h_l, pa.int64()),
+                "ln": pa.array(ln_l, pa.int32()),
+                "c_custkey": pa.array(id_l, pa.int64()),
+                "c_name": pa.array(nm_l, pa.string()),
+            }
+        )
+
+    banded = ds.map_batches(slices, batch_format="pyarrow", batch_size=8192)
+
+    def superbucket(batch: pa.Table) -> pa.Table:
+        sid = batch["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        ln = batch["ln"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (sid << 40) ^ (ln << 32) ^ h
+        sb = ((key.astype(np.uint64) * np.uint64(2654435761)) % 512).astype(
+            np.int64
+        )
+        return batch.append_column("key", pa.array(key)).append_column(
+            "__sb", pa.array(sb)
+        )
+
+    banded = banded.map_batches(superbucket, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # iterate the real (slice, hash, length) buckets vectorized inside
+        # one ~512-way superbucket group (per-group dispatch would
+        # dominate at tens of thousands of tiny buckets)
+        out_a, out_b, out_d = [], [], []
+        g = group.sort_values(["key", "c_custkey"], kind="stable")
+        keys = g["key"].to_numpy()
+        ids = g["c_custkey"].to_numpy()
+        names = g["c_name"].to_list()
+        bnd = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(keys)]))
+        for s, e in zip(starts, ends):
+            # dedupe ids within the bucket (one row per id by construction)
+            if e - s < 2:
+                continue
+            bids = ids[s:e]
+            mat = np.frombuffer(
+                "".join(names[s:e]).encode(), dtype=np.uint8
+            ).reshape(e - s, -1)
+            ia, ib = np.triu_indices(e - s, k=1)
+            dist = (mat[ia] != mat[ib]).sum(axis=1)
+            keep = dist <= max_dist
+            if keep.any():
+                out_a.append(bids[ia[keep]])
+                out_b.append(bids[ib[keep]])
+                out_d.append(dist[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    pairs = banded.groupby("__sb").map_groups(bucket_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas()  # pair-dimension-sized
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64")}
+        )
+    return (
+        pdf.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def sql_name_linkage(max_dist: int = 1) -> str:
+    return f"""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE length(a.c_name) = length(b.c_name)
+  AND levenshtein(a.c_name, b.c_name) <= {max_dist}
+"""
+
+
 def q_value_drift(sf_dir: str, bin_width: float = 5.0):
     """Distribution DRIFT between two corpus halves (the
     population-stability-index monitor every production training
