@@ -138,3 +138,28 @@ def test_identical_clique_is_output_dimensional():
     _, counts = np.unique(big, return_counts=True)
     assert len(ia) == int((counts * (counts - 1) // 2).sum())
     assert (d == 0).all()
+
+
+def test_matrix_hamming_pairs_exact_matches_brute():
+    # the string-record-linkage hot-bucket kernel: byte rows with a
+    # shared prefix half (every row lands in one slice bucket)
+    from texel_ray.stages.dedup import matrix_hamming_pairs_exact
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(48, 58, size=(40, 18), dtype=np.uint8)
+    rows = base[rng.integers(0, 40, 1200)].copy()
+    flip = rng.integers(0, 18, 1200)
+    vals = rng.integers(48, 58, 1200, dtype=np.uint8)
+    sel = rng.random(1200) < 0.5
+    rows[np.arange(1200)[sel], flip[sel]] = vals[sel]
+    rows[:, :9] = ord("C")
+    for md in (0, 1, 2):
+        ia, ib, d = matrix_hamming_pairs_exact(rows, md, leaf=64)
+        ja, jb = np.triu_indices(len(rows), k=1)
+        bd = (rows[ja] != rows[jb]).sum(axis=1)
+        want = set(zip(ja[bd <= md].tolist(), jb[bd <= md].tolist()))
+        got = set(
+            zip(np.minimum(ia, ib).tolist(), np.maximum(ia, ib).tolist())
+        )
+        assert got == want, (md, len(got), len(want))
+        assert ((rows[ia] != rows[ib]).sum(axis=1) == d).all()

@@ -501,13 +501,25 @@ def q_name_linkage(sf_dir: str, max_dist: int = 1):
         starts = np.concatenate(([0], bnd))
         ends = np.concatenate((bnd, [len(keys)]))
         for s, e in zip(starts, ends):
-            # dedupe ids within the bucket (one row per id by construction)
+            # one row per id per bucket by construction
             if e - s < 2:
                 continue
             bids = ids[s:e]
             mat = np.frombuffer(
                 "".join(names[s:e]).encode(), dtype=np.uint8
             ).reshape(e - s, -1)
+            if e - s > 256:
+                # hot bucket (e.g. a shared name prefix puts EVERY row
+                # in one slice bucket): exact pigeonhole recursion over
+                # the byte columns instead of the quadratic triangle
+                from ..stages.dedup import matrix_hamming_pairs_exact
+
+                ia, ib, dist = matrix_hamming_pairs_exact(mat, max_dist)
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(bids[lo])
+                out_b.append(bids[hi])
+                out_d.append(dist)
+                continue
             ia, ib = np.triu_indices(e - s, k=1)
             dist = (mat[ia] != mat[ib]).sum(axis=1)
             keep = dist <= max_dist

@@ -488,6 +488,116 @@ def hamming_pairs_exact(
     )
 
 
+def _matrix_distinct_pairs(
+    mat: np.ndarray, max_d: int, cols: np.ndarray, leaf: int
+):
+    """(ia, ib, dist) among DISTINCT byte rows with mismatch-count <=
+    max_d — the string generalization of ``_distinct_hamming_pairs``:
+    split the available columns into max_d+1 chunks, a qualifying pair
+    agrees exactly on >= 1 chunk, recurse into equal-chunk groups, full-
+    row verification at the leaves, dedupe across branches."""
+    n = len(mat)
+    if max_d == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    if n <= leaf or len(cols) < (max_d + 1):
+        outs_a, outs_b, outs_d = [], [], []
+        for ia, ib in _triangle_pair_indices(n, 1024):
+            d = (mat[ia] != mat[ib]).sum(axis=1)
+            keep = d <= max_d
+            if keep.any():
+                outs_a.append(ia[keep])
+                outs_b.append(ib[keep])
+                outs_d.append(d[keep].astype(np.int64))
+        if not outs_a:
+            e = np.array([], dtype=np.int64)
+            return e, e.copy(), e.copy()
+        return (
+            np.concatenate(outs_a),
+            np.concatenate(outs_b),
+            np.concatenate(outs_d),
+        )
+    chunks = np.array_split(cols, max_d + 1)
+    acc_a, acc_b, acc_d = [], [], []
+    for ci, chunk in enumerate(chunks):
+        sub = np.ascontiguousarray(mat[:, chunk])
+        view = sub.view([("", sub.dtype)] * sub.shape[1]).ravel()
+        order = np.argsort(view, kind="stable")
+        sv = view[order]
+        bnd = np.nonzero(sv[1:] != sv[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [n]))
+        rem = np.concatenate([c for j, c in enumerate(chunks) if j != ci])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            ia, ib, d = _matrix_distinct_pairs(mat[idx], max_d, rem, leaf)
+            if len(ia):
+                acc_a.append(idx[ia])
+                acc_b.append(idx[ib])
+                acc_d.append(d)
+    if not acc_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    ia = np.concatenate(acc_a)
+    ib = np.concatenate(acc_b)
+    d = np.concatenate(acc_d)
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    _, ui = np.unique(lo.astype(np.int64) * n + hi, return_index=True)
+    return lo[ui], hi[ui], d[ui]
+
+
+def matrix_hamming_pairs_exact(
+    mat: np.ndarray, max_d: int = 1, leaf: int = 256
+):
+    """ALL row-index pairs of a uint8 matrix (equal-length strings as
+    byte rows) with column mismatch count <= max_d — EXACT at any group
+    size; the hot-bucket kernel for string record linkage. Same shape
+    as ``hamming_pairs_exact``: collapse to distinct rows, pigeonhole
+    recursion over those, expand duplicate-row cliques (output-
+    dimensional, inherent)."""
+    if len(mat) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+    inv = inv.ravel()
+    ua, ub, ud = _matrix_distinct_pairs(
+        uniq, max_d, np.arange(mat.shape[1]), leaf
+    )
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    bnd = np.nonzero(inv_s[1:] != inv_s[:-1])[0] + 1
+    starts = np.concatenate(([0], bnd))
+    counts = np.diff(np.concatenate((starts, [len(mat)])))
+    cls_start = np.zeros(len(uniq), dtype=np.int64)
+    cls_count = np.zeros(len(uniq), dtype=np.int64)
+    cls_start[inv_s[starts]] = starts
+    cls_count[inv_s[starts]] = counts
+    outs_a, outs_b, outs_d = [], [], []
+    for c in np.nonzero(cls_count >= 2)[0]:
+        members = order[cls_start[c] : cls_start[c] + cls_count[c]]
+        for ia, ib in _triangle_pair_indices(len(members)):
+            outs_a.append(members[ia])
+            outs_b.append(members[ib])
+            outs_d.append(np.zeros(len(ia), dtype=np.int64))
+    for u, v, d in zip(ua, ub, ud):
+        ma = order[cls_start[u] : cls_start[u] + cls_count[u]]
+        mb = order[cls_start[v] : cls_start[v] + cls_count[v]]
+        outs_a.append(np.repeat(ma, len(mb)))
+        outs_b.append(np.tile(mb, len(ma)))
+        outs_d.append(np.full(len(ma) * len(mb), d, dtype=np.int64))
+    if not outs_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (
+        np.concatenate(outs_a),
+        np.concatenate(outs_b),
+        np.concatenate(outs_d),
+    )
+
+
 def simhash_bucket_pairs(
     group: pd.DataFrame,
     id_col: str = "doc_id",
