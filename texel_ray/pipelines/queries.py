@@ -1478,6 +1478,7 @@ QUERIES = {
     "topk_per_group": relational.q_topk_per_group,
     "value_drift": relational.q_value_drift,
     "name_linkage": relational.q_name_linkage,
+    "windowed_on_time": relational.q_windowed_on_time,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1569,6 +1570,7 @@ ORACLE_SQL = {
     "topk_per_group": relational.sql_topk_per_group(),
     "value_drift": relational.sql_value_drift(),
     "name_linkage": relational.sql_name_linkage(),
+    "windowed_on_time": relational.sql_windowed_on_time(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

@@ -431,6 +431,93 @@ GROUP BY 1, 2
 """
 
 
+def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
+    """Watermarked WINDOWED aggregation (the late_events x tumbling
+    composition a streaming engine runs as one job): hourly windows per
+    event_type counting on-time and late arrivals separately — late
+    events (behind the per-user watermark at their scrambled arrival, see
+    q_late_events) go to the side-output count instead of silently
+    polluting the window. One skinny groupby(user) tag pass + one
+    combiner groupby on (type, window). Exact SQL oracle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_us(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        folded = eid & np.int64(0x7FFFFFFF)
+        arrival = (folded * np.int64(2654435761)) % np.int64(1 << 31)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "arrival_seq": pa.array(arrival),
+                "event_type": batch["event_type"],
+                "ts_us": ts_us,
+            }
+        )
+
+    skinny = ds.map_batches(add_us, batch_format="pyarrow", batch_size=16384)
+    late_us = lateness_s * 1_000_000
+    hour_us = 3_600_000_000
+
+    def tag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["arrival_seq", "event_id"], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        prior_max = np.concatenate(
+            ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
+        )
+        late = ts < (prior_max - late_us)
+        win = (ts // hour_us) * hour_us
+        out = pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy(), "window_us": win,
+             "on_time": (~late).astype(np.int64),
+             "late": late.astype(np.int64)}
+        )
+        return (
+            out.groupby(["event_type", "window_us"], sort=False)[["on_time", "late"]]
+            .sum()
+            .reset_index()
+        )
+
+    parts = skinny.groupby("user_id").map_groups(tag, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["event_type", "window_us"], ["on_time", "late"], coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["event_type", "window_us", "n_on_time", "n_late"]
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_windowed_on_time(lateness_s: int = 3600) -> str:
+    late_us = lateness_s * 1_000_000
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY ((event_id & 2147483647) * 2654435761) % 2147483648,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_max
+  FROM events
+)
+SELECT event_type,
+       (ts_us // 3600000000) * 3600000000 AS window_us,
+       CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max - {late_us}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max - {late_us}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM seq
+GROUP BY 1, 2
+"""
+
+
 def q_name_linkage(sf_dir: str, max_dist: int = 1):
     """RECORD LINKAGE (fuzzy self-join on names): customer pairs whose
     equal-length names differ by at most ``max_dist`` substitutions.
