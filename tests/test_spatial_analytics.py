@@ -327,3 +327,34 @@ def test_region_buffer_rect_analytic():
         assert lo - 1e-4 <= got <= hi + 1e-4, (rid, got, lo, hi)
         hex_checked += 1
     assert hex_checked >= 5
+
+
+def test_validate_corpus_detects_corruption():
+    # the expectations gate must actually flag bad rows (the clean
+    # corpus exercises the zero-violation path via the oracle)
+    import pyarrow as pa
+
+    from texel_ray.pipelines.mlprep import corpus_checks
+
+    bad = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"]),
+            "caption": pa.array(["ok word #00000001", "BAD CAPTION", "x #123"]),
+            "lon": pa.array([0.0, 200.0, 10.0]),
+            "lat": pa.array([0.0, 10.0, -95.0]),
+            "w": pa.array([16, 0, 16], pa.int32()),
+            "h": pa.array([16, 16, -1], pa.int32()),
+            "fmt": pa.array(["png", "gif", "jpeg"]),
+            "bytes": pa.array([b"xx", b"", b"yy"], pa.binary()),
+        }
+    )
+    out = corpus_checks(bad)
+    got = dict(zip(out["check"].to_pylist(), out["n_violations"].to_pylist()))
+    assert got == {
+        "caption_format": 2,
+        "geotag_range": 2,
+        "dims_positive": 2,
+        "payload_present": 1,
+        "fmt_allowed": 1,
+    }
+    assert set(out["n_rows"].to_pylist()) == {3}

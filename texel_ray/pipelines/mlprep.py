@@ -2282,6 +2282,89 @@ def pca_project(scatter_df, dim: int = 64, k: int = 4):
     return w[order], basis
 
 
+def corpus_checks(batch: "pa.Table") -> "pa.Table":
+    """The per-batch expectations kernel (module-level so the
+    corruption-sensitivity pytest exercises the REAL check logic)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    cap_ok = pc.match_substring_regex(
+        batch["caption"], r"^[a-z ]+ #[0-9]{8}$"
+    ).to_numpy(zero_copy_only=False)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    geo_ok = (lon >= -180.0) & (lon <= 180.0) & (lat >= -90.0) & (lat <= 90.0)
+    w = batch["w"].to_numpy(zero_copy_only=False)
+    h = batch["h"].to_numpy(zero_copy_only=False)
+    dim_ok = (w > 0) & (h > 0)
+    payload_ok = pc.binary_length(batch["bytes"]).to_numpy(zero_copy_only=False) > 0
+    fmt_ok = pc.is_in(
+        batch["fmt"], value_set=pa.array(["png", "jpeg"])
+    ).to_numpy(zero_copy_only=False)
+    names = ["caption_format", "geotag_range", "dims_positive",
+             "payload_present", "fmt_allowed"]
+    viol = [
+        int(n - cap_ok.sum()), int(n - geo_ok.sum()), int(n - dim_ok.sum()),
+        int(n - payload_ok.sum()), int(n - fmt_ok.sum()),
+    ]
+    return pa.table(
+        {
+            "check": pa.array(names, pa.string()),
+            "n_violations": pa.array(viol, pa.int64()),
+            "n_rows": pa.array([n] * len(names), pa.int64()),
+        }
+    )
+
+
+def q_validate_corpus(sf_dir: str):
+    """Data-quality EXPECTATIONS gate (the pre-training validation pass):
+    per named check, the violation count over the image corpus —
+    caption format (``word #digits``), geotag range, positive
+    dimensions, payload present, format in the allowed set. Stateless
+    vectorized map_batches partials -> one tiny combiner groupby; at
+    100 TB this is one streaming pass whose output is check-dimension
+    sized. Exact SQL oracle (same regex / range predicates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+
+    ds = read_images(
+        sf_dir, columns=["image_id", "caption", "lon", "lat", "w", "h", "fmt", "bytes"]
+    )
+    parts = ds.map_batches(corpus_checks, batch_format="pyarrow", batch_size=16384)
+    return partial_sum_groupby(parts, ["check"], ["n_violations", "n_rows"], coalesce=4)
+
+
+def sql_validate_corpus(images_source: str) -> str:
+    return f"""
+WITH src AS (SELECT * FROM {images_source})
+SELECT 'caption_format' AS check,
+       CAST(sum(CASE WHEN regexp_matches(caption, '^[a-z ]+ #[0-9]{{8}}$')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       count(*) AS n_rows FROM src
+UNION ALL
+SELECT 'geotag_range',
+       CAST(sum(CASE WHEN lon >= -180.0 AND lon <= 180.0
+                      AND lat >= -90.0 AND lat <= 90.0
+                THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM src
+UNION ALL
+SELECT 'dims_positive',
+       CAST(sum(CASE WHEN w > 0 AND h > 0 THEN 0 ELSE 1 END) AS BIGINT),
+       count(*) FROM src
+UNION ALL
+SELECT 'payload_present',
+       CAST(sum(CASE WHEN octet_length(bytes) > 0 THEN 0 ELSE 1 END) AS BIGINT),
+       count(*) FROM src
+UNION ALL
+SELECT 'fmt_allowed',
+       CAST(sum(CASE WHEN fmt IN ('png', 'jpeg') THEN 0 ELSE 1 END) AS BIGINT),
+       count(*) FROM src
+"""
+
+
 def q_region_buffer(sf_dir: str, r: float = 0.1):
     """Polygon BUFFER (offset by ``r`` degrees, mitered joins): every
     region ring is convex and CCW, so the buffered ring is the

@@ -1397,6 +1397,7 @@ QUERIES = {
     "map_match_edges": mlprep.q_map_match_edges,
     "region_sphere_area": mlprep.q_region_sphere_area,
     "region_buffer": mlprep.q_region_buffer,
+    "validate_corpus": mlprep.q_validate_corpus,
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
@@ -1507,6 +1508,7 @@ ORACLE_SQL = {
     "map_match_edges": mlprep.sql_map_match_edges(images_sql_source()),
     "region_sphere_area": mlprep.sql_region_sphere_area(),
     "region_buffer": mlprep.sql_region_buffer(),
+    "validate_corpus": mlprep.sql_validate_corpus(images_sql_source()),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
