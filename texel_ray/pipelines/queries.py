@@ -1480,6 +1480,7 @@ QUERIES = {
     "value_drift": relational.q_value_drift,
     "name_linkage": relational.q_name_linkage,
     "windowed_on_time": relational.q_windowed_on_time,
+    "trip_length": relational.q_trip_length,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
@@ -1573,6 +1574,7 @@ ORACLE_SQL = {
     "value_drift": relational.sql_value_drift(),
     "name_linkage": relational.sql_name_linkage(),
     "windowed_on_time": relational.sql_windowed_on_time(),
+    "trip_length": relational.sql_trip_length(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(

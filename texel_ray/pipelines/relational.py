@@ -431,6 +431,83 @@ GROUP BY 1, 2
 """
 
 
+def q_trip_length(sf_dir: str):
+    """Per-user TRAVELED DISTANCE (trajectory path length): consecutive
+    event geotags in (ts, event_id) order, haversine step lengths in
+    meters, each step FIXED-POINT floored (mm) so the per-user sum is
+    order-independent and the SQL oracle recomputes it exactly (the
+    geodesic_hist pattern: sin/cos/asin mirror 1:1). One skinny
+    groupby(user) exchange; user-dimension output."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def geotag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, ev)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    skinny = ds.map_batches(geotag, batch_format="pyarrow", batch_size=16384)
+
+    def path_len(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "event_id"], kind="stable")
+        lon = np.radians(g["lon"].to_numpy())
+        lat = np.radians(g["lat"].to_numpy())
+        if len(lon) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy()[:1],
+                    "n_steps": np.zeros(min(len(lon), 1), dtype=np.int64),
+                    "dist_mm": np.zeros(min(len(lon), 1), dtype=np.int64),
+                }
+            )
+        dphi = (lat[1:] - lat[:-1]) / 2.0
+        dlmb = (lon[1:] - lon[:-1]) / 2.0
+        a = np.sin(dphi) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb) ** 2
+        d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+        dist_mm = int(np.floor(d * 1000.0).astype(np.int64).sum())
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[:1],
+                "n_steps": np.array([len(lon) - 1], dtype=np.int64),
+                "dist_mm": np.array([dist_mm], dtype=np.int64),
+            }
+        )
+
+    return skinny.groupby("user_id").map_groups(path_len, batch_format="pandas")
+
+
+def sql_trip_length() -> str:
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt("
+        "pow(sin((radians(lat) - radians(plat)) / 2.0), 2)"
+        " + cos(radians(plat)) * cos(radians(lat))"
+        " * pow(sin((radians(lon) - radians(plon)) / 2.0), 2)))"
+    )
+    return f"""
+WITH {_sql_event_pos()},
+seq AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id,
+       CAST(count(plon) AS BIGINT) AS n_steps,
+       CAST(COALESCE(sum(CAST(floor({hav} * 1000.0) AS BIGINT)), 0) AS BIGINT)
+         AS dist_mm
+FROM seq
+GROUP BY user_id
+"""
+
+
 def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
     """Watermarked WINDOWED aggregation (the late_events x tumbling
     composition a streaming engine runs as one job): hourly windows per
