@@ -169,6 +169,7 @@ def run_benchmarks() -> dict:
     timed("windowed_on_time", lambda: relational.q_windowed_on_time(SF_DIR))
     timed("validate_corpus", lambda: mlprep.q_validate_corpus(SF_DIR))
     timed("trip_length", lambda: relational.q_trip_length(SF_DIR))
+    timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))
     timed("kde_heatmap", lambda: mlprep.q_kde_heatmap(SF_DIR))

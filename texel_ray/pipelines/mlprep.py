@@ -2317,6 +2317,62 @@ def corpus_checks(batch: "pa.Table") -> "pa.Table":
     )
 
 
+def q_importance_sample(sf_dir: str, full_tokens: int = 200):
+    """Quality-WEIGHTED sampling (importance sampling, the
+    token-proportional keep rule a curation pipeline uses to upweight
+    substantive documents): doc keep probability = min(1, tokens /
+    ``full_tokens``), decided by the deterministic Knuth-hash test
+    (folded to 31 bits, overflow-free in both engines). Output: per
+    token-band (tokens // 10) total vs kept counts — the acceptance
+    curve. Stateless gate + one combiner groupby. Exact SQL oracle
+    (same tokenizer mirror as the token stats family)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = np.array(
+            [len(t.split()) if t and t.strip() else 0 for t in texts],
+            dtype=np.int64,
+        )
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        folded = did & np.int64(0x7FFFFFFF)
+        h = (folded * np.int64(2654435761)) % np.int64(10000)
+        thresh = np.minimum(toks * 10000 // full_tokens, 10000)
+        kept = h < thresh
+        return pa.table(
+            {
+                "band": pa.array(toks // 10),
+                "n_total": pa.array(np.ones(len(toks), dtype=np.int64)),
+                "n_kept": pa.array(kept.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(gate, batch_format="pyarrow", batch_size=4096)
+    return partial_sum_groupby(parts, ["band"], ["n_total", "n_kept"], coalesce=4)
+
+
+def sql_importance_sample(full_tokens: int = 200) -> str:
+    ntok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST({ntok} AS BIGINT) AS toks,
+         ((doc_id & 2147483647) * 2654435761) % 10000 AS h
+  FROM documents
+)
+SELECT toks // 10 AS band,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN h < least(toks * 10000 // {full_tokens}, 10000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM t
+GROUP BY 1
+"""
+
+
 def q_validate_corpus(sf_dir: str):
     """Data-quality EXPECTATIONS gate (the pre-training validation pass):
     per named check, the violation count over the image corpus —

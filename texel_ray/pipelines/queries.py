@@ -1398,6 +1398,7 @@ QUERIES = {
     "region_sphere_area": mlprep.q_region_sphere_area,
     "region_buffer": mlprep.q_region_buffer,
     "validate_corpus": mlprep.q_validate_corpus,
+    "importance_sample": mlprep.q_importance_sample,
     "pip_join_rect": q_pip_join_rect,
     "pip_join_poly": q_pip_join_poly,
     "pip_join_cover": q_pip_join_cover,
@@ -1510,6 +1511,7 @@ ORACLE_SQL = {
     "region_sphere_area": mlprep.sql_region_sphere_area(),
     "region_buffer": mlprep.sql_region_buffer(),
     "validate_corpus": mlprep.sql_validate_corpus(images_sql_source()),
+    "importance_sample": mlprep.sql_importance_sample(),
     "pip_join_rect": sql_pip_join_rect(),
     "pip_join_poly": sql_pip_join_poly(),
     "pip_join_cover": sql_pip_join_poly(),
