@@ -2289,19 +2289,30 @@ def corpus_checks(batch: "pa.Table") -> "pa.Table":
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    cap_ok = pc.match_substring_regex(
-        batch["caption"], r"^[a-z ]+ #[0-9]{8}$"
-    ).to_numpy(zero_copy_only=False)
-    lon = batch["lon"].to_numpy(zero_copy_only=False)
-    lat = batch["lat"].to_numpy(zero_copy_only=False)
-    geo_ok = (lon >= -180.0) & (lon <= 180.0) & (lat >= -90.0) & (lat <= 90.0)
-    w = batch["w"].to_numpy(zero_copy_only=False)
-    h = batch["h"].to_numpy(zero_copy_only=False)
-    dim_ok = (w > 0) & (h > 0)
-    payload_ok = pc.binary_length(batch["bytes"]).to_numpy(zero_copy_only=False) > 0
-    fmt_ok = pc.is_in(
-        batch["fmt"], value_set=pa.array(["png", "jpeg"])
-    ).to_numpy(zero_copy_only=False)
+
+    def _ok(arr) -> np.ndarray:
+        # null-safe: a NULL in any checked column is a VIOLATION (the
+        # oracle's CASE WHEN counts NULL as false), never a crash
+        return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+
+    cap_ok = _ok(pc.match_substring_regex(batch["caption"], r"^[a-z ]+ #[0-9]{8}$"))
+    geo_ok = _ok(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["lon"], -180.0),
+                pc.less_equal(batch["lon"], 180.0),
+            ),
+            pc.and_(
+                pc.greater_equal(batch["lat"], -90.0),
+                pc.less_equal(batch["lat"], 90.0),
+            ),
+        )
+    )
+    dim_ok = _ok(
+        pc.and_(pc.greater(batch["w"], 0), pc.greater(batch["h"], 0))
+    )
+    payload_ok = _ok(pc.greater(pc.binary_length(batch["bytes"]), 0))
+    fmt_ok = _ok(pc.is_in(batch["fmt"], value_set=pa.array(["png", "jpeg"])))
     names = ["caption_format", "geotag_range", "dims_positive",
              "payload_present", "fmt_allowed"]
     viol = [
@@ -2336,9 +2347,10 @@ def q_importance_sample(sf_dir: str, full_tokens: int = 200):
             [len(t.split()) if t and t.strip() else 0 for t in texts],
             dtype=np.int64,
         )
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        folded = did & np.int64(0x7FFFFFFF)
-        h = (folded * np.int64(2654435761)) % np.int64(10000)
+        from .relational import _fold_hash
+
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _fold_hash(did, 10000)
         thresh = np.minimum(toks * 10000 // full_tokens, 10000)
         kept = h < thresh
         return pa.table(

@@ -348,6 +348,44 @@ def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     )
 
 
+def _fold_hash(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic Knuth hash, overflow-free in BOTH engines: fold to
+    31 bits BEFORE the multiply (2^31 * 2654435761 fits int64/BIGINT; a
+    raw uint64 product silently wraps in numpy but raises in DuckDB).
+    SQL mirror: ``((col & 2147483647) * 2654435761) % mod``."""
+    folded = ids.astype(np.int64) & np.int64(0x7FFFFFFF)
+    return (folded * np.int64(2654435761)) % np.int64(mod)
+
+
+def _add_arrival_us(batch: pa.Table) -> pa.Table:
+    """Shared watermark prelude (late_events / windowed_on_time): event
+    time in us + scrambled ARRIVAL order (the time-ordered synthetic
+    stream delivered out of order)."""
+    ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "arrival_seq": pa.array(_fold_hash(eid, 1 << 31)),
+            "event_type": batch["event_type"],
+            "ts_us": ts_us,
+        }
+    )
+
+
+_SQL_WATERMARK_SEQ = """seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY ((event_id & 2147483647) * 2654435761) % 2147483648,
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_max
+  FROM events
+)"""
+
+
 def q_late_events(sf_dir: str, lateness_s: int = 3600):
     """Streaming WATERMARK semantics on a batch engine: the per-user
     watermark is the running max event time (in ARRIVAL order) minus the
@@ -363,25 +401,9 @@ def q_late_events(sf_dir: str, lateness_s: int = 3600):
     from ..stages.agg import partial_sum_groupby
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def add_us(batch: pa.Table) -> pa.Table:
-        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        # fold to 31 bits before the multiply (overflow-free in both
-        # engines; a raw uint64 product would raise in DuckDB)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        folded = eid & np.int64(0x7FFFFFFF)
-        arrival = (folded * np.int64(2654435761)) % np.int64(1 << 31)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_id": batch["event_id"],
-                "arrival_seq": pa.array(arrival),
-                "event_type": batch["event_type"],
-                "ts_us": ts_us,
-            }
-        )
-
-    skinny = ds.map_batches(add_us, batch_format="pyarrow", batch_size=16384)
+    skinny = ds.map_batches(
+        _add_arrival_us, batch_format="pyarrow", batch_size=16384
+    )
     late_us = lateness_s * 1_000_000
 
     def classify(group: pd.DataFrame) -> pd.DataFrame:
@@ -413,16 +435,7 @@ def q_late_events(sf_dir: str, lateness_s: int = 3600):
 def sql_late_events(lateness_s: int = 3600) -> str:
     late_us = lateness_s * 1_000_000
     return f"""
-WITH seq AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-         max(epoch_us(ts)) OVER (
-           PARTITION BY user_id
-           ORDER BY ((event_id & 2147483647) * 2654435761) % 2147483648,
-                    event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ) AS prior_max
-  FROM events
-)
+WITH {_SQL_WATERMARK_SEQ}
 SELECT event_type,
        (prior_max IS NOT NULL AND ts_us < prior_max - {late_us}) AS late,
        count(*) AS n
@@ -519,23 +532,9 @@ def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
     from ..stages.agg import partial_sum_groupby
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def add_us(batch: pa.Table) -> pa.Table:
-        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        folded = eid & np.int64(0x7FFFFFFF)
-        arrival = (folded * np.int64(2654435761)) % np.int64(1 << 31)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_id": batch["event_id"],
-                "arrival_seq": pa.array(arrival),
-                "event_type": batch["event_type"],
-                "ts_us": ts_us,
-            }
-        )
-
-    skinny = ds.map_batches(add_us, batch_format="pyarrow", batch_size=16384)
+    skinny = ds.map_batches(
+        _add_arrival_us, batch_format="pyarrow", batch_size=16384
+    )
     late_us = lateness_s * 1_000_000
     hour_us = 3_600_000_000
 
@@ -549,41 +548,27 @@ def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
         win = (ts // hour_us) * hour_us
         out = pd.DataFrame(
             {"event_type": g["event_type"].to_numpy(), "window_us": win,
-             "on_time": (~late).astype(np.int64),
-             "late": late.astype(np.int64)}
+             "n_on_time": (~late).astype(np.int64),
+             "n_late": late.astype(np.int64)}
         )
         return (
-            out.groupby(["event_type", "window_us"], sort=False)[["on_time", "late"]]
+            out.groupby(["event_type", "window_us"], sort=False)[
+                ["n_on_time", "n_late"]
+            ]
             .sum()
             .reset_index()
         )
 
     parts = skinny.groupby("user_id").map_groups(tag, batch_format="pandas")
-    agg = partial_sum_groupby(
-        parts, ["event_type", "window_us"], ["on_time", "late"], coalesce=4
+    return partial_sum_groupby(
+        parts, ["event_type", "window_us"], ["n_on_time", "n_late"], coalesce=4
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["event_type", "window_us", "n_on_time", "n_late"]
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_windowed_on_time(lateness_s: int = 3600) -> str:
     late_us = lateness_s * 1_000_000
     return f"""
-WITH seq AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-         max(epoch_us(ts)) OVER (
-           PARTITION BY user_id
-           ORDER BY ((event_id & 2147483647) * 2654435761) % 2147483648,
-                    event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ) AS prior_max
-  FROM events
-)
+WITH {_SQL_WATERMARK_SEQ}
 SELECT event_type,
        (ts_us // 3600000000) * 3600000000 AS window_us,
        CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max - {late_us}
@@ -602,12 +587,13 @@ def q_name_linkage(sf_dir: str, max_dist: int = 1):
     max_dist+1 slices — a qualifying pair matches at least one slice
     exactly — so one groupby on (slice_id, crc(slice), length) finds
     every candidate; within-bucket verification is a vectorized byte
-    mismatch count. Only (slice hash, id) rows shuffle; pairs dedupe on
-    the driver (pair-dimension list). Exact SQL oracle: brute
-    levenshtein self-join (== hamming for equal lengths at dist<=1)."""
+    mismatch count. Pairs dedupe on the driver (pair-dimension list).
+    Each name ships max_dist+1 times through the exchange (names are
+    tens of bytes; for long-string corpora ship (slice hash, id) only
+    and re-fetch text by id for the verify pass — the minhash text-back
+    pattern). Exact SQL oracle: brute hamming self-join over
+    equal-length pairs."""
     import zlib
-
-    from ..stages.agg import partial_count_groupby  # noqa: F401 (shape doc)
 
     nb = max_dist + 1
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -720,12 +706,20 @@ def q_name_linkage(sf_dir: str, max_dist: int = 1):
 
 
 def sql_name_linkage(max_dist: int = 1) -> str:
+    # hamming (not levenshtein): the engine counts SUBSTITUTIONS on
+    # equal-length names, and the two measures diverge at max_dist >= 2
+    # (e.g. rotations); the ON clause restricts to equal lengths before
+    # hamming() is evaluated
     return f"""
-SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-WHERE length(a.c_name) = length(b.c_name)
-  AND levenshtein(a.c_name, b.c_name) <= {max_dist}
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS dist
+  FROM customer a
+  JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND length(a.c_name) = length(b.c_name)
+)
+SELECT id_a, id_b, dist FROM pairs WHERE dist <= {max_dist}
 """
 
 
@@ -746,12 +740,8 @@ def q_value_drift(sf_dir: str, bin_width: float = 5.0):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        # fold to 31 bits BEFORE the Knuth multiply: 2^31 * 2654435761
-        # fits int64/BIGINT in both engines (a raw uint64 product would
-        # silently wrap in numpy but raise in DuckDB)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        folded = eid & np.int64(0x7FFFFFFF)
-        cur = ((folded * np.int64(2654435761)) % np.int64(100)) < np.int64(50)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        cur = _fold_hash(eid, 100) < np.int64(50)
         v = batch["value"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
