@@ -258,6 +258,11 @@ def q_tile_atlas(sf_dir: str, zoom: int = 6, max_pieces: int = 256):
         sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "lon", "lat"]
     )
     pieces = cut_images(ds, zoom=zoom)
+    # prune before the payload shuffle: the assembly needs neither the
+    # caption nor the piece extents — only tile key, order keys, payload
+    pieces = pieces.select_columns(
+        ["tm_id", "tile_x", "tile_y", "image_id", "px", "py", "bytes", "fmt"]
+    )
     atlases = assemble_tiles(pieces, max_pieces_per_tile=max_pieces)
 
     def summarize(batch: pa.Table) -> pa.Table:
