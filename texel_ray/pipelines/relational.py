@@ -374,6 +374,26 @@ def _add_arrival_us(batch: pa.Table) -> pa.Table:
     )
 
 
+def _add_user_bucket(batch: pa.Table, buckets: int = 512) -> pa.Table:
+    """~512-way hash bucket of user_id: per-USER map_groups dispatch
+    (one pandas conversion per user) dominated wall time at thousands of
+    users; grouping on the bucket and iterating user segments vectorized
+    inside cuts the dispatch count to the bucket count."""
+    uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    return batch.append_column("__ub", pa.array(_fold_hash(uid, buckets)))
+
+
+def _user_segments(g: pd.DataFrame, order_cols: list):
+    """Sort one user-bucket group by (user_id, *order_cols) and yield
+    (user_id, segment DataFrame-view slice indices) per user."""
+    g = g.sort_values(["user_id"] + order_cols, kind="stable")
+    uid = g["user_id"].to_numpy()
+    bnd = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(uid)]))
+    return g, uid, starts, ends
+
+
 _SQL_WATERMARK_SEQ = """seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          max(epoch_us(ts)) OVER (
@@ -403,27 +423,30 @@ def q_late_events(sf_dir: str, lateness_s: int = 3600):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     skinny = ds.map_batches(
         _add_arrival_us, batch_format="pyarrow", batch_size=16384
-    )
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
     late_us = lateness_s * 1_000_000
 
     def classify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["arrival_seq", "event_id"], kind="stable")
-        ts = g["ts_us"].to_numpy()
-        # half-range sentinel: int64 min would underflow when the
-        # lateness is subtracted (wrapping positive = first event late)
-        prior_max = np.concatenate(
-            ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
-        )
-        late = ts < (prior_max - late_us)
-        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(), "late": late})
-        t = (
+        g, _uid, starts, ends = _user_segments(group, ["arrival_seq", "event_id"])
+        ts_all = g["ts_us"].to_numpy()
+        et_all = g["event_type"].to_numpy()
+        lates = np.empty(len(ts_all), dtype=bool)
+        for s, e in zip(starts, ends):
+            ts = ts_all[s:e]
+            # half-range sentinel: int64 min would underflow when the
+            # lateness is subtracted (wrapping positive = first late)
+            prior_max = np.concatenate(
+                ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
+            )
+            lates[s:e] = ts < (prior_max - late_us)
+        out = pd.DataFrame({"event_type": et_all, "late": lates})
+        return (
             out.groupby(["event_type", "late"], sort=False)
             .size()
             .reset_index(name="n_partial")
         )
-        return t
 
-    parts = skinny.groupby("user_id").map_groups(classify, batch_format="pandas")
+    parts = skinny.groupby("__ub").map_groups(classify, batch_format="pandas")
     agg = partial_sum_groupby(parts, ["event_type", "late"], ["n_partial"], coalesce=4)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -467,34 +490,39 @@ def q_trip_length(sf_dir: str):
             }
         )
 
-    skinny = ds.map_batches(geotag, batch_format="pyarrow", batch_size=16384)
+    skinny = ds.map_batches(
+        geotag, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
 
     def path_len(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", "event_id"], kind="stable")
-        lon = np.radians(g["lon"].to_numpy())
-        lat = np.radians(g["lat"].to_numpy())
-        if len(lon) < 2:
-            return pd.DataFrame(
-                {
-                    "user_id": g["user_id"].to_numpy()[:1],
-                    "n_steps": np.zeros(min(len(lon), 1), dtype=np.int64),
-                    "dist_mm": np.zeros(min(len(lon), 1), dtype=np.int64),
-                }
-            )
-        dphi = (lat[1:] - lat[:-1]) / 2.0
-        dlmb = (lon[1:] - lon[:-1]) / 2.0
-        a = np.sin(dphi) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb) ** 2
-        d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
-        dist_mm = int(np.floor(d * 1000.0).astype(np.int64).sum())
+        g, uid, starts, ends = _user_segments(group, ["ts_us", "event_id"])
+        lon_all = np.radians(g["lon"].to_numpy())
+        lat_all = np.radians(g["lat"].to_numpy())
+        users, nsteps, dists = [], [], []
+        for s, e in zip(starts, ends):
+            lon = lon_all[s:e]
+            lat = lat_all[s:e]
+            users.append(uid[s])
+            if e - s < 2:
+                nsteps.append(0)
+                dists.append(0)
+                continue
+            dphi = (lat[1:] - lat[:-1]) / 2.0
+            dlmb = (lon[1:] - lon[:-1]) / 2.0
+            a = (np.sin(dphi) ** 2
+                 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb) ** 2)
+            d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+            nsteps.append(e - s - 1)
+            dists.append(int(np.floor(d * 1000.0).astype(np.int64).sum()))
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy()[:1],
-                "n_steps": np.array([len(lon) - 1], dtype=np.int64),
-                "dist_mm": np.array([dist_mm], dtype=np.int64),
+                "user_id": np.array(users),
+                "n_steps": np.array(nsteps, dtype=np.int64),
+                "dist_mm": np.array(dists, dtype=np.int64),
             }
         )
 
-    return skinny.groupby("user_id").map_groups(path_len, batch_format="pandas")
+    return skinny.groupby("__ub").map_groups(path_len, batch_format="pandas")
 
 
 def sql_trip_length() -> str:
@@ -534,22 +562,25 @@ def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     skinny = ds.map_batches(
         _add_arrival_us, batch_format="pyarrow", batch_size=16384
-    )
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
     late_us = lateness_s * 1_000_000
     hour_us = 3_600_000_000
 
     def tag(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["arrival_seq", "event_id"], kind="stable")
-        ts = g["ts_us"].to_numpy()
-        prior_max = np.concatenate(
-            ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
-        )
-        late = ts < (prior_max - late_us)
-        win = (ts // hour_us) * hour_us
+        g, _uid, starts, ends = _user_segments(group, ["arrival_seq", "event_id"])
+        ts_all = g["ts_us"].to_numpy()
+        lates = np.empty(len(ts_all), dtype=bool)
+        for s, e in zip(starts, ends):
+            ts = ts_all[s:e]
+            prior_max = np.concatenate(
+                ([np.iinfo(np.int64).min // 2], np.maximum.accumulate(ts)[:-1])
+            )
+            lates[s:e] = ts < (prior_max - late_us)
+        win = (ts_all // hour_us) * hour_us
         out = pd.DataFrame(
             {"event_type": g["event_type"].to_numpy(), "window_us": win,
-             "n_on_time": (~late).astype(np.int64),
-             "n_late": late.astype(np.int64)}
+             "n_on_time": (~lates).astype(np.int64),
+             "n_late": lates.astype(np.int64)}
         )
         return (
             out.groupby(["event_type", "window_us"], sort=False)[
@@ -559,7 +590,7 @@ def q_windowed_on_time(sf_dir: str, lateness_s: int = 3600):
             .reset_index()
         )
 
-    parts = skinny.groupby("user_id").map_groups(tag, batch_format="pandas")
+    parts = skinny.groupby("__ub").map_groups(tag, batch_format="pandas")
     return partial_sum_groupby(
         parts, ["event_type", "window_us"], ["n_on_time", "n_late"], coalesce=4
     )
