@@ -358,3 +358,25 @@ def test_validate_corpus_detects_corruption():
         "fmt_allowed": 1,
     }
     assert set(out["n_rows"].to_pylist()) == {3}
+
+
+def test_fold_hash_matches_duckdb_in_overflow_zone():
+    # the shared Knuth fold hash must agree with its SQL mirror even for
+    # ids past the uint64-overflow threshold (~6.95e9) that broke the
+    # original raw-multiply form in DuckDB
+    import duckdb
+
+    from texel_ray.pipelines.relational import _fold_hash
+
+    ids = np.array(
+        [0, 1, 2147483647, 2147483648, 6946401183, 10_000_000_000,
+         9_223_372_036_854_775_000],
+        dtype=np.int64,
+    )
+    got = _fold_hash(ids, 10000)
+    vals = ", ".join(f"({int(i)})" for i in ids)
+    df = duckdb.sql(
+        f"SELECT ((id & 2147483647) * 2654435761) % 10000 AS h "
+        f"FROM (VALUES {vals}) t(id)"
+    ).df()
+    assert got.tolist() == df["h"].astype("int64").tolist()
