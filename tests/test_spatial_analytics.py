@@ -380,3 +380,29 @@ def test_fold_hash_matches_duckdb_in_overflow_zone():
         f"FROM (VALUES {vals}) t(id)"
     ).df()
     assert got.tolist() == df["h"].astype("int64").tolist()
+
+
+def test_dlit_parses_bit_identical_in_duckdb():
+    # bare 17-digit decimals go through DuckDB's DECIMAL->DOUBLE cast
+    # (1 ulp off for ~13% of values); dlit's e-notation must parse
+    # bit-identical to the Python float for every literal
+    import duckdb
+
+    from texel_ray.pipelines.common import dlit
+
+    rng = np.random.default_rng(123)
+    vals = np.concatenate(
+        [
+            rng.uniform(-180, 180, 200),
+            rng.normal(scale=1e-6, size=50),
+            rng.normal(scale=1e12, size=50),
+            np.array([0.0, -0.0, 0.5, 51.407399999999996]),
+        ]
+    )
+    exprs = ", ".join(f"({dlit(v)})" for v in vals)
+    df = duckdb.sql(f"SELECT x FROM (VALUES {exprs}) t(x)").df()
+    got = df["x"].to_numpy()
+    assert all(
+        np.float64(a).tobytes() == np.float64(b).tobytes()
+        for a, b in zip(got, vals)
+    )
