@@ -176,26 +176,32 @@ def curate_audio(sf_dir: str, min_rms: float = 0.02, min_dur: float = 0.25):
         decode_and_hash, batch_format="pyarrow", batch_size=256, concurrency=8
     ).materialize()  # consumed twice (victim scan + gate); payload-free rows
 
-    # exact dedup: per-batch (hash, min_id, n) combiner -> tiny groupby;
-    # every id that is not its hash-group's min is a victim
+    # exact dedup: every id that is not its hash-group's min is a victim.
+    # One cheap 32-way low-bit bucket shuffle (the dedup_exact pattern)
+    # instead of a per-hash map_groups dispatch; within a bucket one
+    # vectorized groupby-transform finds each row's group min.
     def dup_partial(b: pa.Table) -> pa.Table:
+        bucket = (
+            b["content_hash"].to_numpy(zero_copy_only=False) & 31
+        ).astype(np.int8)
         return pa.table(
             {
                 "content_hash": b["content_hash"],
                 "audio_id": b["audio_id"],
+                "__bucket": pa.array(bucket),
             }
         )
 
     import pandas as pd
 
     def victims_of(g: pd.DataFrame) -> pd.DataFrame:
-        keep_min = g["audio_id"].min()
-        v = g[g["audio_id"] != keep_min]
-        return pd.DataFrame({"victim": v["audio_id"].to_numpy()})
+        keep_min = g.groupby("content_hash")["audio_id"].transform("min")
+        v = g.loc[g["audio_id"].to_numpy() != keep_min.to_numpy(), "audio_id"]
+        return pd.DataFrame({"victim": v.to_numpy()})
 
     vic = (
         feats.map_batches(dup_partial, batch_format="pyarrow")
-        .groupby("content_hash")
+        .groupby("__bucket")
         .map_groups(victims_of, batch_format="pandas")
         .to_pandas()
     )

@@ -597,7 +597,7 @@ WITH b AS (
   FROM {images_source} CROSS JOIN generate_series(0, 3) g(g)
 )
 SELECT DISTINCT a.image_id AS id_a, c.image_id AS id_b,
-       bit_count(xor(a.phash, c.phash)) AS hamming
+       CAST(bit_count(xor(a.phash, c.phash)) AS BIGINT) AS hamming
 FROM b a JOIN b c
   ON a.band_id = c.band_id AND a.band_val = c.band_val
  AND a.image_id < c.image_id
@@ -2009,7 +2009,7 @@ WITH pts AS (
   CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
   WHERE {d2} <= {_dlit(g * g)}
 )
-SELECT gx, gy, count(*) AS n, sum(wfp) AS density
+SELECT gx, gy, count(*) AS n, CAST(sum(wfp) AS BIGINT) AS density
 FROM fan
 GROUP BY 1, 2
 HAVING sum(is_res) > 0
@@ -2091,7 +2091,8 @@ proj AS (
          row_number() OVER (PARTITION BY image_id ORDER BY d2, edge_id) AS rk
   FROM dist
 )
-SELECT region_id, edge_id, count(*) AS n
+SELECT CAST(region_id AS BIGINT) AS region_id,
+       CAST(edge_id AS BIGINT) AS edge_id, count(*) AS n
 FROM best WHERE rk = 1
 GROUP BY 1, 2
 """
@@ -2182,10 +2183,10 @@ terms AS (
            AS term_fp
   FROM e
 )
-SELECT region_id,
+SELECT CAST(region_id AS BIGINT) AS region_id,
        count(*) AS n_vertices,
-       abs(sum(term_fp)) AS area_fp,
-       CAST(abs(sum(term_fp)) AS DOUBLE) * {_dlit(scale)} AS area_km2
+       CAST(abs(sum(term_fp)) AS BIGINT) AS area_fp,
+       CAST(CAST(abs(sum(term_fp)) AS BIGINT) AS DOUBLE) * {_dlit(scale)} AS area_km2
 FROM terms
 GROUP BY region_id
 """
@@ -2547,7 +2548,7 @@ paired AS (
   WINDOW ord AS (PARTITION BY region_id ORDER BY k
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 )
-SELECT region_id,
+SELECT CAST(region_id AS BIGINT) AS region_id,
        count(*) AS n_vertices,
        CAST(sum(CAST(floor((wx * wy2 - wx2 * wy) * 1e6) AS BIGINT)) AS BIGINT)
          AS area_fp,
@@ -2737,7 +2738,7 @@ def sql_hex_polyfill(res: int = 7) -> str:
                 f"({y2!r} - {y1!r}) * (cx - {x1!r})) >= 0"
             )
         selects.append(f"""
-SELECT {rid} AS region_id, count(*) AS n_cells FROM (
+SELECT CAST({rid} AS BIGINT) AS region_id, count(*) AS n_cells FROM (
   SELECT ((({mp[1,1]} * q.g - {mp[0,1]} * r.g) / {det!r}) * {s3!r}
         + ((-{mp[1,0]} * q.g + {mp[0,0]} * r.g) / {det!r}) * {s3 / 2.0!r}) * {hexgrid.S0!r} AS cx,
          ((-{mp[1,0]} * q.g + {mp[0,0]} * r.g) / {det!r}) * 1.5 * {hexgrid.S0!r} AS cy
@@ -3499,7 +3500,7 @@ WITH g AS (
            WHEN 2 THEN 2500 ELSE 1000 END AS bp
   FROM documents
 )
-SELECT source, sum(n_chars) AS n_chars, count(*) AS n_docs
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars, count(*) AS n_docs
 FROM g
 WHERE (CAST(doc_id AS UBIGINT) * 2654435761) % 10000 < bp
 GROUP BY 1

@@ -619,7 +619,7 @@ WITH t AS (
   WHERE {t['valid']}
   GROUP BY 1, 2
 )
-SELECT a.tile_x, a.tile_y, a.n, sum(b.n) AS focal_sum
+SELECT a.tile_x, a.tile_y, a.n, CAST(sum(b.n) AS BIGINT) AS focal_sum
 FROM t a JOIN t b
   ON b.tile_x BETWEEN a.tile_x - 1 AND a.tile_x + 1
  AND b.tile_y BETWEEN a.tile_y - 1 AND a.tile_y + 1
@@ -834,7 +834,7 @@ g2 AS (
          unnest(range(r.ty0, r.ty1 + 1)) AS tile_y
   FROM gx JOIN r USING (region_id)
 )
-SELECT {zoom} AS tm_id, tile_x, tile_y, count(*) AS n_changed
+SELECT CAST({zoom} AS BIGINT) AS tm_id, tile_x, tile_y, count(*) AS n_changed
 FROM g2 GROUP BY 1, 2, 3
 """
 

@@ -394,6 +394,31 @@ def _user_segments(g: pd.DataFrame, order_cols: list):
     return g, uid, starts, ends
 
 
+def _bucketed_bigrams(skinny, val_col: str, out_from: str, out_to: str):
+    """Per-user consecutive-pair (bigram) counts without per-user
+    dispatch: bucket users 512-way (_add_user_bucket), then inside each
+    bucket ONE stable sort by (user_id, ts_us, event_id) and a fully
+    vectorized prev/next pairing masked at user boundaries — no per-user
+    loop at all. Emits partial (from, to, n_partial) counts for the
+    combiner groupby. Replaces the measured-4.5x-slower raw
+    groupby(user_id).map_groups form (late_events precedent)."""
+    skinny = skinny.map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        r = g[val_col].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({out_from: r[:-1][same], out_to: r[1:][same]})
+        return (
+            pairs.groupby([out_from, out_to], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    return skinny.groupby("__ub").map_groups(bigrams, batch_format="pandas")
+
+
 _SQL_WATERMARK_SEQ = """seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          max(epoch_us(ts)) OVER (
@@ -862,14 +887,19 @@ FROM sided s LEFT JOIN agg a USING (event_type)
 
 
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user (sorted-group streaming semantics)."""
-    from ..stages.window import session_windows
+    """Session windows per user (sorted-group streaming semantics).
+    Superbucketed: one vectorized kernel per 512-way user-hash bucket
+    (session_windows_bucket) instead of one pandas dispatch per user."""
+    from ..stages.window import session_windows_bucket
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(
-        lambda g: session_windows(g, gap_minutes * 60 * 1_000_000),
-        batch_format="pandas",
-    )
+    skinny = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        return session_windows_bucket(g.drop(columns="__ub"), gap_us)
+
+    return skinny.groupby("__ub").map_groups(sessions, batch_format="pandas")
 
 
 SQL_SESSIONIZE = """
@@ -898,39 +928,45 @@ def q_asof_join(sf_dir: str):
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    empty = pd.DataFrame(
-        {
-            "event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "purchase_event_id": pd.Series([], dtype="int64"),
-            "lag_us": pd.Series([], dtype="int64"),
-        }
-    )
-
-    def asof_per_user(g: pd.DataFrame) -> pd.DataFrame:
-        # sort + forward-fill of the last purchase so far: identical to the
-        # oracle window (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
-        # including same-timestamp ties, unlike a ts-only merge_asof
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
-        is_purchase = (g["event_type"] == "purchase").to_numpy()
-        if not is_purchase.any():
-            return empty
-        p_id = pd.Series(np.where(is_purchase, g["event_id"], np.nan)).ffill()
-        p_ts = pd.Series(np.where(is_purchase, ts_us, np.nan)).ffill()
-        keep = p_id.notna().to_numpy()
-        return pd.DataFrame(
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy()[keep].astype("int64"),
-                "user_id": g["user_id"].to_numpy()[keep].astype("int64"),
-                "purchase_event_id": p_id.to_numpy()[keep].astype("int64"),
-                "lag_us": (ts_us.to_numpy()[keep] - p_ts.to_numpy()[keep]).astype(
-                    "int64"
-                ),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "is_purchase": pa.compute.equal(batch["event_type"], "purchase"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof_per_user, batch_format="pandas")
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # sort + forward-fill of the last purchase so far: identical to the
+        # oracle window (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+        # including same-timestamp ties. Vectorized across EVERY user in
+        # the bucket: running argmax of purchase positions, then a fill is
+        # valid only if it lands inside the same user's segment.
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ev = g["event_id"].to_numpy()
+        ts_us = g["ts_us"].to_numpy()
+        is_purchase = g["is_purchase"].to_numpy()
+        n = len(uid)
+        filled = np.maximum.accumulate(np.where(is_purchase, np.arange(n), -1))
+        valid = (filled >= 0) & (uid[np.maximum(filled, 0)] == uid)
+        f = filled[valid]
+        return pd.DataFrame(
+            {
+                "event_id": ev[valid].astype("int64"),
+                "user_id": uid[valid].astype("int64"),
+                "purchase_event_id": ev[f].astype("int64"),
+                "lag_us": (ts_us[valid] - ts_us[f]).astype("int64"),
+            }
+        )
+
+    return skinny.groupby("__ub").map_groups(asof_bucket, batch_format="pandas")
 
 
 def q_join_large(sf_dir: str, num_partitions: int = 16):
@@ -1269,23 +1305,40 @@ def q_window_join_events(sf_dir: str, window_us: int = 3_600_000_000):
     condition; value sums are cent-truncated ints (order-independent)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        cents = np.trunc(g["value"].to_numpy() * 100.0).astype(np.int64)
-        cum = np.concatenate(([0], np.cumsum(cents)))
-        lo = np.searchsorted(ts, ts - window_us, side="left")
-        pos = np.arange(len(ts))
-        return pd.DataFrame(
+    def skinnify(batch: pa.Table) -> pa.Table:
+        value = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "n_win": pos - lo,
-                "cents_win": cum[pos] - cum[lo],
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": pa.array(np.trunc(value * 100.0).astype(np.int64)),
             }
         )
 
-    ds = ds.repartition(16)  # map_groups parallelism == input block count
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def window_counts(group: pd.DataFrame) -> pd.DataFrame:
+        # one sort per bucket; per-user segments share the global prefix
+        # sum (contiguous), only the searchsorted runs per segment
+        g, _uid, starts, ends = _user_segments(group, ["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        ev = g["event_id"].to_numpy()
+        cum = np.concatenate(([0], np.cumsum(g["cents"].to_numpy())))
+        n_win = np.empty(len(ts), dtype=np.int64)
+        cents_win = np.empty(len(ts), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            lo = s + np.searchsorted(ts[s:e], ts[s:e] - window_us, side="left")
+            pos = np.arange(s, e)
+            n_win[s:e] = pos - lo
+            cents_win[s:e] = cum[pos] - cum[lo]
+        return pd.DataFrame(
+            {"event_id": ev, "n_win": n_win, "cents_win": cents_win}
+        )
+
+    return skinny.groupby("__ub").map_groups(window_counts, batch_format="pandas")
 
 
 SQL_WINDOW_JOIN_EVENTS = """
@@ -1396,20 +1449,18 @@ def q_event_transitions(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
 
-    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        prev = g["event_type"].shift(1)
-        pairs = pd.DataFrame(
-            {"prev_type": prev[1:], "event_type": g["event_type"][1:]}
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
         )
-        out = (
-            pairs.groupby(["prev_type", "event_type"], sort=False)
-            .size()
-            .reset_index(name="n_partial")
-        )
-        return out
 
-    parts = ds.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    skinny = ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384)
+    parts = _bucketed_bigrams(skinny, "event_type", "prev_type", "event_type")
     agg = partial_sum_groupby(
         parts, ["prev_type", "event_type"], ["n_partial"], coalesce=4
     )
@@ -1535,17 +1586,7 @@ def q_od_flows(sf_dir: str):
         _event_pos_region_batch, batch_format="pyarrow", batch_size=16384
     )
 
-    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", "event_id"], kind="stable")
-        r = g["region"].to_numpy()
-        pairs = pd.DataFrame({"from_region": r[:-1], "to_region": r[1:]})
-        return (
-            pairs.groupby(["from_region", "to_region"], sort=False)
-            .size()
-            .reset_index(name="n_partial")
-        )
-
-    parts = skinny.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    parts = _bucketed_bigrams(skinny, "region", "from_region", "to_region")
     agg = partial_sum_groupby(
         parts, ["from_region", "to_region"], ["n_partial"], coalesce=4
     )
@@ -1814,17 +1855,7 @@ def q_traj_edge_match(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     skinny = ds.map_batches(nearest_edge, batch_format="pyarrow", batch_size=8192)
 
-    def bigrams(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", "event_id"], kind="stable")
-        r = g["edge"].to_numpy()
-        pairs = pd.DataFrame({"from_edge": r[:-1], "to_edge": r[1:]})
-        return (
-            pairs.groupby(["from_edge", "to_edge"], sort=False)
-            .size()
-            .reset_index(name="n_partial")
-        )
-
-    parts = skinny.groupby("user_id").map_groups(bigrams, batch_format="pandas")
+    parts = _bucketed_bigrams(skinny, "edge", "from_edge", "to_edge")
     agg = partial_sum_groupby(
         parts, ["from_edge", "to_edge"], ["n_partial"], coalesce=4
     )
@@ -1863,7 +1894,8 @@ proj AS (
            AS from_edge
   FROM best WHERE rk = 1
 )
-SELECT from_edge, to_edge, count(*) AS n
+SELECT CAST(from_edge AS BIGINT) AS from_edge,
+       CAST(to_edge AS BIGINT) AS to_edge, count(*) AS n
 FROM seq WHERE from_edge IS NOT NULL
 GROUP BY 1, 2
 """
@@ -1961,8 +1993,14 @@ def q_traj_segments(
 
     skinny = ds.map_batches(pos, batch_format="pyarrow", batch_size=16384)
 
+    skinny = skinny.map_batches(_add_user_bucket, batch_format="pyarrow")
+
     def segments(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts_us", "event_id"], kind="stable")
+        # vectorized across every user in the bucket: a user change is a
+        # forced break, so segment starts never straddle users; the seg
+        # index restarts per user by subtracting each user's first start
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         ev = g["event_id"].to_numpy()
         lon = g["lon"].to_numpy()
@@ -1972,16 +2010,22 @@ def q_traj_segments(
         brk = np.concatenate(
             (
                 [True],
-                (np.diff(ts) > gap_us)
+                (uid[1:] != uid[:-1])
+                | (np.diff(ts) > gap_us)
                 | (dlon * dlon + dlat * dlat > d2_split),
             )
         )
         starts = np.nonzero(brk)[0]
         ends = np.concatenate((starts[1:], [len(ts)])) - 1
+        su = uid[starts]
+        new_user = np.concatenate(([True], su[1:] != su[:-1]))
+        first_pos = np.nonzero(new_user)[0]
+        runs = np.diff(np.concatenate((first_pos, [len(starts)])))
+        seg = np.arange(len(starts), dtype=np.int64) - np.repeat(first_pos, runs)
         return pd.DataFrame(
             {
-                "user_id": np.repeat(g["user_id"].iloc[0], len(starts)),
-                "seg": np.arange(len(starts), dtype=np.int64),
+                "user_id": su,
+                "seg": seg,
                 "n": (ends - starts + 1).astype(np.int64),
                 "first_event_id": ev[starts],
                 "last_event_id": ev[ends],
@@ -1989,7 +2033,7 @@ def q_traj_segments(
             }
         )
 
-    return skinny.groupby("user_id").map_groups(segments, batch_format="pandas")
+    return skinny.groupby("__ub").map_groups(segments, batch_format="pandas")
 
 
 def sql_traj_segments(
@@ -2015,8 +2059,8 @@ b AS (
 ),
 s AS (
   SELECT user_id, ts_us, event_id,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS seg
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg
   FROM b
 ),
 m AS (

@@ -91,7 +91,9 @@ class PIPJoiner:
         self.lat_col = lat_col
         self.keep_columns = keep_columns
         self.region_id = regions["region_id"].to_numpy()
-        self.region_name = regions["name"].to_pylist()
+        # object ndarray so the probe emits names by fancy-index (no
+        # per-match Python loop in the hot path)
+        self.region_name = np.asarray(regions["name"].to_pylist(), dtype=object)
         self.minx = regions["minx"].to_numpy()
         self.miny = regions["miny"].to_numpy()
         self.maxx = regions["maxx"].to_numpy()
@@ -253,7 +255,7 @@ class PIPJoiner:
         take = pa.array(point_idx)
         cols = [batch[c].take(take) for c in keep]
         cols.append(pa.array(self.region_id[region_idx]))
-        cols.append(pa.array([self.region_name[i] for i in region_idx], pa.string()))
+        cols.append(pa.array(self.region_name[region_idx], pa.string()))
         return pa.table(cols, names=[*keep, "region_id", "region_name"])
 
 

@@ -135,35 +135,43 @@ def assemble_tiles(pieces_ds, max_pieces_per_tile: int = 256):
     """groupby(tile) -> one atlas row per tile: pieces stacked vertically
     into a single PNG (padded to the widest piece), with a deterministic
     piece index. The shuffle moves cut pieces only; per-tile group size is
-    bounded by `max_pieces_per_tile` (overflow counted, not crashed)."""
-    import pandas as pd
+    bounded by `max_pieces_per_tile` (overflow counted, not crashed).
+    Groups arrive as Arrow tables — the binary piece payloads stay in
+    Arrow buffers instead of being boxed into pandas object cells."""
 
-    def build_atlas(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["image_id", "px", "py"]).head(max_pieces_per_tile)
-        imgs = [decode_image(b, f) for b, f in zip(g["bytes"], g["fmt"])]
+    def build_atlas(group: pa.Table) -> pa.Table:
+        n_total = group.num_rows
+        g = group.sort_by(
+            [("image_id", "ascending"), ("px", "ascending"), ("py", "ascending")]
+        ).slice(0, max_pieces_per_tile)
+        ids = g["image_id"].to_pylist()
+        imgs = [
+            decode_image(b, f)
+            for b, f in zip(g["bytes"].to_pylist(), g["fmt"].to_pylist())
+        ]
         width = max(im.shape[1] for im in imgs)
         height = sum(im.shape[0] for im in imgs)
         atlas = np.zeros((height, width, 3), dtype=np.uint8)
         y = 0
         index = []
-        for im, image_id in zip(imgs, g["image_id"]):
+        for im, image_id in zip(imgs, ids):
             atlas[y : y + im.shape[0], : im.shape[1]] = im
             index.append(f"{image_id}:{y}")
             y += im.shape[0]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "tm_id": [int(g["tm_id"].iloc[0])],
-                "tile_x": [int(g["tile_x"].iloc[0])],
-                "tile_y": [int(g["tile_y"].iloc[0])],
-                "n_pieces": [len(imgs)],
-                "dropped": [len(group) - len(g)],
-                "atlas": [encode_image(atlas, "png")],
-                "piece_index": [";".join(index)],
+                "tm_id": pa.array([g["tm_id"][0].as_py()], pa.int64()),
+                "tile_x": pa.array([g["tile_x"][0].as_py()], pa.int64()),
+                "tile_y": pa.array([g["tile_y"][0].as_py()], pa.int64()),
+                "n_pieces": pa.array([len(imgs)], pa.int64()),
+                "dropped": pa.array([n_total - g.num_rows], pa.int64()),
+                "atlas": pa.array([encode_image(atlas, "png")], pa.binary()),
+                "piece_index": pa.array([";".join(index)], pa.string()),
             }
         )
 
     return pieces_ds.groupby(["tm_id", "tile_x", "tile_y"]).map_groups(
-        build_atlas, batch_format="pandas"
+        build_atlas, batch_format="pyarrow"
     )
 
 

@@ -110,6 +110,32 @@ def sliding_window_partials(
     return g.rename_columns([key_col, "window_start", "n", "value_cents"])
 
 
+def session_windows_bucket(group: pd.DataFrame, gap_us: int = 30 * 60 * 1_000_000):
+    """Session splitting for a BUCKET of users (hash-superbucketed
+    groupby — one pandas dispatch per ~512 buckets instead of per user).
+    Fully vectorized: one sort by (user_id, ts), a session break is a
+    user change OR a gap, per-user counts by segment reduction."""
+    g = group.sort_values(["user_id", "ts"], kind="stable")
+    uid = g["user_id"].to_numpy()
+    ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    n = len(uid)
+    user_change = np.empty(n, dtype=bool)
+    user_change[0] = True
+    user_change[1:] = uid[1:] != uid[:-1]
+    new_session = user_change.copy()
+    new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    starts = np.nonzero(user_change)[0]
+    ends = np.concatenate((starts[1:], [n]))
+    csum = np.concatenate(([0], np.cumsum(new_session)))
+    return pd.DataFrame(
+        {
+            "user_id": uid[starts].astype("int64"),
+            "n_events": (ends - starts).astype("int64"),
+            "n_sessions": (csum[ends] - csum[starts]).astype("int64"),
+        }
+    )
+
+
 def session_windows(group: pd.DataFrame, gap_us: int = 30 * 60 * 1_000_000):
     """Per-user session splitting: sort by ts, new session when the gap to
     the previous event exceeds `gap_us`. Runs inside

@@ -16,32 +16,45 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def to_pandas(result) -> pd.DataFrame:
+def to_arrow(result):
+    """Normalize a query/oracle result to a pyarrow Table, columns sorted
+    by name — types are PRESERVED (no integral-float or object coercion)
+    so the comparison is exactly as strict as the driver's typed hash."""
     import pyarrow as pa
 
-    if isinstance(result, pd.DataFrame):
-        return result
     if isinstance(result, pa.Table):
-        return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+        t = result
+    elif isinstance(result, pd.DataFrame):
+        t = pa.Table.from_pandas(result, preserve_index=False)
+    else:  # ray Dataset
+        t = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+    return t.select(sorted(t.column_names))
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    import numpy as np
+def type_label(t) -> str:
+    """Collapse physical-encoding-only differences (string vs
+    large_string, dictionary) while keeping width/signedness/kind strict:
+    int32 != int64, decimal (DuckDB HUGEINT) != int64, float32 != float64."""
+    import pyarrow as pa
+    import pyarrow.types as pt
 
-    df = df[sorted(df.columns)].copy()
+    if isinstance(t, pa.DictionaryType):
+        t = t.value_type
+    if pt.is_large_string(t) or pt.is_string(t):
+        return "str"
+    if pt.is_large_binary(t) or pt.is_binary(t):
+        return "bin"
+    if pt.is_decimal(t):
+        return "decimal"
+    return str(t)
+
+
+def canon(table) -> pd.DataFrame:
+    """Sorted pandas view for value hashing — call AFTER the type check."""
+    df = table.to_pandas()
     for c in df.columns:
         if df[c].dtype == object:
-            try:
-                as_num = pd.to_numeric(df[c])
-                df[c] = as_num
-            except (ValueError, TypeError):
-                df[c] = df[c].astype(str)
-                continue
-        if np.issubdtype(df[c].dtype, np.floating):
-            vals = df[c].to_numpy()
-            if np.all(np.isfinite(vals)) and np.all(vals == np.trunc(vals)):
-                df[c] = vals.astype(np.int64)
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -83,26 +96,41 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_t = to_arrow(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: ray query raised {type(e).__name__}: {e}")
             failures += 1
             continue
         ray_s = time.perf_counter() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows, cols {list(got.columns)}")
+            print(
+                f"[rows-only] {name}: {got_t.num_rows} rows, "
+                f"cols {got_t.column_names}"
+            )
             continue
-        want = canon(con.execute(oracles[name]).fetchdf())
-        if len(got) != len(want):
-            print(f"[FAIL] {name}: rows {len(got)} != oracle {len(want)}")
+        want_t = to_arrow(con.execute(oracles[name]).arrow())
+        if got_t.num_rows != want_t.num_rows:
+            print(f"[FAIL] {name}: rows {got_t.num_rows} != oracle {want_t.num_rows}")
             failures += 1
             continue
-        if list(got.columns) != list(want.columns):
+        if got_t.column_names != want_t.column_names:
             print(
-                f"[FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}"
+                f"[FAIL] {name}: columns {got_t.column_names} != {want_t.column_names}"
             )
             failures += 1
             continue
+        gtypes = [type_label(f.type) for f in got_t.schema]
+        wtypes = [type_label(f.type) for f in want_t.schema]
+        if gtypes != wtypes:
+            bad = [
+                f"{c}: ray={g} oracle={w}"
+                for c, g, w in zip(got_t.column_names, gtypes, wtypes)
+                if g != w
+            ]
+            print(f"[FAIL] {name}: dtype mismatch — {'; '.join(bad)}")
+            failures += 1
+            continue
+        got, want = canon(got_t), canon(want_t)
         gh = pd.util.hash_pandas_object(got.astype(str), index=False).sum()
         wh = pd.util.hash_pandas_object(want.astype(str), index=False).sum()
         if gh != wh:

@@ -331,7 +331,7 @@ def golden_tile_atlas():
         columns=["tm_id", "tile_x", "tile_y", "n_pieces", "dropped",
                  "atlas_crc", "index_md5"],
     )
-    res["tm_id"] = res["tm_id"].astype("int32")
+    res["tm_id"] = res["tm_id"].astype("int64")
     res["n_pieces"] = res["n_pieces"].astype("int64")
     res["dropped"] = res["dropped"].astype("int64")
     return res
