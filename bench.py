@@ -229,17 +229,41 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # single-shot efficiency on this shared VM swings +-40% with
+    # co-tenant load (judge r3 measured 0.661 and 1.177 back to back),
+    # so sample interleaved lo/hi pairs and report the MEDIAN, plus the
+    # 1-min load average around each sample for interpretability
+    n_samples = int(os.environ.get("BENCH_SCALING_SAMPLES", "3"))
+    samples = []
+    for _ in range(n_samples):
+        load_before = os.getloadavg()[0]
+        r_lo = one(lo)
+        r_hi = one(hi)
+        load_after = os.getloadavg()[0]
+        samples.append(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "throughput_8_rows_per_sec": r_lo["joined_rows_per_sec"],
+                "throughput_32_rows_per_sec": r_hi["joined_rows_per_sec"],
+                "efficiency": round(
+                    (r_lo["value"] / r_hi["value"]) / (hi / lo), 3
+                ),
+                "load_avg_1m": [round(load_before, 2), round(load_after, 2)],
+            }
+        )
+    effs = sorted(s["efficiency"] for s in samples)
+    median_eff = effs[len(effs) // 2] if n_samples % 2 else round(
+        (effs[n_samples // 2 - 1] + effs[n_samples // 2]) / 2, 3
+    )
     return {
         "metric": "scaling efficiency (32 vs 8 cpus, same input)",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "throughput_8_rows_per_sec": r_lo["joined_rows_per_sec"],
-        "throughput_32_rows_per_sec": r_hi["joined_rows_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "samples": samples,
+        "median_efficiency": median_eff,
+        "scaling_efficiency": median_eff,
+        "load_avg": round(os.getloadavg()[0], 2),
+        "sec_8": samples[-1]["sec_8"],
+        "sec_32": samples[-1]["sec_32"],
     }
 
 

@@ -91,11 +91,19 @@ def test_decode_psnr_invariant(images_path):
     assert png_rows and jpeg_rows
     for i in jpeg_rows[:20]:
         img = decode_image(t["bytes"][i].as_py(), "jpeg")
-        # lossy roundtrip must stay above the 40 dB gate vs re-encode
-        from texel_ray.core.imagecodec import encode_fake_jpeg, decode_fake_jpeg
+        # lossy roundtrip must stay above the 40 dB gate vs re-encode,
+        # through both the legacy FJPG container and the real T.81 encoder
+        from texel_ray.core.imagecodec import (
+            decode_fake_jpeg,
+            decode_jpeg,
+            encode_fake_jpeg,
+            encode_jpeg,
+        )
 
         again = decode_fake_jpeg(encode_fake_jpeg(img))
         assert psnr(img, again) >= 40.0
+        again_real = decode_jpeg(encode_jpeg(img))
+        assert psnr(img, again_real) >= 40.0
 
 
 def test_pip_joiner_grid_index_matches_dense_path():

@@ -11,11 +11,13 @@ The evaluation container has no PIL/libjpeg/OpenCV, so:
   tests/test_jpeg.py against a CPython-test-suite fixture with a raw
   PPM ground-truth sibling. Progressive (SOF2) raises a documented
   NotImplementedError.
-- ``jpeg`` ENCODE: the deterministic lossy stand-in ("FJPG": uniform
-  quantization step 4 + zlib, PSNR >= 40 dB) — the synthetic corpus
-  uses it, and ``decode_image`` dispatches on the payload magic (SOI
-  -> real decoder, FJPG -> stand-in), so real corpora and the
-  synthetic table coexist.
+- ``jpeg`` ENCODE: a real pure-numpy baseline JFIF encoder (4:4:4,
+  Annex-K quant + huffman tables at quality 98, PSNR >= 40 dB even on
+  noise) — outputs are readable by any external JPEG tool and by the
+  decoder above. The legacy deterministic "FJPG" stand-in remains only
+  as the synthetic corpus's storage format; ``decode_image`` dispatches
+  on the payload magic (SOI -> real decoder, FJPG -> stand-in), so the
+  synthetic table and re-encoded outputs coexist.
 
 All functions operate on ``numpy`` uint8 arrays of shape (h, w, 3).
 """
@@ -146,8 +148,7 @@ def decode_fake_jpeg(buf: bytes) -> np.ndarray:
 # Decodes baseline DCT JFIF/JPEG: SOF0/SOF1, multiple DQT/DHT tables,
 # restart intervals, arbitrary H/V chroma subsampling (1x1, 2x1, 2x2),
 # 1- or 3-component scans. Written from the published T.81 spec — no
-# libjpeg code. The encoder side deliberately stays the deterministic
-# FJPG stand-in (an encoder is not needed to ingest real corpora).
+# libjpeg code.
 
 _ZIGZAG = np.array(
     [
@@ -402,6 +403,388 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     raise ValueError("no SOS scan found in JPEG")
 
 
+# ---- real baseline JPEG encoder (pure numpy + python bit writer) ----------
+#
+# Inverse of decode_jpeg: BT.601 color transform, 4:4:4 sampling (every
+# component 1x1 — simplest valid baseline layout, highest fidelity),
+# Annex-K quantization tables with the public IJG quality scaling, and
+# the standard T.81 Annex-K huffman tables. The table transcriptions are
+# VECTOR-ANCHORED: tests/test_jpeg.py asserts they equal byte-for-byte
+# the DHT segments of the committed third-party fixture
+# (tests/fixtures/real_photo.jpg), which carries the standard tables.
+# Output is plain JFIF readable by any external JPEG tool.
+
+# T.81 Annex K.1 / K.2 quantization tables (natural row order)
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# T.81 Annex K.3 standard huffman tables: (BITS counts, HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _encode_codes(bits_counts, symbols):
+    """(BITS, HUFFVAL) -> dict symbol -> (code, length), T.81 C.2 order."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ENC_DC = (_encode_codes(*_HUFF_DC_LUMA), _encode_codes(*_HUFF_DC_CHROMA))
+_ENC_AC = (_encode_codes(*_HUFF_AC_LUMA), _encode_codes(*_HUFF_AC_CHROMA))
+
+
+def _codes_to_arrays(codes: dict, size: int):
+    """symbol -> (code, len) dict as two int64 lookup arrays for the
+    vectorized scan writer."""
+    c = np.zeros(size, dtype=np.int64)
+    ln = np.zeros(size, dtype=np.int64)
+    for sym, (code, length) in codes.items():
+        c[sym] = code
+        ln[sym] = length
+    return c, ln
+
+
+_ENC_DC_ARR = (_codes_to_arrays(_ENC_DC[0], 16), _codes_to_arrays(_ENC_DC[1], 16))
+_ENC_AC_ARR = (_codes_to_arrays(_ENC_AC[0], 256), _codes_to_arrays(_ENC_AC[1], 256))
+
+
+def _scaled_quant(q: np.ndarray, quality: int) -> np.ndarray:
+    """Public IJG quality scaling of an Annex-K table (50 = unscaled)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float32 -> (nblocks, 8, 8) in MCU (row-major block) order,
+    edge-replicated to multiples of 8."""
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if bh != h or bw != w:
+        plane = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    return (
+        plane.reshape(bh // 8, 8, bw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+# Fixed-point FDCT basis (20 fractional bits). The forward transform is
+# EXACT int64 arithmetic — a float BLAS matmul's summation order varies
+# with the batch's row count, so the same pixels could quantize
+# differently depending on which batch they ride in (observed: 2 flipped
+# coefficients in 60k images), breaking golden determinism. Integer
+# multiply-adds are associative, so the result is identical for any
+# batch composition. Value bound: |T2| <= 8 * (8*2^19*255) * 2^19
+# = 4.5e18 < 2^63.
+_FDCT_CI = np.round(_DCT_C * (1 << 20)).astype(np.int64)
+
+
+def _fdct_quant(blocks: np.ndarray, qzz: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) level-shifted int64 blocks -> (N, 64) quantized zigzag
+    coefficients, exactly: X = C' B C'^T at 2^40 scale, then round-half-
+    away division by (q << 40). Deterministic for any N."""
+    n = blocks.shape[0]
+    t1 = np.zeros((n, 8, 8), dtype=np.int64)
+    for k in range(8):
+        t1 += _FDCT_CI[None, :, k, None] * blocks[:, k, None, :]
+    x = np.zeros((n, 8, 8), dtype=np.int64)
+    for l in range(8):  # noqa: E741
+        x += t1[:, :, l, None] * _FDCT_CI[None, None, :, l]
+    z = x.reshape(n, 64)[:, _ZIGZAG]
+    d = qzz.astype(np.int64) << 40
+    half = d >> 1
+    q = (np.abs(z) + half) // d
+    return np.where(z < 0, -q, q).astype(np.int32)
+
+_ENC_CACHE: dict = {}
+
+
+def _enc_tables(quality: int):
+    """Cached per-quality scaled quant rows (zigzag order, float32
+    divisors) + the constant header segments that don't depend on size."""
+    hit = _ENC_CACHE.get(quality)
+    if hit is not None:
+        return hit
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    zz_l = ql.reshape(-1)[_ZIGZAG]
+    zz_c = qc.reshape(-1)[_ZIGZAG]
+    head = b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(0xDB, b"\x00" + zz_l.astype(np.uint8).tobytes()),
+            seg(0xDB, b"\x01" + zz_c.astype(np.uint8).tobytes()),
+        ]
+    )
+    tail = b"".join(
+        [
+            seg(0xC4, bytes([0x00] + _HUFF_DC_LUMA[0]) + bytes(_HUFF_DC_LUMA[1])),
+            seg(0xC4, bytes([0x10] + _HUFF_AC_LUMA[0]) + bytes(_HUFF_AC_LUMA[1])),
+            seg(0xC4, bytes([0x01] + _HUFF_DC_CHROMA[0]) + bytes(_HUFF_DC_CHROMA[1])),
+            seg(0xC4, bytes([0x11] + _HUFF_AC_CHROMA[0]) + bytes(_HUFF_AC_CHROMA[1])),
+            seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
+        ]
+    )
+    entry = (
+        zz_l.astype(np.int64),
+        zz_c.astype(np.int64),
+        head,
+        tail,
+        seg,
+    )
+    _ENC_CACHE[quality] = entry
+    return entry
+
+
+def encode_jpeg_batch(imgs: list, quality: int = 98) -> list:
+    """Encode MANY RGB8 images to baseline JFIF in one vectorized pass
+    (4:4:4, Annex-K tables). This is the tile-piece hot path: tiny
+    crops are numpy-call-overhead bound one at a time, so the FDCT, the
+    huffman token generation and the bit packing all run ONCE over the
+    concatenated blocks of the whole batch; per-image work is just the
+    color transform and the final byte split. quality=98 keeps the
+    lossy roundtrip >= 40 dB even on pure-noise input (measured 43.6 dB
+    worst case; natural content 44-54 dB)."""
+    if not imgs:
+        return []
+    zz_l, zz_c, head, tail, seg = _enc_tables(quality)
+
+    nimg = len(imgs)
+    comp_blocks = ([], [], [])
+    nb = np.empty(nimg, dtype=np.int64)
+    for i, img in enumerate(imgs):
+        h, w, c = img.shape
+        assert c == 3 and img.dtype == np.uint8
+        f = img.astype(np.float32)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        nb[i] = ((h + 7) // 8) * ((w + 7) // 8)
+        for ci, plane in enumerate((y, cb, cr)):
+            # standard 8-bit YCbCr sampling: elementwise round/clip (no
+            # cross-element float reduction -> batch-independent)
+            p = np.clip(np.round(plane), 0.0, 255.0).astype(np.int64)
+            comp_blocks[ci].append(_plane_blocks(p).reshape(-1, 8, 8))
+
+    nblocks = int(nb.sum())
+    img_of_block = np.repeat(np.arange(nimg, dtype=np.int64), nb)
+    block_starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    is_first_block = np.zeros(nblocks, dtype=bool)
+    is_first_block[block_starts] = True
+
+    comp_coef = []
+    for ci, q in ((0, zz_l), (1, zz_c), (2, zz_c)):
+        blocks = np.concatenate(comp_blocks[ci]) - np.int64(128)
+        comp_coef.append(_fdct_quant(blocks, q))
+
+    # ---- entropy-coded scans, fully vectorized across the batch: every
+    # token (huffman code + amplitude merged into one value/nbits pair)
+    # is generated per component in numpy, ordered by an (image-major
+    # block, component, zigzag-position) sort key, bit-packed with ONE
+    # packbits (per-image byte alignment via 1-padding), FF-stuffed with
+    # one np.insert per image.
+    tok_val, tok_bits, tok_key, tok_img = [], [], [], []
+    for ci, tab in enumerate((0, 1, 1)):
+        Z = comp_coef[ci]
+        dc_c, dc_l = _ENC_DC_ARR[tab]
+        ac_c, ac_l = _ENC_AC_ARR[tab]
+        # DC: differential with the predictor RESET at each image start
+        dc = Z[:, 0].astype(np.int64)
+        prev = np.concatenate(([0], dc[:-1]))
+        diff = np.where(is_first_block, dc, dc - prev)
+        s = np.frexp(np.abs(diff).astype(np.float64))[1].astype(np.int64)
+        amp = np.where(diff >= 0, diff, diff + (np.int64(1) << s) - 1)
+        tok_val.append((dc_c[s].astype(np.int64) << s) | amp)
+        tok_bits.append(dc_l[s] + s)
+        tok_key.append(np.arange(nblocks, dtype=np.int64) * 512 + ci * 128)
+        tok_img.append(img_of_block)
+        # AC: nonzero coefficients with runs, ZRL expansion, EOB
+        bi, kj = np.nonzero(Z[:, 1:])
+        k = kj.astype(np.int64) + 1
+        v = Z[bi, k].astype(np.int64)
+        first = np.concatenate(([True], bi[1:] != bi[:-1]))
+        prev_k = np.concatenate(([0], k[:-1]))
+        run = k - np.where(first, 0, prev_k) - 1
+        nzrl = run >> 4
+        s = np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+        amp = np.where(v >= 0, v, v + (np.int64(1) << s) - 1)
+        sym = ((run & 15) << 4) | s
+        base_key = bi.astype(np.int64) * 512 + ci * 128 + 2 * k
+        tok_val.append((ac_c[sym].astype(np.int64) << s) | amp)
+        tok_bits.append(ac_l[sym] + s)
+        tok_key.append(base_key)
+        tok_img.append(img_of_block[bi])
+        if nzrl.sum():
+            zrl_code, zrl_len = int(ac_c[0xF0]), int(ac_l[0xF0])
+            zi = np.repeat(np.arange(len(k)), nzrl)
+            tok_val.append(np.full(len(zi), zrl_code, dtype=np.int64))
+            tok_bits.append(np.full(len(zi), zrl_len, dtype=np.int64))
+            tok_key.append(base_key[zi] - 1)  # just before their coeff
+            tok_img.append(img_of_block[bi[zi]])
+        # EOB for every block whose last nonzero isn't position 63
+        last_k = np.zeros(nblocks, dtype=np.int64)
+        if len(k):
+            last_k[bi] = np.maximum.reduceat(
+                k, np.nonzero(first)[0]
+            )[np.cumsum(first) - 1]  # per-row max via segmented reduce
+        need_eob = np.nonzero(last_k != 63)[0]
+        eob_code, eob_len = int(ac_c[0]), int(ac_l[0])
+        tok_val.append(np.full(len(need_eob), eob_code, dtype=np.int64))
+        tok_bits.append(np.full(len(need_eob), eob_len, dtype=np.int64))
+        tok_key.append(need_eob * 512 + ci * 128 + 127)
+        tok_img.append(img_of_block[need_eob])
+    val = np.concatenate(tok_val)
+    bits = np.concatenate(tok_bits)
+    order = np.argsort(np.concatenate(tok_key), kind="stable")
+    val, bits = val[order], bits[order]
+    timg = np.concatenate(tok_img)[order]  # non-decreasing (keys img-major)
+
+    # per-image bit budgets, byte-aligned starts (padding bits are 1s)
+    img_bits = np.bincount(timg, weights=bits.astype(np.float64), minlength=nimg)
+    img_bits = img_bits.astype(np.int64)
+    img_padded = (img_bits + 7) // 8 * 8
+    img_start = np.concatenate(([0], np.cumsum(img_padded)[:-1]))
+    base = np.concatenate(([0], np.cumsum(img_bits)[:-1]))  # bits before image
+
+    ends = np.cumsum(bits)
+    tok_pos = img_start[timg] + (ends - bits) - base[timg]
+    total_padded = int(img_padded.sum())
+    j = np.arange(int(bits.sum()), dtype=np.int64) - np.repeat(ends - bits, bits)
+    shifts = np.repeat(bits, bits) - 1 - j
+    bitvals = ((np.repeat(val, bits) >> shifts) & 1).astype(np.uint8)
+    bitarr = np.ones(total_padded, dtype=np.uint8)
+    bitarr[np.repeat(tok_pos, bits) + j] = bitvals
+    allbytes = np.packbits(bitarr)
+
+    out = []
+    for i, img in enumerate(imgs):
+        h, w, _ = img.shape
+        b0 = int(img_start[i] // 8)
+        scan = allbytes[b0 : b0 + int(img_padded[i] // 8)]
+        ff = np.nonzero(scan == 0xFF)[0]  # T.81 byte stuffing
+        if len(ff):
+            scan = np.insert(scan, ff + 1, 0)
+        out.append(
+            b"".join(
+                [
+                    head,
+                    seg(
+                        0xC0,
+                        struct.pack(">BHHB", 8, h, w, 3)
+                        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                    ),
+                    tail,
+                    scan.tobytes(),
+                    b"\xff\xd9",  # EOI
+                ]
+            )
+        )
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 98) -> bytes:
+    """RGB8 (h, w, 3) -> baseline JFIF bytes (see encode_jpeg_batch)."""
+    return encode_jpeg_batch([img], quality)[0]
+
+
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(buf)
@@ -415,11 +798,31 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 
+def is_real_jpeg(buf) -> bool:
+    """True when a fmt='jpeg' payload is a real JFIF bitstream (SOI
+    magic) rather than the synthetic corpus's FJPG container."""
+    return bytes(buf[:2]) == b"\xff\xd8"
+
+
+def reencode_like(img: np.ndarray, fmt: str, src_payload, level: int = 1) -> bytes:
+    """Container-preserving re-encode for derived pixels (tile pieces,
+    resizes, augmentations): a real-JPEG source emits real JFIF, an
+    FJPG-container source keeps FJPG (the fast deterministic synthetic
+    path), png stays png. Hot batched stages do the same split inline
+    with encode_jpeg_batch."""
+    if fmt == "jpeg" and not is_real_jpeg(src_payload):
+        return encode_fake_jpeg(img, level)
+    return encode_image(img, fmt, level)
+
+
 def encode_image(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "png":
         return encode_png(img, level)
     if fmt == "jpeg":
-        return encode_fake_jpeg(img, level)
+        # real baseline JFIF output (externally readable); `level` is the
+        # png/zlib knob — jpeg always encodes at quality 98 so the lossy
+        # roundtrip stays above the 40 dB PSNR gate
+        return encode_jpeg(img)
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 

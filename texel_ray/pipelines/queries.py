@@ -1464,6 +1464,7 @@ QUERIES = {
     "tumbling_events": relational.q_tumbling_events,
     "sliding_events": relational.q_sliding_events,
     "image_resize": relational.q_image_resize,
+    "image_transcode": relational.q_image_transcode,
     "image_augment": mlprep.q_image_augment,
     "sessionize": relational.q_sessionize,
     "event_props_extract": relational.q_event_props_extract,
@@ -1629,6 +1630,7 @@ for _name in (
     "image_embed_neardup",
     "curate_images",
     "image_resize",
+    "image_transcode",
     "quantiles_quality",
     "audio_features",
     "s2_cells",

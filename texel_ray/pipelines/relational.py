@@ -318,6 +318,65 @@ GROUP BY 1, 2
 """
 
 
+def q_image_transcode(sf_dir: str):
+    """Real-JPEG TRANSCODE pass over the jpeg half of the corpus: decode
+    (FJPG container) -> encode a REAL baseline JFIF (core/imagecodec
+    encode_jpeg_batch: Annex-K tables, exact integer FDCT so the bytes
+    are batch-composition-independent) -> decode the JFIF back -> exact
+    fixed-point PSNR stats. Proves the externally-readable encode path
+    end-to-end under the driver gate. Output: one row (n, total JFIF
+    bytes, min/sum floor(psnr*1000)) — every value deterministic.
+    """
+    from ..core.imagecodec import decode_image, decode_jpeg, encode_jpeg_batch
+    from ..stages.agg import partial_sum_groupby
+    from ..sources.images import read_images
+
+    def transcode(batch: pa.Table) -> pa.Table:
+        keep = [i for i, f in enumerate(batch["fmt"].to_pylist()) if f == "jpeg"]
+        payloads = batch["bytes"].take(pa.array(keep)).to_pylist()
+        imgs = [decode_image(buf, "jpeg") for buf in payloads]
+        jfif = encode_jpeg_batch(imgs)
+        n_bytes = 0
+        min_fp = np.int64(1 << 60)
+        sum_fp = np.int64(0)
+        for img, buf in zip(imgs, jfif):
+            back = decode_jpeg(buf)
+            d = img.astype(np.int64) - back.astype(np.int64)
+            mse = (d * d).sum() / d.size  # exact int sum -> one fl division
+            p = 10.0 * np.log10(255.0**2 / mse) if mse else 120.0
+            fp = np.int64(np.floor(p * 1000.0))
+            n_bytes += len(buf)
+            min_fp = min(min_fp, fp)
+            sum_fp += fp
+        return pa.table(
+            {
+                "grp": pa.array([0], pa.int64()),
+                "n": pa.array([len(imgs)], pa.int64()),
+                "jfif_bytes": pa.array([n_bytes], pa.int64()),
+                "min_psnr_fp": pa.array([int(min_fp)], pa.int64()),
+                "sum_psnr_fp": pa.array([int(sum_fp)], pa.int64()),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["bytes", "fmt"])
+    parts = ds.map_batches(
+        transcode, batch_format="pyarrow", batch_size=512, concurrency=12
+    )
+    from ray.data.aggregate import Min, Sum
+
+    out = parts.groupby("grp").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("jfif_bytes", alias_name="jfif_bytes"),
+        Min("min_psnr_fp", alias_name="min_psnr_fp"),
+        Sum("sum_psnr_fp", alias_name="sum_psnr_fp"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["grp"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     """Multimodal resize stage as a pipeline: decode -> nearest-neighbor
     resize -> re-encode; per-format count + total re-encoded bytes

@@ -100,8 +100,14 @@ def _make_batch(start: int, n: int, rng: np.random.Generator) -> pa.RecordBatch:
     imgs = np.clip(grad[None, :, :, None] + noise + tint, 0, 255).astype(np.uint8)
 
     fmts = np.where(rng.random(n) < 0.5, "png", "jpeg")
+    # corpus STORAGE stays on the deterministic FJPG container (fast
+    # zlib decode; decode_image dispatches on magic) — pipelines that
+    # RE-encode jpeg outputs (tilecut/resize/augment) emit real JFIF
     payloads = [
-        imagecodec.encode_image(imgs[i], fmts[i], level=1) for i in range(n)
+        imagecodec.encode_png(imgs[i], level=1)
+        if fmts[i] == "png"
+        else imagecodec.encode_fake_jpeg(imgs[i], level=1)
+        for i in range(n)
     ]
 
     captions = [

@@ -144,11 +144,22 @@ class ImageResizer:
         return img[yi[:, None], xi[None, :]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.imagecodec import encode_jpeg_batch, is_real_jpeg, reencode_like
+
         payloads = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        out = [
-            encode_image(self._resize(decode_image(buf, fmt)), fmt)
+        imgs = [
+            self._resize(decode_image(buf, fmt))
             for buf, fmt in zip(payloads, fmts)
+        ]
+        # container-preserving: real-JPEG sources re-encode as real JFIF
+        # in one vectorized batch pass; FJPG/png keep their fast paths
+        real = [f == "jpeg" and is_real_jpeg(p) for f, p in zip(fmts, payloads)]
+        jpeg = encode_jpeg_batch([im for im, r in zip(imgs, real) if r])
+        ji = iter(jpeg)
+        out = [
+            next(ji) if r else reencode_like(im, f, p, level=6)
+            for im, f, p, r in zip(imgs, fmts, payloads, real)
         ]
         return pa.table(
             {
@@ -406,13 +417,23 @@ class ImageAugmenter:
         which = [zlib.crc32(str(i).encode()) % len(self.OPS) for i in ids]
         payloads = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        augs, outs, checks = [], [], []
+        from ..core.imagecodec import encode_jpeg_batch, is_real_jpeg, reencode_like
+
+        augs, imgs, checks = [], [], []
         for i, (buf, fmt) in enumerate(zip(payloads, fmts)):
             op = self.OPS[int(which[i])]
             img = self._apply(decode_image(buf, fmt), op)
             augs.append(op)
-            outs.append(encode_image(np.ascontiguousarray(img), fmt))
+            imgs.append(np.ascontiguousarray(img))
             checks.append(int(img.astype(np.int64).sum()))
+        # container-preserving split (see ImageResizer.__call__)
+        real = [f == "jpeg" and is_real_jpeg(p) for f, p in zip(fmts, payloads)]
+        jpeg = encode_jpeg_batch([im for im, r in zip(imgs, real) if r])
+        ji = iter(jpeg)
+        outs = [
+            next(ji) if r else reencode_like(im, f, p, level=6)
+            for im, f, p, r in zip(imgs, fmts, payloads, real)
+        ]
         return pa.table(
             {
                 self.id_col: batch[self.id_col],

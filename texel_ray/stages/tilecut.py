@@ -18,7 +18,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.imagecodec import decode_image, encode_image
+from ..core.imagecodec import (
+    decode_image,
+    encode_fake_jpeg,
+    encode_image,
+    encode_jpeg_batch,
+    is_real_jpeg,
+)
 from ..core.tms import builtin_tms, lonlat_to_webmercator_np
 
 
@@ -55,6 +61,7 @@ class TileCutter:
         o_id, o_tm, o_tx, o_ty = [], [], [], []
         o_px, o_py, o_pw, o_ph = [], [], [], []
         o_bytes, o_fmt, o_caption = [], [], []
+        jpeg_pieces: list = []  # deferred batch encode (see below)
 
         for i in range(len(ids)):
             if not np.isfinite(my[i]):
@@ -100,9 +107,22 @@ class TileCutter:
                     o_py.append(py0)
                     o_pw.append(px1 - px0)
                     o_ph.append(py1 - py0)
-                    o_bytes.append(encode_image(piece, fmts[i], level=1))
+                    if fmts[i] == "jpeg" and is_real_jpeg(payloads[i]):
+                        # container-preserving: real-JPEG sources emit
+                        # real JFIF pieces, all of them encoded in ONE
+                        # vectorized encode_jpeg_batch pass below
+                        o_bytes.append(len(jpeg_pieces))
+                        jpeg_pieces.append(piece)
+                    elif fmts[i] == "jpeg":
+                        o_bytes.append(encode_fake_jpeg(piece, 1))
+                    else:
+                        o_bytes.append(encode_image(piece, fmts[i], level=1))
                     o_fmt.append(fmts[i])
                     o_caption.append(captions[i])
+
+        if jpeg_pieces:
+            encoded = encode_jpeg_batch(jpeg_pieces)
+            o_bytes = [encoded[v] if isinstance(v, int) else v for v in o_bytes]
 
         return pa.table(
             {

@@ -74,6 +74,10 @@ REGRESSION_PIN = [
     "video_frames",
     # marching-squares kernel pinned by shape tests in test_marching.py
     "vectorize_raster",
+    # the encoder itself is pinned by third-party-fixture pytest (Annex-K
+    # DHT anchor + roundtrip PSNR); an "independent" PSNR recompute would
+    # reuse the same codec, so the golden pins the distributed composition
+    "image_transcode",
 ]
 
 
@@ -248,7 +252,7 @@ def golden_tile_atlas():
     import numpy as np
     import pandas as pd
 
-    from texel_ray.core.imagecodec import decode_image, encode_image
+    from texel_ray.core.imagecodec import decode_image, encode_image, reencode_like
     from texel_ray.core.tms import builtin_tms, lonlat_to_webmercator_np
 
     zoom, ground_res, max_pieces = 6, 200.0, 256
@@ -301,7 +305,7 @@ def golden_tile_atlas():
                 piece = np.ascontiguousarray(img[py0:py1, px0:px1])
                 rows.append(
                     (tx, ty, iid, px0, py0,
-                     encode_image(piece, fmt, level=1), fmt)
+                     reencode_like(piece, fmt, buf, level=1), fmt)
                 )
     df = pd.DataFrame(
         rows, columns=["tile_x", "tile_y", "image_id", "px", "py", "bytes", "fmt"]
@@ -379,7 +383,7 @@ def golden_image_resize():
     import numpy as np
     import pandas as pd
 
-    from texel_ray.core.imagecodec import decode_image, encode_image
+    from texel_ray.core.imagecodec import decode_image, encode_image, reencode_like
 
     out_w = out_h = 8
     t = _sf_images(["bytes", "fmt"])
@@ -393,7 +397,7 @@ def golden_image_resize():
             for ox in range(out_w):
                 sx = min(ox * w // out_w, w - 1)
                 small[oy, ox] = img[sy, sx]
-        enc = encode_image(small, fmt)
+        enc = reencode_like(small, fmt, buf, level=6)
         a = acc.setdefault(fmt, [0, 0])
         a[0] += len(enc)
         a[1] += 1
@@ -410,7 +414,7 @@ def golden_image_augment():
     import numpy as np
     import pandas as pd
 
-    from texel_ray.core.imagecodec import decode_image, encode_image
+    from texel_ray.core.imagecodec import decode_image, encode_image, reencode_like
 
     ops = ("hflip", "vflip", "rot90", "crop")
     t = _sf_images(["image_id", "bytes", "fmt"])
@@ -431,7 +435,7 @@ def golden_image_augment():
             ch, cw = max(1, int(h * 0.75)), max(1, int(w * 0.75))
             y0, x0 = (h - ch) // 2, (w - cw) // 2
             img = img[y0 : y0 + ch, x0 : x0 + cw]
-        enc = encode_image(np.ascontiguousarray(img), fmt)
+        enc = reencode_like(np.ascontiguousarray(img), fmt, buf, level=6)
         a = acc.setdefault((fmt, op), [0, 0, 0])
         a[0] += len(enc)
         a[1] += int(img.astype(np.int64).sum())
@@ -834,7 +838,9 @@ def golden_curate_images():
     ):
         acc[(tm, tx, ty)] = acc.get((tm, tx, ty), 0) + 1
     rows = [(tm, tx, ty, n) for (tm, tx, ty), n in sorted(acc.items())]
-    return pd.DataFrame(rows, columns=["tm_id", "tile_x", "tile_y", "n_kept"])
+    df = pd.DataFrame(rows, columns=["tm_id", "tile_x", "tile_y", "n_kept"])
+    df["tm_id"] = df["tm_id"].astype("int32")  # match the pipeline dtype
+    return df
 
 
 # S2 sub-cell traversal orders per orientation — the published spec's
