@@ -331,9 +331,20 @@ def q_image_transcode(sf_dir: str):
     from ..stages.agg import partial_sum_groupby
     from ..sources.images import read_images
 
+    import zlib
+
     def transcode(batch: pa.Table) -> pa.Table:
-        keep = [i for i, f in enumerate(batch["fmt"].to_pylist()) if f == "jpeg"]
-        payloads = batch["bytes"].take(pa.array(keep)).to_pylist()
+        # deterministic 1-in-8 gate (crc32 of the string id) keeps the
+        # driver-sweep cost bounded while still exercising thousands of
+        # real encodes end-to-end
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        keep = [
+            i
+            for i, (f, iid) in enumerate(zip(fmts, ids))
+            if f == "jpeg" and zlib.crc32(str(iid).encode()) % 8 == 0
+        ]
+        payloads = batch["bytes"].take(pa.array(keep, pa.int64())).to_pylist()
         imgs = [decode_image(buf, "jpeg") for buf in payloads]
         jfif = encode_jpeg_batch(imgs)
         n_bytes = 0
@@ -358,7 +369,7 @@ def q_image_transcode(sf_dir: str):
             }
         )
 
-    ds = read_images(sf_dir, columns=["bytes", "fmt"])
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
     parts = ds.map_batches(
         transcode, batch_format="pyarrow", batch_size=512, concurrency=12
     )
