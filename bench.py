@@ -169,6 +169,12 @@ def run_benchmarks() -> dict:
     timed("windowed_on_time", lambda: relational.q_windowed_on_time(SF_DIR))
     timed("validate_corpus", lambda: mlprep.q_validate_corpus(SF_DIR))
     timed("trip_length", lambda: relational.q_trip_length(SF_DIR))
+    timed("sessionize", lambda: relational.q_sessionize(SF_DIR))
+    timed("asof_join", lambda: relational.q_asof_join(SF_DIR))
+    timed("window_join_events", lambda: relational.q_window_join_events(SF_DIR))
+    timed("event_transitions", lambda: relational.q_event_transitions(SF_DIR))
+    timed("image_transcode", lambda: relational.q_image_transcode(SF_DIR))
+    timed("spatial_block_split", lambda: queries.q_spatial_block_split(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

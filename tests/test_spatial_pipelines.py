@@ -225,3 +225,35 @@ def test_rasterize_regions_rect_counts_independent(ray_session):
         assert row["n_px"] <= area
         checked += 1
     assert checked >= 20  # urban + world-grid rects actually exercised
+
+
+def test_spatial_block_split_leakage_free(ray_session):
+    """Every image in one z6 block gets one split (the leakage property),
+    splits are exhaustive, and block proportions sit near 80/10/10."""
+    from texel_ray.pipelines.queries import q_spatial_block_split
+    from texel_ray.pipelines.relational import _fold_hash
+    from texel_ray.sources import images as images_src
+    from texel_ray.stages.tiles import encode_tiles
+
+    df = q_spatial_block_split(SF_DIR).to_pandas()
+    assert set(df["split"]) <= {"train", "val", "test"}
+    assert "train" in set(df["split"])
+
+    # per-image recomputation: split must be a pure function of the block
+    ds = images_src.read_images(SF_DIR, columns=["lon", "lat"])
+    enc = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (6,), keep_columns=[]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    key = enc["tile_x"].to_numpy() * 64 + enc["tile_y"].to_numpy()
+    h = _fold_hash(key, 100)
+    split = np.where(h < 10, "test", np.where(h < 20, "val", "train"))
+    import pandas as pd
+
+    per_block = pd.DataFrame({"key": key, "split": split}).groupby("key")["split"].nunique()
+    assert (per_block == 1).all()
+    # totals agree with the pipeline rollup
+    want = pd.Series(split).value_counts()
+    got = df.set_index("split")["n_images"]
+    for s in want.index:
+        assert got[s] == want[s]

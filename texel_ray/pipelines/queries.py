@@ -120,6 +120,72 @@ GROUP BY 1, 2
 """
 
 
+def q_spatial_block_split(sf_dir: str, zoom: int = 6, val_pct: int = 10, test_pct: int = 10):
+    """Leakage-free train/val/test split by SPATIAL BLOCK: every image in
+    the same z6 WebMercator tile lands in the same split, so spatially
+    autocorrelated near-neighbours (the classic geospatial-ML leakage
+    mode — adjacent aerial frames, burst photos of one landmark) never
+    straddle train/test. The split is the deterministic Knuth fold-hash
+    of the tile key (no RNG state; identical on any cluster size /
+    partitioning). Output: per-split block + image counts.
+
+    Shape at 100 TB: per-batch tile-count combiner -> ONE skinny groupby
+    on the 4^zoom-bounded tile table; the split decision and the final
+    rollup run on block-dimension rows (<=4096 at z6) — image payloads
+    never shuffle."""
+    from ..stages.agg import partial_count_groupby, partial_sum_groupby
+    from .relational import _fold_hash
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    blocks = partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n_images")
+
+    matrix = 1 << zoom
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        h = _fold_hash(tx * matrix + ty, 100)
+        split = np.where(
+            h < test_pct, "test", np.where(h < test_pct + val_pct, "val", "train")
+        )
+        return pa.table(
+            {"split": pa.array(split.tolist(), pa.string()), "n_images": batch["n_images"]}
+        )
+
+    assigned = blocks.map_batches(assign, batch_format="pyarrow")
+    return partial_sum_groupby(
+        assigned, ["split"], ["n_images"], count_alias="n_blocks", coalesce=2
+    )
+
+
+def sql_spatial_block_split(zoom: int = 6, val_pct: int = 10, test_pct: int = 10) -> str:
+    t = _tile_sql(zoom)
+    matrix = 1 << zoom
+    return f"""
+WITH blocks AS (
+  SELECT {t['tx']} AS tx, {t['ty']} AS ty, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+), hashed AS (
+  SELECT (((tx * {matrix} + ty) & 2147483647) * 2654435761) % 100 AS h, n
+  FROM blocks
+)
+SELECT CASE WHEN h < {test_pct} THEN 'test'
+            WHEN h < {test_pct + val_pct} THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(sum(n) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_blocks
+FROM hashed
+GROUP BY 1
+"""
+
+
 def q_region_extents(sf_dir: str):
     """Per-region EXTENT UNION of member image geotags (min/max lon/lat
     + count) — the dataset-level form of the reference's running-extent
@@ -1388,6 +1454,7 @@ QUERIES = {
     "tile_assign_crs84": q_tile_assign_crs84,
     "tile_assign_z4": lambda sf: q_tile_assign(sf, 4),
     "tile_assign_z8": lambda sf: q_tile_assign(sf, 8),
+    "spatial_block_split": q_spatial_block_split,
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "tile_focal_sum": q_tile_focal_sum,
     "morans_i": q_morans_i,
@@ -1502,6 +1569,7 @@ ORACLE_SQL = {
     "tile_assign_crs84": sql_tile_assign_crs84(4),
     "tile_assign_z4": sql_tile_assign(4),
     "tile_assign_z8": sql_tile_assign(8),
+    "spatial_block_split": sql_spatial_block_split(),
     "tile_metrics_z8": sql_tile_metrics(8),
     "tile_focal_sum": sql_tile_focal_sum(8),
     "morans_i": sql_morans_i(6),
