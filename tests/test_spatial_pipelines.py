@@ -117,6 +117,10 @@ def test_resumable_write_manifest(ray_session, tmp_path):
     by_rows = {r["rows"]: r for r in recs.values()}
     assert by_rows[10]["ranges"]["v"] == [0, 9]
     assert by_rows[20]["ranges"]["v"] == [10, 29]
+    # per-partition METRICS (bytes on disk, file count) ride the record
+    for r in recs.values():
+        assert r["metrics"]["bytes"] > 0
+        assert r["metrics"]["n_files"] >= 1
     # rerun: everything skipped, nothing rewritten
     written2, skipped2 = resumable_write(ds, out, partition_col="tm_id")
     assert written2 == [] and sorted(skipped2) == [4, 8]

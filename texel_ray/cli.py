@@ -83,7 +83,11 @@ def cmd_snap(args) -> int:
     )
     n_in = ds.count()
     written, skipped = resumable_write(
-        snapped, args.target, partition_col="tm_id", inputs=[args.source]
+        snapped,
+        args.target,
+        partition_col="tm_id",
+        inputs=[args.source],
+        range_cols=("fid",),
     )
     from .state.manifest import Manifest
 

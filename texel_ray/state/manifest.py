@@ -127,10 +127,14 @@ def resumable_write(
         if _key_str({partition_col: val}) in done:
             continue
         rows = 0
+        nbytes = 0
+        n_files = 0
         ranges: dict[str, list] = {}
         for f in p.glob("*.parquet"):
             md = pq.read_metadata(f)
             rows += md.num_rows
+            nbytes += f.stat().st_size
+            n_files += 1
             schema_names = md.schema.to_arrow_schema().names
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
@@ -153,6 +157,7 @@ def resumable_write(
             rows=rows,
             inputs=inputs,
             ranges={k: list(v) for k, v in ranges.items()},
+            metrics={"bytes": nbytes, "n_files": n_files},
         )
         written.append(val)
     return written, skipped
