@@ -175,6 +175,14 @@ def run_benchmarks() -> dict:
     timed("event_transitions", lambda: relational.q_event_transitions(SF_DIR))
     timed("image_transcode", lambda: relational.q_image_transcode(SF_DIR))
     timed("spatial_block_split", lambda: queries.q_spatial_block_split(SF_DIR))
+    timed("upsert_latest", lambda: relational.q_upsert_latest(SF_DIR))
+    timed("grouped_median", lambda: relational.q_grouped_median(SF_DIR))
+    timed("funnel_conversion", lambda: relational.q_funnel_conversion(SF_DIR))
+    timed("cohort_retention", lambda: relational.q_cohort_retention(SF_DIR))
+    timed("skyline_events", lambda: relational.q_skyline_events(SF_DIR))
+    timed("contour_segments", lambda: queries.q_contour_segments(SF_DIR))
+    timed("variogram_tiles", lambda: queries.q_variogram_tiles(SF_DIR))
+    timed("pagerank_tiles", lambda: queries.q_pagerank_tiles(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

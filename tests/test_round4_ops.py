@@ -1,0 +1,211 @@
+"""Brute-force invariant tests for the round-4 operators: skyline
+(O(n^2) dominance recompute), funnel (per-user greedy scan), grouped
+median (plain numpy quantile rule), cohort retention (pandas
+recompute), upsert_latest (pandas idxmax), variogram (brute pair
+enumeration over the occupied lattice), contour census (dense-lattice
+marching recompute), pagerank (dense-lattice power iteration)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from texel_ray.sources.images import ensure_images_for_sf_dir
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["cents"] = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+    return df
+
+
+def test_skyline_matches_quadratic_bruteforce():
+    from texel_ray.pipelines.relational import q_skyline_events
+
+    out = q_skyline_events(SF_DIR)
+    ev = _events()
+    c = ev["cents"].to_numpy()
+    t = ev["ts_us"].to_numpy()
+    keep = []
+    for i in range(len(ev)):
+        dominated = np.any(
+            (c >= c[i]) & (t >= t[i]) & ((c > c[i]) | (t > t[i]))
+        )
+        if not dominated:
+            keep.append(int(ev["event_id"].iloc[i]))
+    assert sorted(out["event_id"].tolist()) == sorted(keep)
+    assert len(out) >= 1
+
+
+def test_funnel_matches_per_user_greedy_scan():
+    from texel_ray.pipelines.relational import (
+        _FUNNEL_STAGES,
+        q_funnel_conversion,
+    )
+
+    out = q_funnel_conversion(SF_DIR).to_pandas().set_index("stage")
+    ev = _events().sort_values(["user_id", "ts_us", "event_id"])
+    counts = [0] * len(_FUNNEL_STAGES)
+    for _, g in ev.groupby("user_id"):
+        stage = 0
+        for row in g.itertuples():
+            if stage < len(_FUNNEL_STAGES) and row.event_type == _FUNNEL_STAGES[stage]:
+                stage += 1
+        # greedy scan: the earliest match per stage is what a single
+        # forward pass takes, which is exactly the kernel's semantics
+        for k in range(stage):
+            counts[k] += 1
+    for k, n in enumerate(counts):
+        assert int(out.loc[k, "n_users"]) == n
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_grouped_median_quantile_rule():
+    from texel_ray.pipelines.relational import q_grouped_median
+
+    out = q_grouped_median(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events()
+    for typ, g in ev.groupby("event_type"):
+        v = np.sort(g["cents"].to_numpy())
+        for col, q in (
+            ("p25_cents", 0.25),
+            ("median_cents", 0.5),
+            ("p75_cents", 0.75),
+        ):
+            k = int(np.ceil(q * len(v)))
+            assert int(out.loc[typ, col]) == int(v[k - 1])
+        assert int(out.loc[typ, "n"]) == len(v)
+
+
+def test_upsert_latest_matches_pandas():
+    from texel_ray.pipelines.relational import q_upsert_latest
+
+    out = q_upsert_latest(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events().sort_values(["ts_us", "event_id"])
+    latest = ev.groupby(["user_id", "event_type"], sort=False).last()
+    ref = latest.groupby("event_type")["cents"].agg(["size", "sum"])
+    for typ in ref.index:
+        assert int(out.loc[typ, "n_keys"]) == int(ref.loc[typ, "size"])
+        assert int(out.loc[typ, "sum_latest_cents"]) == int(ref.loc[typ, "sum"])
+
+
+def test_cohort_retention_matches_pandas():
+    from texel_ray.pipelines.relational import q_cohort_retention
+
+    out = q_cohort_retention(SF_DIR).to_pandas()
+    ev = _events()
+    WEEK = 7 * 86400 * 1_000_000
+    uw = (
+        ev.assign(week=ev["ts_us"] // WEEK)[["user_id", "week"]]
+        .drop_duplicates()
+    )
+    uw["cohort"] = uw.groupby("user_id")["week"].transform("min")
+    ref = (
+        uw.groupby([uw["cohort"], uw["week"] - uw["cohort"]])
+        .size()
+        .rename_axis(["cohort_week", "week_offset"])
+        .reset_index(name="n_users")
+    )
+    got = out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    ref = ref.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    assert got["n_users"].tolist() == ref["n_users"].tolist()
+    assert got[["cohort_week", "week_offset"]].values.tolist() == ref[
+        ["cohort_week", "week_offset"]
+    ].values.tolist()
+    # offset-0 row of each cohort counts every user of that cohort
+    assert (got[got.week_offset == 0].n_users > 0).all()
+
+
+def _tile_counts_z(zoom: int) -> dict[tuple[int, int], int]:
+    # tile assignment itself is pinned by the tile_assign_* SQL oracles;
+    # these tests verify the lattice statistics built on top of it
+    from texel_ray.stages.tiles import encode_tiles
+
+    path = ensure_images_for_sf_dir(SF_DIR)
+    t = pq.read_table(path, columns=["lon", "lat"])
+    enc = encode_tiles(t, "WebMercatorQuad", (zoom,), keep_columns=[])
+    counts: dict[tuple[int, int], int] = {}
+    for x, y in zip(
+        enc["tile_x"].to_numpy().tolist(), enc["tile_y"].to_numpy().tolist()
+    ):
+        counts[(x, y)] = counts.get((x, y), 0) + 1
+    return counts
+
+
+def test_contour_census_matches_dense_marching():
+    from texel_ray.pipelines.queries import q_contour_segments
+
+    thresh = 3
+    out = q_contour_segments(SF_DIR, zoom=8, thresh=thresh).to_pandas()
+    counts = _tile_counts_z(8)
+    hot = {k for k, n in counts.items() if n >= thresh}
+    cases: dict[int, int] = {}
+    cells = {(x - dx, y - dy) for x, y in hot for dx in (0, 1) for dy in (0, 1)}
+    for cx, cy in cells:
+        case = sum(
+            1 << (dx + 2 * dy)
+            for dx in (0, 1)
+            for dy in (0, 1)
+            if (cx + dx, cy + dy) in hot
+        )
+        if 1 <= case <= 14:
+            cases[case] = cases.get(case, 0) + 1
+    got = dict(zip(out["case_idx"].tolist(), out["n_cells"].tolist()))
+    assert got == cases
+    for r in out.itertuples():
+        expect = 2 if r.case_idx in (5, 10) else 1
+        assert r.n_segments == r.n_cells * expect
+
+
+def test_variogram_matches_brute_pairs():
+    from texel_ray.pipelines.queries import _VARIOGRAM_OFFSETS, q_variogram_tiles
+
+    out = q_variogram_tiles(SF_DIR, zoom=6).to_pandas().set_index("lag2")
+    counts = _tile_counts_z(6)
+    ref: dict[int, list[int]] = {}
+    for (x, y), n in counts.items():
+        for dx, dy in _VARIOGRAM_OFFSETS:
+            other = counts.get((x + dx, y + dy))
+            if other is not None:
+                d = n - other
+                acc = ref.setdefault(dx * dx + dy * dy, [0, 0])
+                acc[0] += 1
+                acc[1] += d * d
+    assert set(out.index) == set(ref)
+    for lag2, (n_pairs, sse) in ref.items():
+        assert int(out.loc[lag2, "n_pairs"]) == n_pairs
+        assert int(out.loc[lag2, "sse"]) == sse
+        assert int(out.loc[lag2, "gamma_fp"]) == (sse * 1_000_000) // (2 * n_pairs)
+
+
+def test_pagerank_matches_dense_power_iteration():
+    from texel_ray.pipelines.queries import q_pagerank_tiles
+
+    out = q_pagerank_tiles(SF_DIR, zoom=6, iters=3).to_pandas()
+    counts = _tile_counts_z(6)
+    occ = set(counts)
+    rook = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    deg = {
+        k: sum((k[0] + dx, k[1] + dy) in occ for dx, dy in rook) for k in occ
+    }
+    r = {k: 1_000_000 for k in occ}
+    for _ in range(3):
+        inc = {k: 0 for k in occ}
+        for k in occ:
+            if deg[k]:
+                share = r[k] // deg[k]
+                for dx, dy in rook:
+                    nb = (k[0] + dx, k[1] + dy)
+                    if nb in occ:
+                        inc[nb] += share
+        r = {k: 150_000 + (85 * s) // 100 for k, s in inc.items()}
+    got = {
+        (int(t.tile_x), int(t.tile_y)): int(t.pr_fp) for t in out.itertuples()
+    }
+    assert got == r
+    # high-degree interior tiles outrank isolated ones
+    assert max(r.values()) > 150_000

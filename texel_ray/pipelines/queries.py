@@ -1428,6 +1428,354 @@ GROUP BY 1
 
 from . import curate, mlprep, relational, spatial  # noqa: E402
 
+def _tile_counts(sf_dir: str, zoom: int):
+    """Shared prelude of the lattice-statistics family: per-tile image
+    counts via the per-batch combiner (skinny, 4^zoom-bounded)."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=[]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    return partial_count_groupby(ds, ["tile_x", "tile_y"], alias="n")
+
+
+def q_contour_segments(sf_dir: str, zoom: int = 8, thresh: int = 3):
+    """MARCHING-SQUARES contour census over the z-level tile-count
+    lattice thresholded at `thresh`: each 2x2 neighborhood cell gets the
+    classic 4-bit case index (bit dx+2*dy set when corner count >=
+    thresh); cells the isoline passes through (case 1..14) are counted
+    per case, with the saddle cases (5, 10) contributing two segments.
+    The vectorize_raster marching kernel's distributed, lattice-scale
+    sibling — the tile-boundary isoline extraction step of a
+    raster->vector pipeline.
+
+    Shape at 100 TB: hot tiles DONATE their corner bit to the <=4 cells
+    they participate in (skinny explode, the focal_sum halo pattern),
+    ONE groupby sums bits into case indices, and the census is a tiny
+    combiner rollup on the 14-row case dimension."""
+    from ..stages.agg import partial_sum_groupby
+
+    counts = _tile_counts(sf_dir, zoom)
+
+    def donate(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        hot = n >= thresh
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)[hot]
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)[hot]
+        outs = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "cx": pa.array(tx - dx, pa.int64()),
+                            "cy": pa.array(ty - dy, pa.int64()),
+                            "bit": pa.array(
+                                np.full(len(tx), 1 << (dx + 2 * dy), dtype=np.int64)
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    cells = partial_sum_groupby(
+        counts.map_batches(donate, batch_format="pyarrow"),
+        ["cx", "cy"],
+        ["bit"],
+        coalesce=4,
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        case = batch["bit"].to_numpy(zero_copy_only=False)
+        keep = (case >= 1) & (case <= 14)
+        return pa.table({"case_idx": pa.array(case[keep], pa.int64())})
+
+    agg = partial_sum_groupby(
+        cells.map_batches(census, batch_format="pyarrow"),
+        ["case_idx"],
+        [],
+        count_alias="n_cells",
+        coalesce=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        case = batch["case_idx"].to_numpy(zero_copy_only=False)
+        n = batch["n_cells"].to_numpy(zero_copy_only=False)
+        segs = np.where((case == 5) | (case == 10), 2, 1) * n
+        return batch.append_column("n_segments", pa.array(segs, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_contour_segments(zoom: int = 8, thresh: int = 3) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+hot AS (SELECT tile_x, tile_y FROM t WHERE n >= {thresh}),
+cells AS (
+  SELECT h.tile_x - dx.d AS cx, h.tile_y - dy.d AS cy,
+         CAST(sum(1 << (dx.d + 2 * dy.d)) AS BIGINT) AS case_idx
+  FROM hot h, (VALUES (0), (1)) dx(d), (VALUES (0), (1)) dy(d)
+  GROUP BY 1, 2
+)
+SELECT case_idx, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(count(*) * (CASE WHEN case_idx IN (5, 10) THEN 2 ELSE 1 END)
+            AS BIGINT) AS n_segments
+FROM cells WHERE case_idx BETWEEN 1 AND 14
+GROUP BY 1
+"""
+
+
+_VARIOGRAM_OFFSETS = tuple(
+    (dx, dy)
+    for dx in range(0, 3)
+    for dy in range(-2, 3)
+    if (dx > 0 or (dx == 0 and dy > 0)) and 0 < dx * dx + dy * dy <= 8
+)
+
+
+def q_variogram_tiles(sf_dir: str, zoom: int = 6):
+    """EMPIRICAL SEMIVARIOGRAM over the occupied z-level tile-count
+    lattice: for every unordered occupied-tile pair at squared lag
+    dx^2+dy^2 <= 8, accumulate (n_i - n_j)^2 per lag class — the
+    geostatistics primitive under kriging / spatial-correlation-length
+    estimation. gamma(h) = sse / (2 * n_pairs), emitted fixed-point.
+
+    Shape at 100 TB: the occupied z6 table is 4^zoom-bounded, so the
+    pair enumeration BROADCASTS the (key -> count) lookup and runs as a
+    stateless searchsorted map over count blocks (half-plane offsets so
+    each unordered pair counts once); only (lag2, n_pairs, sse) partials
+    cross — the idw/kde donation exchange with zero payload."""
+    from ..stages.agg import partial_sum_groupby
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()  # 4^zoom-bounded dimension table
+    keys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    order = np.argsort(keys)
+    occ_keys, occ_n = keys[order], occ["n"].to_numpy()[order]
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        lags, nps, sses = [], [], []
+        for dx, dy in _VARIOGRAM_OFFSETS:
+            key = ((tx + dx) << 32) | (ty + dy)
+            pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+            hit = occ_keys[pos] == key
+            d = n[hit] - occ_n[pos[hit]]
+            lags.append(dx * dx + dy * dy)
+            nps.append(int(hit.sum()))
+            sses.append(int((d * d).sum()))
+        return pa.table(
+            {
+                "lag2": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(nps, pa.int64()),
+                "sse": pa.array(sses, pa.int64()),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        counts.map_batches(pairs, batch_format="pyarrow"),
+        ["lag2"],
+        ["n_pairs", "sse"],
+        coalesce=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        npairs = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        sse = batch["sse"].to_numpy(zero_copy_only=False)
+        gamma = np.where(npairs > 0, (sse * 1_000_000) // (2 * np.maximum(npairs, 1)), 0)
+        return batch.append_column("gamma_fp", pa.array(gamma, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_variogram_tiles(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    vals = ", ".join(
+        f"({dx}, {dy}, {dx * dx + dy * dy})" for dx, dy in _VARIOGRAM_OFFSETS
+    )
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+o(dx, dy, lag2) AS (VALUES {vals}),
+p AS (
+  SELECT o.lag2, a.n - b.n AS d
+  FROM t a JOIN o ON TRUE
+  JOIN t b ON b.tile_x = a.tile_x + o.dx AND b.tile_y = a.tile_y + o.dy
+)
+SELECT CAST(lag2 AS BIGINT) AS lag2, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d * d) AS BIGINT) AS sse,
+       CAST(CAST(sum(d * d) AS BIGINT) * 1000000 // (2 * count(*)) AS BIGINT)
+         AS gamma_fp
+FROM p GROUP BY 1
+"""
+
+
+def q_pagerank_tiles(sf_dir: str, zoom: int = 6, iters: int = 3):
+    """Fixed-point PAGERANK over the occupied-tile rook-adjacency graph
+    (d = 0.85, `iters` power iterations): surfaces the gravitational
+    centers of the corpus's spatial distribution. All-integer
+    arithmetic — r' = 150000 + (85 * sum_in(r//deg)) // 100 on a
+    1e6-fixed-point scale — so every iteration is an order-independent
+    integer sum, bit-equal at any cluster size.
+
+    Shape at 100 TB: each iteration is ONE skinny donation exchange
+    (every tile sends r//deg to its rook neighbors; self-row keeps
+    isolated tiles alive) + a combiner groupby — the focal_sum halo
+    pattern applied iteratively; rank state is (tile, deg, r) int64
+    rows, payloads never move. Each level materializes (lattice-
+    dimension-bounded) to keep the streaming executor's lineage flat."""
+    from ..stages.agg import partial_sum_groupby
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()
+    keys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    occ_keys = np.sort(keys)
+    ROOK = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def member(tx, ty):
+        key = (tx << 32) | ty
+        pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+        return occ_keys[pos] == key
+
+    def with_deg(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        deg = np.zeros(len(tx), dtype=np.int64)
+        for dx, dy in ROOK:
+            deg += member(tx + dx, ty + dy)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "deg": pa.array(deg),
+                "r": pa.array(np.full(len(tx), 1_000_000, dtype=np.int64)),
+            }
+        )
+
+    state = counts.map_batches(with_deg, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+
+        def donate(batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+            ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+            deg = batch["deg"].to_numpy(zero_copy_only=False)
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            share = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+            outs = [
+                pa.table(
+                    {
+                        "tile_x": pa.array(tx, pa.int64()),
+                        "tile_y": pa.array(ty, pa.int64()),
+                        "s": pa.array(np.zeros(len(tx), dtype=np.int64)),
+                    }
+                )  # self-row keeps zero-incoming tiles present
+            ]
+            for dx, dy in ROOK:
+                live = deg > 0
+                outs.append(
+                    pa.table(
+                        {
+                            "tile_x": pa.array(tx[live] + dx, pa.int64()),
+                            "tile_y": pa.array(ty[live] + dy, pa.int64()),
+                            "s": pa.array(share[live], pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        incoming = partial_sum_groupby(
+            state.map_batches(donate, batch_format="pyarrow"),
+            ["tile_x", "tile_y"],
+            ["s"],
+            coalesce=4,
+        )
+
+        def step(batch: pa.Table) -> pa.Table:
+            tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+            ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            keep = member(tx, ty)
+            tx, ty, s = tx[keep], ty[keep], s[keep]
+            deg = np.zeros(len(tx), dtype=np.int64)
+            for dx, dy in ROOK:
+                deg += member(tx + dx, ty + dy)
+            return pa.table(
+                {
+                    "tile_x": pa.array(tx, pa.int64()),
+                    "tile_y": pa.array(ty, pa.int64()),
+                    "deg": pa.array(deg),
+                    "r": pa.array(150_000 + (85 * s) // 100, pa.int64()),
+                }
+            )
+
+        state = incoming.map_batches(step, batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "pr_fp": batch["r"],
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_pagerank_tiles(zoom: int = 6, iters: int = 3) -> str:
+    t = _tile_sql(zoom)
+    ctes = [
+        f"""t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)""",
+        "occ AS (SELECT tile_x AS x, tile_y AS y FROM t)",
+        """deg AS (
+  SELECT a.x, a.y, count(*) AS d
+  FROM occ a JOIN occ b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
+  GROUP BY 1, 2
+)""",
+        "r0 AS (SELECT x, y, CAST(1000000 AS BIGINT) AS r FROM occ)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT o.x, o.y,
+         CAST(150000 + 85 * COALESCE(inc.s, 0) // 100 AS BIGINT) AS r
+  FROM occ o LEFT JOIN (
+    SELECT b.x, b.y, sum(p.r // d.d) AS s
+    FROM r{k - 1} p
+    JOIN deg d ON p.x = d.x AND p.y = d.y
+    JOIN occ b ON abs(b.x - p.x) + abs(b.y - p.y) = 1
+    GROUP BY 1, 2
+  ) inc ON inc.x = o.x AND inc.y = o.y
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT x AS tile_x, y AS tile_y, r AS pr_fp FROM r{iters}"
+    )
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -1457,6 +1805,9 @@ QUERIES = {
     "spatial_block_split": q_spatial_block_split,
     "tile_metrics_z8": lambda sf: q_tile_metrics(sf, 8),
     "tile_focal_sum": q_tile_focal_sum,
+    "contour_segments": q_contour_segments,
+    "variogram_tiles": q_variogram_tiles,
+    "pagerank_tiles": q_pagerank_tiles,
     "morans_i": q_morans_i,
     "dissolve_regions": q_dissolve_regions,
     "hotspots_gi": q_hotspots_gi,
@@ -1552,6 +1903,11 @@ QUERIES = {
     "trip_length": relational.q_trip_length,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
+    "upsert_latest": relational.q_upsert_latest,
+    "grouped_median": relational.q_grouped_median,
+    "funnel_conversion": relational.q_funnel_conversion,
+    "cohort_retention": relational.q_cohort_retention,
+    "skyline_events": relational.q_skyline_events,
     "geo_phash_neardup": mlprep.q_geo_phash_neardup,
     "source_mix": mlprep.q_source_mix,
     "kcenter_sample": mlprep.q_kcenter_sample,
@@ -1572,6 +1928,9 @@ ORACLE_SQL = {
     "spatial_block_split": sql_spatial_block_split(),
     "tile_metrics_z8": sql_tile_metrics(8),
     "tile_focal_sum": sql_tile_focal_sum(8),
+    "contour_segments": sql_contour_segments(8),
+    "variogram_tiles": sql_variogram_tiles(6),
+    "pagerank_tiles": sql_pagerank_tiles(6),
     "morans_i": sql_morans_i(6),
     "dissolve_regions": sql_dissolve_regions(0.25),
     "hotspots_gi": sql_hotspots_gi(6),
@@ -1648,6 +2007,11 @@ ORACLE_SQL = {
     "trip_length": relational.sql_trip_length(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
+    "upsert_latest": relational.SQL_UPSERT_LATEST,
+    "grouped_median": relational.SQL_GROUPED_MEDIAN,
+    "funnel_conversion": relational.sql_funnel_conversion(),
+    "cohort_retention": relational.SQL_COHORT_RETENTION,
+    "skyline_events": relational.SQL_SKYLINE_EVENTS,
     "geo_phash_neardup": mlprep.sql_geo_phash_neardup(
         _tile_sql(8), images_sql_source()
     ),

@@ -2207,3 +2207,435 @@ SELECT a.region AS region_a, b.region AS region_b, count(*) AS n_users
 FROM u a JOIN u b ON a.user_id = b.user_id AND a.region < b.region
 GROUP BY 1, 2
 """
+
+
+# ---- round 4: CDC compaction / exact quantiles / funnel / cohort /
+# ---- skyline (five new plan shapes over the events stream) ----------------
+
+
+def q_upsert_latest(sf_dir: str):
+    """CDC COMPACTION (upsert / SCD "keep latest"): reduce the event
+    stream to the latest record per (user_id, event_type) key by
+    (ts, event_id) order, then roll up per type. The canonical
+    change-data-capture materialization step.
+
+    Shape at 100 TB: per-BATCH latest (a vectorized lexsort + segment
+    last — a combiner, since "latest" is associative), so only one
+    skinny row per key per block crosses the wire; ONE 512-way user
+    superbucket groupby resolves cross-block winners vectorized; the
+    final per-type rollup is a tiny combiner groupby. Payloads (props)
+    never shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id", "value"])
+
+    def batch_latest(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, typ, uid))
+        u, t = uid[order], typ[order]
+        last = np.nonzero((u[1:] != u[:-1]) | (t[1:] != t[:-1]))[0]
+        keep = order[np.concatenate((last, [len(u) - 1]))] if len(u) else order
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_type": pa.array(typ[keep].tolist(), pa.string()),
+                "ts_us": pa.array(ts[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    skinny = ds.map_batches(
+        batch_latest, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="stable"
+        )
+        uid = g["user_id"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        last = np.nonzero((uid[1:] != uid[:-1]) | (typ[1:] != typ[:-1]))[0]
+        keep = np.concatenate((last, [len(uid) - 1])) if len(uid) else []
+        cents = g["cents"].to_numpy()[keep]
+        return (
+            pd.DataFrame({"event_type": typ[keep], "cents": cents})
+            .groupby("event_type", sort=False)
+            .agg(n_partial=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    parts = skinny.groupby("__ub").map_groups(bucket_latest, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["event_type"], ["n_partial", "cents"], coalesce=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["event_type", "n_keys", "sum_latest_cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_UPSERT_LATEST = """
+WITH latest AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_latest_cents
+FROM latest WHERE rn = 1
+GROUP BY 1
+"""
+
+
+def q_grouped_median(sf_dir: str):
+    """EXACT distributed quantile selection per group (p25/median/p75 of
+    the cent-quantized value per event type) — the value-histogram
+    selection pattern: a per-batch (group, value) count combiner folds
+    the corpus to its DISTINCT-VALUE dimension, one skinny groupby merges
+    the histograms, and the quantile pick runs on the tiny per-group
+    sorted histogram. No sort of the corpus, no per-row shuffle; exact
+    (discrete lower quantile, ceil(q*n)th smallest — DuckDB
+    quantile_disc semantics) at any cluster size."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "cents": pa.array(cents)})
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        n = g["n"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]], "n": [total]}
+        for name, q in (("p25_cents", 0.25), ("median_cents", 0.5), ("p75_cents", 0.75)):
+            k = int(np.ceil(q * total))  # ceil(q*n)th smallest, 1-based
+            out[name] = [int(v[np.searchsorted(cum, k)])]
+        return pd.DataFrame(out)
+
+    def pick_named(g: pd.DataFrame) -> pd.DataFrame:
+        return pick(g)
+
+    return hist.groupby("event_type").map_groups(pick_named, batch_format="pandas")
+
+
+SQL_GROUPED_MEDIAN = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(cents, 0.25) AS p25_cents,
+       quantile_disc(cents, 0.50) AS median_cents,
+       quantile_disc(cents, 0.75) AS p75_cents
+FROM c GROUP BY 1
+"""
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(sf_dir: str):
+    """FUNNEL analysis (greedy earliest-match): a user converts through
+    stage k when a view -> click -> purchase subsequence exists in
+    strict (ts, event_id) order, matching each stage to its earliest
+    qualifying event. Output: users reaching each stage.
+
+    Shape at 100 TB: only funnel-stage rows leave the scan (skinny
+    (user, stage, ts, id)); ONE 512-way user superbucket groupby; inside
+    a bucket the greedy match is K vectorized passes (K = stages): per
+    stage, a per-user masked minimum over the sorted segment — no
+    per-user Python dispatch. Partial stage counts -> tiny combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    stages = _FUNNEL_STAGES
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        stage = np.full(len(typ), -1, dtype=np.int64)
+        for k, name in enumerate(stages):
+            stage[typ == name] = k
+        keep = stage >= 0
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "stage": pa.array(stage[keep]),
+                "ts_us": pa.array(
+                    batch["ts"]
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy()[keep]
+                ),
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        stg = g["stage"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        # per-user frontier: the (ts, eid) of the last matched stage
+        NEG = np.iinfo(np.int64).min // 2
+        f_ts = np.full(nu, NEG, dtype=np.int64)
+        f_id = np.full(nu, NEG, dtype=np.int64)
+        alive = np.ones(nu, dtype=bool)
+        counts = []
+        for k in range(len(stages)):
+            m = (
+                (stg == k)
+                & alive[inv]
+                & (
+                    (ts > f_ts[inv])
+                    | ((ts == f_ts[inv]) & (eid > f_id[inv]))
+                )
+            )
+            # earliest qualifying event per user: rows are (ts, eid)-sorted,
+            # so the FIRST masked row per user wins
+            idx = np.nonzero(m)[0]
+            u_first, first_pos = np.unique(inv[idx], return_index=True)
+            hit = idx[first_pos]
+            new_alive = np.zeros(nu, dtype=bool)
+            new_alive[inv[hit]] = True
+            f_ts[inv[hit]] = ts[hit]
+            f_id[inv[hit]] = eid[hit]
+            alive = new_alive
+            counts.append(int(alive.sum()))
+        return pd.DataFrame(
+            {"stage": np.arange(len(stages)), "n_partial": np.array(counts)}
+        )
+
+    parts = skinny.groupby("__ub").map_groups(match, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["stage"], ["n_partial"], coalesce=2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        stage = batch["stage"].to_numpy(zero_copy_only=False)
+        names = np.asarray(list(_FUNNEL_STAGES), dtype=object)
+        return pa.table(
+            {
+                "stage": batch["stage"],
+                "stage_type": pa.array(names[stage].tolist(), pa.string()),
+                "n_users": batch["n_partial"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_funnel_conversion() -> str:
+    stages = _FUNNEL_STAGES
+    ctes = []
+    prev = None
+    for k, name in enumerate(stages):
+        cond = f"e.event_type = '{name}'"
+        if prev is not None:
+            cond += (
+                f" AND EXISTS (SELECT 1 FROM {prev} p WHERE p.user_id = e.user_id)"
+            )
+            cond_order = (
+                f"(epoch_us(e.ts), e.event_id) > "
+                f"(SELECT (p.ts_us, p.event_id) FROM {prev} p "
+                f"WHERE p.user_id = e.user_id)"
+            )
+        ctes.append(
+            f"""s{k} AS (
+  SELECT user_id, ts_us, event_id FROM (
+    SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e
+    WHERE {cond}"""
+            + (
+                f"\n      AND {cond_order}"
+                if prev is not None
+                else ""
+            )
+            + """
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"s{k}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS stage, '{name}' AS stage_type, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{k}) AS n_users"
+        for k, name in enumerate(stages)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def q_cohort_retention(sf_dir: str):
+    """COHORT RETENTION: users grouped by first-active epoch-week
+    (cohort), counted per later active week offset — the
+    (cohort x week) retention triangle.
+
+    Shape at 100 TB: per-batch DISTINCT (user, week) combiner (weeks per
+    user are tiny) -> one skinny groupby merges distincts; the per-user
+    cohort min + offset expansion runs vectorized inside a 512-way user
+    superbucket; final (cohort, offset) rollup is a combiner groupby on
+    a weeks^2-bounded dimension table."""
+    from ..stages.agg import partial_sum_groupby
+
+    WEEK_US = 7 * 86400 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        week = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // WEEK_US
+        )
+        t = pa.table({"user_id": pa.array(uid), "week": pa.array(week)})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    uw = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "week"],
+        [],
+        count_alias="__dup",
+        coalesce=4,
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "week"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        wk = g["week"].to_numpy()
+        bnd = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        cohort = np.repeat(wk[starts], np.diff(np.concatenate((starts, [len(uid)]))))
+        return (
+            pd.DataFrame({"cohort_week": cohort, "week_offset": wk - cohort})
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = uw.groupby("__ub").map_groups(expand, batch_format="pandas")
+    agg = partial_sum_groupby(
+        parts, ["cohort_week", "week_offset"], ["n_partial"], coalesce=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+c AS (
+  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cw FROM uw
+)
+SELECT cw AS cohort_week, week - cw AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_skyline_events(sf_dir: str):
+    """SKYLINE (pareto front) of the event stream over (value cents,
+    ts_us), both maximized: every event no other event dominates
+    (>= on both dims, > on at least one). Ties: equal (cents, ts)
+    pairs never dominate each other, so all copies survive.
+
+    Shape at 100 TB: per-BLOCK local skyline (a vectorized sort +
+    running-max scan — valid because dominance is transitive, so the
+    global skyline is a subset of every covering block-skyline union);
+    only block-skyline survivors (output-dimension rows) leave the
+    scan; the exact final scan runs once on the union. No all-pairs
+    work anywhere; worst case (fully anti-correlated dims) degrades to
+    the true skyline size, which IS the output."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def _skyline_mask(cents: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        """Exact skyline membership, O(n log n): a point survives iff
+        its ts strictly exceeds every ts at strictly higher cents AND
+        equals the max ts within its own cents value."""
+        if not len(cents):
+            return np.zeros(0, dtype=bool)
+        uc, inv = np.unique(cents, return_inverse=True)  # ascending
+        gmax = np.full(len(uc), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(gmax, inv, ts)
+        # running max of group-max ts over STRICTLY higher cents
+        # (suffix[i] = max(gmax[i+1:]) via a reversed cummax, shifted)
+        s = np.maximum.accumulate(gmax[::-1])[::-1]
+        suffix = np.empty(len(uc), dtype=np.int64)
+        suffix[:-1] = s[1:]
+        suffix[-1] = np.iinfo(np.int64).min
+        return (ts == gmax[inv]) & (ts > suffix[inv])
+
+    def local(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        keep = _skyline_mask(cents, ts)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cents": pa.array(cents[keep]),
+                "ts_us": pa.array(ts[keep]),
+            }
+        )
+
+    cand = ds.map_batches(local, batch_format="pyarrow", batch_size=16384).to_pandas()
+    keep = _skyline_mask(cand["cents"].to_numpy(), cand["ts_us"].to_numpy())
+    out = cand.loc[keep].sort_values("event_id", kind="stable")
+    return out.reset_index(drop=True)
+
+
+SQL_SKYLINE_EVENTS = """
+WITH p AS (
+  SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+vg AS (SELECT cents, max(ts_us) AS mt FROM p GROUP BY cents),
+vr AS (
+  SELECT cents, mt,
+         max(mt) OVER (ORDER BY cents DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS rm
+  FROM vg
+)
+SELECT p.event_id, p.cents, p.ts_us
+FROM p JOIN vr ON p.cents = vr.cents
+WHERE p.ts_us = vr.mt AND (vr.rm IS NULL OR p.ts_us > vr.rm)
+"""
