@@ -183,6 +183,11 @@ def run_benchmarks() -> dict:
     timed("contour_segments", lambda: queries.q_contour_segments(SF_DIR))
     timed("variogram_tiles", lambda: queries.q_variogram_tiles(SF_DIR))
     timed("pagerank_tiles", lambda: queries.q_pagerank_tiles(SF_DIR))
+    timed("tile_gradient", lambda: queries.q_tile_gradient(SF_DIR))
+    timed("tile_bfs_dist", lambda: queries.q_tile_bfs_dist(SF_DIR))
+    timed("gini_tiles", lambda: queries.q_gini_tiles(SF_DIR))
+    timed("grouped_mode", lambda: relational.q_grouped_mode(SF_DIR))
+    timed("tile_trend", lambda: relational.q_tile_trend(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

@@ -209,3 +209,127 @@ def test_pagerank_matches_dense_power_iteration():
     assert got == r
     # high-degree interior tiles outrank isolated ones
     assert max(r.values()) > 150_000
+
+
+def test_grouped_mode_matches_pandas():
+    from texel_ray.pipelines.relational import q_grouped_mode
+
+    out = q_grouped_mode(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events()
+    for typ, g in ev.groupby("event_type"):
+        vc = g["cents"].value_counts()
+        top = vc.max()
+        expect = min(v for v, n in vc.items() if n == top)
+        assert int(out.loc[typ, "mode_cents"]) == int(expect)
+        assert int(out.loc[typ, "n_mode"]) == int(top)
+
+
+def test_tile_gradient_matches_dense_horn():
+    from texel_ray.pipelines.queries import q_tile_gradient
+
+    out = q_tile_gradient(SF_DIR, zoom=8).to_pandas()
+    counts = _tile_counts_z(8)
+    got = {
+        (int(r.tile_x), int(r.tile_y)): (int(r.gx), int(r.gy), int(r.g2))
+        for r in out.itertuples()
+    }
+    assert set(got) == set(counts)
+    for (x, y) in list(counts)[:200]:
+        z = lambda dx, dy: counts.get((x + dx, y + dy), 0)
+        gx = (z(1, -1) + 2 * z(1, 0) + z(1, 1)) - (
+            z(-1, -1) + 2 * z(-1, 0) + z(-1, 1)
+        )
+        gy = (z(-1, 1) + 2 * z(0, 1) + z(1, 1)) - (
+            z(-1, -1) + 2 * z(0, -1) + z(1, -1)
+        )
+        assert got[(x, y)] == (gx, gy, gx * gx + gy * gy)
+
+
+def test_tile_bfs_dist_matches_reference_bfs():
+    from collections import deque
+
+    from texel_ray.pipelines.queries import q_tile_bfs_dist
+
+    thresh, hops = 2, 6
+    out = q_tile_bfs_dist(SF_DIR, zoom=6, thresh=thresh, max_hops=hops).to_pandas()
+    counts = _tile_counts_z(6)
+    occ = set(counts)
+    dist = {k: 0 for k, n in counts.items() if n >= thresh}
+    q = deque(dist)
+    while q:
+        k = q.popleft()
+        if dist[k] >= hops:
+            continue
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (k[0] + dx, k[1] + dy)
+            if nb in occ and nb not in dist:
+                dist[nb] = dist[k] + 1
+                q.append(nb)
+    got = {(int(r.tile_x), int(r.tile_y)): int(r.dist) for r in out.itertuples()}
+    assert set(got) == occ
+    for k in occ:
+        assert got[k] == dist.get(k, -1)
+    assert any(v > 0 for v in got.values())  # frontier actually expanded
+
+
+def test_gini_tiles_formula():
+    from texel_ray.pipelines.queries import q_gini_tiles
+
+    out = q_gini_tiles(SF_DIR, zoom=6).iloc[0]
+    counts = _tile_counts_z(6)
+    y = sorted(counts.values())
+    m, total = len(y), sum(y)
+    ranked = sum(i * v for i, v in enumerate(y, start=1))
+    num = 2 * ranked - (m + 1) * total
+    assert int(out.n_tiles) == m
+    assert int(out.gini_num) == num
+    assert int(out.gini_den) == m * total
+    assert 0 <= out.gini_fp < 1_000_000  # a valid Gini in [0, 1)
+
+
+def test_tile_trend_matches_pandas_lsq():
+    from texel_ray.pipelines.queries import _tile_sql  # noqa: F401 (zoom parity)
+    from texel_ray.pipelines.relational import _event_geo_np, q_tile_trend
+    from texel_ray.stages.tiles import encode_tiles
+    import pyarrow as pa
+
+    out = q_tile_trend(SF_DIR, zoom=6).to_pandas()
+    ev = _events()
+    lon, lat = _event_geo_np(
+        ev["user_id"].to_numpy(), ev["event_id"].to_numpy()
+    )
+    t = pa.table(
+        {
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "day": pa.array(ev["ts_us"].to_numpy() // (86400 * 1_000_000)),
+        }
+    )
+    enc = encode_tiles(t, "WebMercatorQuad", (6,), keep_columns=["day"]).to_pandas()
+    daily = (
+        enc.groupby(["tile_x", "tile_y", "day"]).size().reset_index(name="c")
+    )
+    got = {
+        (int(r.tile_x), int(r.tile_y)): (
+            int(r.n_days),
+            int(r.slope_num),
+            int(r.slope_den),
+        )
+        for r in out.itertuples()
+    }
+    seen = set()
+    for (x, y), g in daily.groupby(["tile_x", "tile_y"]):
+        if len(g) < 2:
+            assert (x, y) not in got
+            continue
+        seen.add((int(x), int(y)))
+        d = g["day"].to_numpy().astype(int)
+        c = g["c"].to_numpy().astype(int)
+        n = len(g)
+        num = n * int((d * c).sum()) - int(d.sum()) * int(c.sum())
+        den = n * int((d * d).sum()) - int(d.sum()) ** 2
+        assert got[(int(x), int(y))] == (n, num, den)
+        # cross-check against float least squares
+        slope = np.polyfit(d.astype(float), c.astype(float), 1)[0]
+        assert abs(slope - num / den) < 1e-9
+    assert seen == set(got)

@@ -1776,6 +1776,312 @@ def sql_pagerank_tiles(zoom: int = 6, iters: int = 3) -> str:
     )
 
 
+_HORN_OFFSETS = tuple(
+    (ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1) if (ox, oy) != (0, 0)
+)
+
+
+def q_tile_gradient(sf_dir: str, zoom: int = 8):
+    """HORN GRADIENT (the slope/hillshade kernel) over the tile-count
+    lattice: per occupied tile, the 3x3 Sobel-weighted integer gradient
+    (gx, gy) of the density surface and its squared magnitude — the
+    terrain-analysis primitive (slope, aspect, hillshade all derive
+    from it), run on counts so every output is an exact integer.
+
+    Shape at 100 TB: each tile DONATES weighted counts to its 8
+    neighbors (the focal halo explode; a zero self-row keeps
+    neighborless tiles present), ONE groupby sums per receiver, and the
+    broadcast occupied filter keeps real tiles — identical exchange
+    pattern to tile_focal_sum with signed weights."""
+    from ..stages.agg import partial_sum_groupby
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()
+    keys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    order = np.argsort(keys)
+    occ_keys, occ_n = keys[order], occ["n"].to_numpy()[order]
+
+    def donate(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(tx), dtype=np.int64)
+        outs = [
+            pa.table(
+                {
+                    "tile_x": pa.array(tx, pa.int64()),
+                    "tile_y": pa.array(ty, pa.int64()),
+                    "wx": pa.array(z),
+                    "wy": pa.array(z),
+                }
+            )
+        ]
+        for ox, oy in _HORN_OFFSETS:  # (ox, oy) = donor - receiver
+            wx = ox * (2 if oy == 0 else 1)
+            wy = oy * (2 if ox == 0 else 1)
+            outs.append(
+                pa.table(
+                    {
+                        "tile_x": pa.array(tx - ox, pa.int64()),
+                        "tile_y": pa.array(ty - oy, pa.int64()),
+                        "wx": pa.array(wx * n, pa.int64()),
+                        "wy": pa.array(wy * n, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    grad = partial_sum_groupby(
+        counts.map_batches(donate, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["wx", "wy"],
+        coalesce=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        gx = batch["wx"].to_numpy(zero_copy_only=False)
+        gy = batch["wy"].to_numpy(zero_copy_only=False)
+        key = (tx << 32) | ty
+        pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+        keep = occ_keys[pos] == key
+        tx, ty, gx, gy = tx[keep], ty[keep], gx[keep], gy[keep]
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "gx": pa.array(gx, pa.int64()),
+                "gy": pa.array(gy, pa.int64()),
+                "g2": pa.array(gx * gx + gy * gy, pa.int64()),
+            }
+        )
+
+    return grad.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tile_gradient(zoom: int = 8) -> str:
+    t = _tile_sql(zoom)
+    wx = (
+        "CASE b.tile_x - a.tile_x WHEN 1 THEN "
+        "(CASE WHEN b.tile_y = a.tile_y THEN 2 ELSE 1 END) WHEN -1 THEN "
+        "-(CASE WHEN b.tile_y = a.tile_y THEN 2 ELSE 1 END) ELSE 0 END"
+    )
+    wy = (
+        "CASE b.tile_y - a.tile_y WHEN 1 THEN "
+        "(CASE WHEN b.tile_x = a.tile_x THEN 2 ELSE 1 END) WHEN -1 THEN "
+        "-(CASE WHEN b.tile_x = a.tile_x THEN 2 ELSE 1 END) ELSE 0 END"
+    )
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT a.tile_x, a.tile_y,
+         CAST(COALESCE(sum(({wx}) * b.n), 0) AS BIGINT) AS gx,
+         CAST(COALESCE(sum(({wy}) * b.n), 0) AS BIGINT) AS gy
+  FROM t a LEFT JOIN t b
+    ON b.tile_x BETWEEN a.tile_x - 1 AND a.tile_x + 1
+   AND b.tile_y BETWEEN a.tile_y - 1 AND a.tile_y + 1
+   AND NOT (b.tile_x = a.tile_x AND b.tile_y = a.tile_y)
+  GROUP BY 1, 2
+)
+SELECT tile_x, tile_y, gx, gy, gx * gx + gy * gy AS g2 FROM g
+"""
+
+
+def q_tile_bfs_dist(sf_dir: str, zoom: int = 6, thresh: int = 50, max_hops: int = 6):
+    """Multi-source BFS DISTANCE over the occupied-tile rook lattice:
+    hop distance from the nearest HOT tile (count >= thresh) for every
+    occupied tile, capped at max_hops (unreached = -1) — the
+    isochrone / distance-transform frontier pattern.
+
+    Shape at 100 TB: each hop is ONE skinny donation exchange (the
+    current frontier sends hop k to its occupied rook neighbors) + a
+    min-groupby; rows after the min with d == k ARE the next frontier,
+    so the exchange stays frontier-sized. max_hops bounds the rounds
+    exactly like the hash-to-min CC pass (stages/components.py)."""
+    from ray.data.aggregate import Min
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()
+    keys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    occ_keys = np.sort(keys)
+    ROOK = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def member(tx, ty):
+        key = (tx << 32) | ty
+        pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+        return occ_keys[pos] == key
+
+    def seed(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        hot = n >= thresh
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"].filter(pa.array(hot)),
+                "tile_y": batch["tile_y"].filter(pa.array(hot)),
+                "d": pa.array(
+                    np.zeros(int(hot.sum()), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    reached = counts.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for k in range(1, max_hops + 1):
+        frontier = reached.filter(expr=f"d == {k - 1}")
+
+        def donate(batch: pa.Table, hop=k) -> pa.Table:
+            tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+            ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+            outs = []
+            for dx, dy in ROOK:
+                nx, ny = tx + dx, ty + dy
+                ok = member(nx, ny)
+                outs.append(
+                    pa.table(
+                        {
+                            "tile_x": pa.array(nx[ok], pa.int64()),
+                            "tile_y": pa.array(ny[ok], pa.int64()),
+                            "d": pa.array(
+                                np.full(int(ok.sum()), hop, dtype=np.int64)
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        cand = frontier.map_batches(donate, batch_format="pyarrow")
+        reached = (
+            reached.union(cand)
+            .groupby(["tile_x", "tile_y"])
+            .aggregate(Min("d", alias_name="d"))
+            .materialize()
+        )
+
+    dist = reached.to_pandas()  # lattice-dimension-bounded
+    dkeys = (dist["tile_x"].to_numpy() << 32) | dist["tile_y"].to_numpy()
+    dorder = np.argsort(dkeys)
+    dkeys, dvals = dkeys[dorder], dist["d"].to_numpy()[dorder]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        key = (tx << 32) | ty
+        if len(dkeys):
+            pos = np.minimum(np.searchsorted(dkeys, key), len(dkeys) - 1)
+            hit = dkeys[pos] == key
+            d = np.where(hit, dvals[np.minimum(pos, len(dkeys) - 1)], -1)
+        else:
+            d = np.full(len(key), -1, dtype=np.int64)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "n": batch["n"],
+                "dist": pa.array(d.astype(np.int64)),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tile_bfs_dist(zoom: int = 6, thresh: int = 50, max_hops: int = 6) -> str:
+    t = _tile_sql(zoom)
+    ctes = [
+        f"""t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)""",
+        "occ AS (SELECT tile_x AS x, tile_y AS y FROM t)",
+        f"r0 AS (SELECT tile_x AS x, tile_y AS y, CAST(0 AS BIGINT) AS d "
+        f"FROM t WHERE n >= {thresh})",
+    ]
+    for k in range(1, max_hops + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT x, y, min(d) AS d FROM (
+    SELECT x, y, d FROM r{k - 1}
+    UNION ALL
+    SELECT o.x, o.y, CAST({k} AS BIGINT) AS d
+    FROM r{k - 1} p JOIN occ o ON abs(o.x - p.x) + abs(o.y - p.y) = 1
+  ) GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t.tile_x, t.tile_y, t.n, COALESCE(r.d, -1) AS dist
+FROM t LEFT JOIN r{max_hops} r ON r.x = t.tile_x AND r.y = t.tile_y
+"""
+    )
+
+
+def q_gini_tiles(sf_dir: str, zoom: int = 6):
+    """GINI concentration index of the per-tile image-count distribution
+    (how unequally the corpus concentrates across occupied tiles) — the
+    spatial-skew health metric that predicts shuffle hot keys. Exact
+    integer numerator/denominator (sum of rank-weighted counts over the
+    ascending order; ties contribute identically under any permutation,
+    so the statistic is sort-stable), fixed-point ratio.
+
+    Shape: combiner tile counts -> the statistic on the 4^zoom-bounded
+    dimension table (morans_i pattern)."""
+    counts = _tile_counts(sf_dir, zoom)
+    pdf = counts.to_pandas()  # tile-dimension-sized
+    y = np.sort(pdf["n"].to_numpy().astype(np.int64))
+    m = len(y)
+    total = int(y.sum())
+    ranked = int((np.arange(1, m + 1, dtype=np.int64) * y).sum())
+    num = 2 * ranked - (m + 1) * total
+    den = m * total
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_tiles": pd.Series([m], dtype="int64"),
+            "total": pd.Series([total], dtype="int64"),
+            "gini_num": pd.Series([num], dtype="int64"),
+            "gini_den": pd.Series([den], dtype="int64"),
+            "gini_fp": pd.Series(
+                [(num * 1_000_000) // den if den else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+def sql_gini_tiles(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n, tile_x, tile_y) AS rk FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(rk * n) AS BIGINT) AS ranked
+  FROM r
+)
+SELECT m AS n_tiles, total,
+       2 * ranked - (m + 1) * total AS gini_num,
+       m * total AS gini_den,
+       (2 * ranked - (m + 1) * total) * 1000000 // (m * total) AS gini_fp
+FROM s
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -1808,6 +2114,10 @@ QUERIES = {
     "contour_segments": q_contour_segments,
     "variogram_tiles": q_variogram_tiles,
     "pagerank_tiles": q_pagerank_tiles,
+    "tile_gradient": q_tile_gradient,
+    "tile_bfs_dist": q_tile_bfs_dist,
+    "gini_tiles": q_gini_tiles,
+    "tile_trend": relational.q_tile_trend,
     "morans_i": q_morans_i,
     "dissolve_regions": q_dissolve_regions,
     "hotspots_gi": q_hotspots_gi,
@@ -1905,6 +2215,7 @@ QUERIES = {
     "region_coviz": relational.q_region_coviz,
     "upsert_latest": relational.q_upsert_latest,
     "grouped_median": relational.q_grouped_median,
+    "grouped_mode": relational.q_grouped_mode,
     "funnel_conversion": relational.q_funnel_conversion,
     "cohort_retention": relational.q_cohort_retention,
     "skyline_events": relational.q_skyline_events,
@@ -2009,6 +2320,11 @@ ORACLE_SQL = {
     "region_coviz": relational.sql_region_coviz(),
     "upsert_latest": relational.SQL_UPSERT_LATEST,
     "grouped_median": relational.SQL_GROUPED_MEDIAN,
+    "grouped_mode": relational.SQL_GROUPED_MODE,
+    "tile_trend": relational.sql_tile_trend(_tile_sql(6)),
+    "tile_gradient": sql_tile_gradient(8),
+    "tile_bfs_dist": sql_tile_bfs_dist(6),
+    "gini_tiles": sql_gini_tiles(6),
     "funnel_conversion": relational.sql_funnel_conversion(),
     "cohort_retention": relational.SQL_COHORT_RETENTION,
     "skyline_events": relational.SQL_SKYLINE_EVENTS,

@@ -2639,3 +2639,168 @@ SELECT p.event_id, p.cents, p.ts_us
 FROM p JOIN vr ON p.cents = vr.cents
 WHERE p.ts_us = vr.mt AND (vr.rm IS NULL OR p.ts_us > vr.rm)
 """
+
+
+def q_grouped_mode(sf_dir: str):
+    """MODE per group (most frequent cent-quantized value per event
+    type, smallest-value tie-break) — the categorical sibling of
+    grouped_median, same value-histogram plan shape: (group, value)
+    count combiner -> one skinny groupby -> argmax on the tiny
+    per-group histogram."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "cents": pa.array(cents)})
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def pick_mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "cents"], ascending=[False, True], kind="stable")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "mode_cents": [int(g["cents"].iloc[0])],
+                "n_mode": [int(g["n"].iloc[0])],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(pick_mode, batch_format="pandas")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode
+FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, cents ASC) = 1
+"""
+
+
+def q_tile_trend(sf_dir: str, zoom: int = 6):
+    """Per-tile TEMPORAL TREND of event activity: exact-integer least
+    squares slope of daily event counts per z-level tile (the
+    growing/shrinking-hotspot monitor). The slope is emitted as the
+    exact integer pair (num, den) of the closed-form LSQ solution
+    num/den = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over the tile's observed
+    days — order-independent at any cluster size, and DuckDB recomputes
+    it in plain BIGINT arithmetic.
+
+    Shape at 100 TB: geotag + tile-assign stateless map -> (tile, day)
+    count combiner -> per-row moment expansion -> second combiner
+    groupby on the tile dimension. Two skinny exchanges, no
+    map_groups."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.tiles import encode_tiles
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def geotag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        t = pa.table(
+            {
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+        return encode_tiles(t, "WebMercatorQuad", (zoom,), keep_columns=["day"])
+
+    daily = partial_sum_groupby(
+        ds.map_batches(geotag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y", "day"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "sx": pa.array(day),
+                "sy": pa.array(c),
+                "sxy": pa.array(day * c),
+                "sxx": pa.array(day * day),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        daily.map_batches(moments, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["sx", "sy", "sxy", "sxx"],
+        count_alias="n_days",
+        coalesce=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_days"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"].filter(pa.array(keep)),
+                "tile_y": batch["tile_y"].filter(pa.array(keep)),
+                "n_days": pa.array(n[keep], pa.int64()),
+                "slope_num": pa.array(
+                    (n * sxy - sx * sy)[keep], pa.int64()
+                ),
+                "slope_den": pa.array(
+                    (n * sxx - sx * sx)[keep], pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tile_trend(tile_exprs: dict, zoom: int = 6) -> str:
+    return f"""
+WITH {_sql_event_pos()},
+d AS (
+  SELECT {tile_exprs['tx']} AS tile_x, {tile_exprs['ty']} AS tile_y,
+         ts_us // 86400000000 AS day,
+         count(*) AS c
+  FROM pos
+  WHERE {tile_exprs['valid']}
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(day) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         CAST(sum(day * c) AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM d GROUP BY 1, 2
+)
+SELECT tile_x, tile_y, n_days,
+       n_days * sxy - sx * sy AS slope_num,
+       n_days * sxx - sx * sx AS slope_den
+FROM m WHERE n_days >= 2
+"""
