@@ -188,6 +188,11 @@ def run_benchmarks() -> dict:
     timed("gini_tiles", lambda: queries.q_gini_tiles(SF_DIR))
     timed("grouped_mode", lambda: relational.q_grouped_mode(SF_DIR))
     timed("tile_trend", lambda: relational.q_tile_trend(SF_DIR))
+    timed("spearman_tiles", lambda: queries.q_spearman_tiles(SF_DIR))
+    timed("tile_cost_dist", lambda: queries.q_tile_cost_dist(SF_DIR))
+    timed("chi2_assoc", lambda: relational.q_chi2_assoc(SF_DIR))
+    timed("changepoint_days", lambda: relational.q_changepoint_days(SF_DIR))
+    timed("acf_daily", lambda: relational.q_acf_daily(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

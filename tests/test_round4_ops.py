@@ -333,3 +333,132 @@ def test_tile_trend_matches_pandas_lsq():
         slope = np.polyfit(d.astype(float), c.astype(float), 1)[0]
         assert abs(slope - num / den) < 1e-9
     assert seen == set(got)
+
+
+def test_chi2_assoc_matches_crosstab_recompute():
+    from texel_ray.pipelines.relational import q_chi2_assoc
+
+    out = q_chi2_assoc(SF_DIR)
+    ev = _events()
+    ev["dow"] = (ev["ts_us"] // (86400 * 1_000_000)) % 7
+    ct = ev.groupby(["event_type", "dow"]).size()
+    row = ev.groupby("event_type").size()
+    col = ev.groupby("dow").size()
+    n = len(ev)
+    got = {
+        (r.event_type, int(r.dow)): (int(r.o), int(r.en_num), int(r.term_fp))
+        for r in out.itertuples()
+    }
+    assert set(got) == set(ct.index)
+    for (typ, dow), o in ct.items():
+        r, c = int(row[typ]), int(col[dow])
+        dev = int(o) * n - r * c
+        assert got[(typ, int(dow))] == (
+            int(o),
+            r * c,
+            (dev * dev * 1_000_000) // (r * c * n),
+        )
+    # the statistic is a real sum of non-negative contributions
+    assert out["term_fp"].ge(0).all() and out["term_fp"].sum() > 0
+
+
+def test_changepoint_days_matches_cusum_scan():
+    from texel_ray.pipelines.relational import q_changepoint_days
+
+    out = q_changepoint_days(SF_DIR).set_index("event_type")
+    ev = _events()
+    ev["day"] = ev["ts_us"] // (86400 * 1_000_000)
+    for typ, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        days = daily.index.to_numpy()
+        c = daily.to_numpy()
+        n = len(days)
+        if n < 2:
+            assert typ not in out.index
+            continue
+        best = None
+        pre = 0
+        tot = int(c.sum())
+        for k in range(1, n):  # split after day[k-1]
+            pre += int(c[k - 1])
+            s = n * pre - k * tot
+            if best is None or abs(s) > best[0]:
+                best = (abs(s), int(days[k - 1]), s)
+        assert int(out.loc[typ, "n_days"]) == n
+        assert int(out.loc[typ, "split_day"]) == best[1]
+        assert int(out.loc[typ, "s_max"]) == best[2]
+        assert int(out.loc[typ, "s_abs"]) == best[0]
+
+
+def test_acf_daily_matches_pair_recompute():
+    from texel_ray.pipelines.relational import q_acf_daily
+
+    out = q_acf_daily(SF_DIR).set_index("lag_d")
+    ev = _events()
+    ev["day"] = ev["ts_us"] // (86400 * 1_000_000)
+    daily = ev.groupby("day").size()
+    cnt = {int(d): int(v) for d, v in daily.items()}
+    for lag in (1, 2, 3):
+        pairs = [(v, cnt[d + lag]) for d, v in cnt.items() if d + lag in cnt]
+        if not pairs:
+            assert lag not in out.index
+            continue
+        a = np.array([p[0] for p in pairs], dtype=np.int64)
+        b = np.array([p[1] for p in pairs], dtype=np.int64)
+        assert int(out.loc[lag, "n_pairs"]) == len(pairs)
+        assert int(out.loc[lag, "sx"]) == int(a.sum())
+        assert int(out.loc[lag, "sy"]) == int(b.sum())
+        assert int(out.loc[lag, "sxy"]) == int((a * b).sum())
+        assert int(out.loc[lag, "sxx"]) == int((a * a).sum())
+        assert int(out.loc[lag, "syy"]) == int((b * b).sum())
+
+
+def test_spearman_tiles_matches_pandas_ranks():
+    from texel_ray.pipelines.queries import q_spearman_tiles
+    from texel_ray.stages.tiles import encode_tiles
+
+    out = q_spearman_tiles(SF_DIR, zoom=6).iloc[0]
+    path = ensure_images_for_sf_dir(SF_DIR)
+    t = pq.read_table(path, columns=["lon", "lat", "w"])
+    enc = encode_tiles(t, "WebMercatorQuad", (6,), keep_columns=["w"]).to_pandas()
+    per = enc.groupby(["tile_x", "tile_y"]).agg(
+        n=("w", "size"), sw=("w", "sum")
+    )
+    rx = (per["n"].rank(method="average") * 2).astype(np.int64).to_numpy()
+    ry = (per["sw"].rank(method="average") * 2).astype(np.int64).to_numpy()
+    n = len(per)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    num = n * int((rx * ry).sum()) - sx * sy
+    den_x = n * int((rx * rx).sum()) - sx * sx
+    den_y = n * int((ry * ry).sum()) - sy * sy
+    assert int(out.n_tiles) == n
+    assert int(out.rho_num) == num
+    assert int(out.den_x) == den_x
+    assert int(out.den_y) == den_y
+    rho2 = (1 if num >= 0 else -1) * (num * num * 1_000_000) // (den_x * den_y)
+    assert int(out.rho2_fp) == rho2
+    # density and payload width are positively coupled in the synthetic corpus
+    assert den_x > 0 and den_y > 0
+
+
+def test_tile_cost_dist_matches_bounded_bellman_ford():
+    from texel_ray.pipelines.queries import q_tile_cost_dist
+
+    thresh, rounds = 2, 8
+    out = q_tile_cost_dist(SF_DIR, zoom=6, thresh=thresh, rounds=rounds).to_pandas()
+    counts = _tile_counts_z(6)
+    w = {k: 1 + n for k, n in counts.items()}
+    dist = {k: 0 for k, n in counts.items() if n >= thresh}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (x, y), d in dist.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (x + dx, y + dy)
+                if nb in w and d + w[nb] < nxt.get(nb, 1 << 62):
+                    nxt[nb] = d + w[nb]
+        dist = nxt
+    got = {(int(r.tile_x), int(r.tile_y)): int(r.d) for r in out.itertuples()}
+    assert set(got) == set(counts)
+    for k in counts:
+        assert got[k] == dist.get(k, -1)
+    assert any(v > 0 for v in got.values())

@@ -2082,6 +2082,251 @@ FROM s
 """
 
 
+def q_spearman_tiles(sf_dir: str, zoom: int = 6):
+    """SPEARMAN RANK CORRELATION between two per-tile metrics (image
+    count vs total pixel width — the density-vs-payload coupling
+    probe), tie-handled via doubled average ranks (rank2 = 2*min_rank
+    + tie_count - 1, always integer). Emitted as the exact integer
+    Pearson-on-ranks triple (rho_num, den_x, den_y) plus a signed
+    fixed-point rho^2 — rho = rho_num / sqrt(den_x * den_y) downstream.
+
+    Shape at 100 TB: ONE (tile, [w]) combiner folds the corpus to the
+    4^zoom-bounded lattice dimension; ranking + moments run driver-side
+    on that tiny table with Python ints (rho_num^2 exceeds int64)."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.tiles import encode_tiles
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat", "w"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.set_column(
+            batch.schema.get_field_index("w"), "w", batch["w"].cast(pa.int64())
+        )
+        return encode_tiles(t, "WebMercatorQuad", (zoom,), keep_columns=["w"])
+
+    per_tile = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y"],
+        ["w"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    pdf = per_tile.to_pandas()  # lattice-dimension-sized
+
+    def rank2(v: np.ndarray) -> np.ndarray:
+        s = np.sort(v)
+        lo = np.searchsorted(s, v, side="left")
+        hi = np.searchsorted(s, v, side="right")
+        return 2 * (lo + 1) + (hi - lo) - 1
+
+    rx = rank2(pdf["n"].to_numpy().astype(np.int64))
+    ry = rank2(pdf["w"].to_numpy().astype(np.int64))
+    n = len(pdf)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxy = int((rx * ry).sum())
+    sxx, syy = int((rx * rx).sum()), int((ry * ry).sum())
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if den_x and den_y:
+        rho2 = (1 if num >= 0 else -1) * (num * num * 1_000_000) // (den_x * den_y)
+    else:
+        rho2 = 0
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_tiles": pd.Series([n], dtype="int64"),
+            "rho_num": pd.Series([num], dtype="int64"),
+            "den_x": pd.Series([den_x], dtype="int64"),
+            "den_y": pd.Series([den_y], dtype="int64"),
+            "rho2_fp": pd.Series([rho2], dtype="int64"),
+        }
+    )
+
+
+def sql_spearman_tiles(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y,
+         count(*) AS n, sum(w) AS sw
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY n) + count(*) OVER (PARTITION BY n) - 1 AS rx,
+    2 * rank() OVER (ORDER BY sw) + count(*) OVER (PARTITION BY sw) - 1 AS ry
+  FROM t
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM r
+)
+SELECT n AS n_tiles,
+       n * sxy - sx * sy AS rho_num,
+       n * sxx - sx * sx AS den_x,
+       n * syy - sy * sy AS den_y,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+            ELSE (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                 * ((CAST(n * sxy - sx * sy AS HUGEINT)
+                     * (n * sxy - sx * sy) * 1000000)
+                    // (CAST(n * sxx - sx * sx AS HUGEINT)
+                        * (n * syy - sy * sy)))
+            END AS BIGINT) AS rho2_fp
+FROM m
+"""
+
+
+def q_tile_cost_dist(
+    sf_dir: str, zoom: int = 6, thresh: int = 50, rounds: int = 8
+):
+    """WEIGHTED COST DISTANCE over the occupied-tile rook lattice
+    (the friction-surface / least-cost-path primitive): minimal
+    accumulated entering cost w(v) = 1 + n(v) from the nearest HOT
+    tile (count >= thresh), relaxed for a bounded number of
+    Bellman-Ford rounds (paths of <= `rounds` edges; unreached = -1).
+    Deterministic and order-independent: state is all-integer and each
+    round is a min-groupby.
+
+    Shape at 100 TB: SPFA-style frontier — only tiles whose d improved
+    last round donate (tracked by packing pack = d * 64 + round and
+    taking Min(pack): ties keep the EARLIER round, so settled tiles
+    never re-donate); each round is ONE skinny donation exchange + a
+    min-groupby, rounds bounded like the hash-to-min CC pass."""
+    from ray.data.aggregate import Min
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()
+    keys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    order = np.argsort(keys)
+    occ_keys = keys[order]
+    occ_w = 1 + occ["n"].to_numpy().astype(np.int64)[order]
+    ROOK = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def lookup_w(tx, ty):
+        key = (tx << 32) | ty
+        pos = np.minimum(np.searchsorted(occ_keys, key), len(occ_keys) - 1)
+        ok = occ_keys[pos] == key
+        return ok, occ_w[pos]
+
+    def seed(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        hot = n >= thresh
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"].filter(pa.array(hot)),
+                "tile_y": batch["tile_y"].filter(pa.array(hot)),
+                # pack = d * 64 + round_of_arrival (rounds <= 63)
+                "pk": pa.array(np.zeros(int(hot.sum()), dtype=np.int64)),
+            }
+        )
+
+    reached = counts.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for r in range(1, rounds + 1):
+
+        def take_frontier(batch: pa.Table, rnd=r - 1) -> pa.Table:
+            pk = batch["pk"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(pk % 64 == rnd))
+
+        frontier = reached.map_batches(take_frontier, batch_format="pyarrow")
+
+        def donate(batch: pa.Table, rnd=r) -> pa.Table:
+            tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+            ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+            d = batch["pk"].to_numpy(zero_copy_only=False) // 64
+            outs = []
+            for dx, dy in ROOK:
+                nx, ny = tx + dx, ty + dy
+                ok, w = lookup_w(nx, ny)
+                outs.append(
+                    pa.table(
+                        {
+                            "tile_x": pa.array(nx[ok], pa.int64()),
+                            "tile_y": pa.array(ny[ok], pa.int64()),
+                            "pk": pa.array((d[ok] + w[ok]) * 64 + rnd, pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        cand = frontier.map_batches(donate, batch_format="pyarrow")
+        reached = (
+            reached.union(cand)
+            .groupby(["tile_x", "tile_y"])
+            .aggregate(Min("pk", alias_name="pk"))
+            .materialize()
+        )
+
+    dist = reached.to_pandas()  # lattice-dimension-bounded
+    dkeys = (dist["tile_x"].to_numpy() << 32) | dist["tile_y"].to_numpy()
+    dorder = np.argsort(dkeys)
+    dkeys = dkeys[dorder]
+    dvals = (dist["pk"].to_numpy() // 64)[dorder]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        key = (tx << 32) | ty
+        d = np.full(len(key), -1, dtype=np.int64)
+        if len(dkeys):
+            pos = np.minimum(np.searchsorted(dkeys, key), len(dkeys) - 1)
+            hit = dkeys[pos] == key
+            d[hit] = dvals[pos][hit]
+        return pa.table(
+            {
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "d": pa.array(d),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tile_cost_dist(zoom: int = 6, thresh: int = 50, rounds: int = 8) -> str:
+    t = _tile_sql(zoom)
+    ctes = [
+        f"""occ AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, count(*) AS n,
+         1 + count(*) AS w
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)""",
+        f"r0 AS (SELECT x, y, CAST(0 AS BIGINT) AS d FROM occ WHERE n >= {thresh})",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT x, y, min(v) AS d FROM (
+    SELECT x, y, d AS v FROM r{k - 1}
+    UNION ALL
+    SELECT o.x AS x, o.y AS y, p.d + o.w AS v
+    FROM r{k - 1} p JOIN occ o
+      ON abs(o.x - p.x) + abs(o.y - p.y) = 1
+  ) u GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT occ.x AS tile_x, occ.y AS tile_y,
+       CAST(COALESCE(r.d, -1) AS BIGINT) AS d
+FROM occ LEFT JOIN r{rounds} r ON r.x = occ.x AND r.y = occ.y
+"""
+    )
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2118,6 +2363,11 @@ QUERIES = {
     "tile_bfs_dist": q_tile_bfs_dist,
     "gini_tiles": q_gini_tiles,
     "tile_trend": relational.q_tile_trend,
+    "spearman_tiles": q_spearman_tiles,
+    "tile_cost_dist": q_tile_cost_dist,
+    "chi2_assoc": relational.q_chi2_assoc,
+    "changepoint_days": relational.q_changepoint_days,
+    "acf_daily": relational.q_acf_daily,
     "morans_i": q_morans_i,
     "dissolve_regions": q_dissolve_regions,
     "hotspots_gi": q_hotspots_gi,
@@ -2322,6 +2572,11 @@ ORACLE_SQL = {
     "grouped_median": relational.SQL_GROUPED_MEDIAN,
     "grouped_mode": relational.SQL_GROUPED_MODE,
     "tile_trend": relational.sql_tile_trend(_tile_sql(6)),
+    "spearman_tiles": sql_spearman_tiles(6),
+    "tile_cost_dist": sql_tile_cost_dist(6),
+    "chi2_assoc": relational.SQL_CHI2_ASSOC,
+    "changepoint_days": relational.SQL_CHANGEPOINT_DAYS,
+    "acf_daily": relational.SQL_ACF_DAILY,
     "tile_gradient": sql_tile_gradient(8),
     "tile_bfs_dist": sql_tile_bfs_dist(6),
     "gini_tiles": sql_gini_tiles(6),

@@ -2804,3 +2804,248 @@ SELECT tile_x, tile_y, n_days,
        n_days * sxx - sx * sx AS slope_den
 FROM m WHERE n_days >= 2
 """
+
+
+def q_chi2_assoc(sf_dir: str):
+    """CHI-SQUARE ASSOCIATION test between event_type and epoch-day-of-
+    week (the categorical-drift / independence monitor): the full
+    contingency table with each cell's exact observed count, expected-
+    count numerator (row_total * col_total; expected = en_num / N) and
+    fixed-point chi-square contribution term_fp =
+    ((O*N - R*C)^2 * 10^6) // (R*C*N) — all integer, so the statistic
+    is bit-identical at any cluster size and DuckDB recomputes it in
+    HUGEINT.
+
+    Shape at 100 TB: ONE (event_type, dow) count combiner — the corpus
+    folds to the n_types x 7 contingency dimension before anything
+    crosses the wire; the chi-square finish runs on that tiny table
+    with Python ints (the (O*N - R*C)^2 intermediate exceeds int64)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pa.array(day % 7, pa.int64()),
+            }
+        )
+
+    cells = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "dow"],
+        [],
+        count_alias="o",
+        coalesce=4,
+    )
+
+    cdf = cells.to_pandas()  # contingency-dimension-sized (n_types x 7)
+    row_tot = cdf.groupby("event_type")["o"].sum().to_dict()
+    col_tot = cdf.groupby("dow")["o"].sum().to_dict()
+    n_tot = int(cdf["o"].sum())
+    out = {
+        "event_type": cdf["event_type"].tolist(),
+        "dow": cdf["dow"].astype("int64").tolist(),
+        "o": cdf["o"].astype("int64").tolist(),
+        "en_num": [],
+        "term_fp": [],
+    }
+    for typ, dow, o in zip(out["event_type"], out["dow"], out["o"]):
+        r, c = int(row_tot[typ]), int(col_tot[dow])
+        dev = int(o) * n_tot - r * c  # exact Python int (can exceed int64 squared)
+        out["en_num"].append(r * c)
+        out["term_fp"].append((dev * dev * 1_000_000) // (r * c * n_tot))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(out["event_type"], dtype="object"),
+            "dow": pd.Series(out["dow"], dtype="int64"),
+            "o": pd.Series(out["o"], dtype="int64"),
+            "en_num": pd.Series(out["en_num"], dtype="int64"),
+            "term_fp": pd.Series(out["term_fp"], dtype="int64"),
+        }
+    )
+
+
+SQL_CHI2_ASSOC = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, sum(o) AS rt FROM c GROUP BY 1),
+k AS (SELECT dow, sum(o) AS ct FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS nt FROM c)
+SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, CAST(c.o AS BIGINT) AS o,
+       CAST(r.rt * k.ct AS BIGINT) AS en_num,
+       CAST(
+         ((CAST(c.o AS HUGEINT) * n.nt - CAST(r.rt AS HUGEINT) * k.ct)
+          * (CAST(c.o AS HUGEINT) * n.nt - CAST(r.rt AS HUGEINT) * k.ct)
+          * 1000000)
+         // (CAST(r.rt AS HUGEINT) * k.ct * n.nt)
+         AS BIGINT) AS term_fp
+FROM c JOIN r ON c.event_type = r.event_type
+       JOIN k ON c.dow = k.dow
+       CROSS JOIN n
+"""
+
+
+def q_changepoint_days(sf_dir: str):
+    """CUSUM CHANGEPOINT per event_type over its daily-count series
+    (the level-shift detector): for each type the split day k*
+    maximizing |S_k| where S_k = n * prefix_k - k * total over the
+    day-ordered counts (the exact-integer reformulation of the
+    classic mean-shift CUSUM — S_k/n = prefix_k - k*mean). Earliest
+    day wins ties; the changepoint is AFTER split_day.
+
+    Shape at 100 TB: ONE (event_type, day) count combiner folds the
+    corpus to the types x days dimension; the argmax scan runs
+    driver-side on that tiny table."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "day": pa.array(day, pa.int64())}
+        )
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "day"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    )
+
+    ddf = daily.to_pandas()  # types x days dimension
+    rows = {"event_type": [], "n_days": [], "split_day": [], "s_max": [], "s_abs": []}
+    for typ, g in ddf.groupby("event_type"):
+        g = g.sort_values("day")
+        day = g["day"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        n = len(day)
+        if n < 2:
+            continue
+        pre = np.cumsum(c)
+        tot = int(pre[-1])
+        k = np.arange(1, n + 1, dtype=np.int64)
+        s = (n * pre - k * tot)[:-1]  # k = 1..n-1 (a split needs both sides)
+        i = int(np.lexsort((day[:-1], -np.abs(s)))[0])
+        rows["event_type"].append(typ)
+        rows["n_days"].append(n)
+        rows["split_day"].append(int(day[i]))
+        rows["s_max"].append(int(s[i]))
+        rows["s_abs"].append(int(abs(s[i])))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(rows["event_type"], dtype="object"),
+            "n_days": pd.Series(rows["n_days"], dtype="int64"),
+            "split_day": pd.Series(rows["split_day"], dtype="int64"),
+            "s_max": pd.Series(rows["s_max"], dtype="int64"),
+            "s_abs": pd.Series(rows["s_abs"], dtype="int64"),
+        }
+    )
+
+
+SQL_CHANGEPOINT_DAYS = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day,
+         sum(c) OVER (PARTITION BY event_type ORDER BY day) AS pre,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM d
+),
+s AS (
+  SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+         CAST(n * pre - k * tot AS BIGINT) AS s
+  FROM w WHERE k < n AND n >= 2
+)
+SELECT event_type, n_days, day AS split_day, s AS s_max, abs(s) AS s_abs
+FROM s
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(s) DESC, day ASC) = 1
+"""
+
+
+def q_acf_daily(sf_dir: str, max_lag: int = 3):
+    """LAG-k AUTOCORRELATION moments of the global daily event-count
+    series (the seasonality probe): for each lag L in 1..max_lag, the
+    exact integer moment sums (n_pairs, sx, sy, sxy, sxx, syy) over
+    day pairs (d, d+L) both observed — the Pearson ACF is
+    (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) (n*syy - sy^2)) downstream;
+    emitting the moments keeps every byte exactly recomputable.
+
+    Shape at 100 TB: ONE day count combiner folds the corpus to the
+    day dimension; the lag self-join runs driver-side on it."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["day"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    )
+
+    ddf = daily.to_pandas().sort_values("day")  # day-dimension
+    day = ddf["day"].to_numpy().astype(np.int64)
+    c = ddf["c"].to_numpy().astype(np.int64)
+    pos = {int(d): i for i, d in enumerate(day)}
+    rows = {k: [] for k in ("lag_d", "n_pairs", "sx", "sy", "sxy", "sxx", "syy")}
+    for lag in range(1, max_lag + 1):
+        idx = [(i, pos[int(d) + lag]) for i, d in enumerate(day) if int(d) + lag in pos]
+        if not idx:
+            continue
+        a = c[[i for i, _ in idx]]
+        b = c[[j for _, j in idx]]
+        rows["lag_d"].append(lag)
+        rows["n_pairs"].append(len(idx))
+        rows["sx"].append(int(a.sum()))
+        rows["sy"].append(int(b.sum()))
+        rows["sxy"].append(int((a * b).sum()))
+        rows["sxx"].append(int((a * a).sum()))
+        rows["syy"].append(int((b * b).sum()))
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+SQL_ACF_DAILY = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+l(lag_d) AS (VALUES (1), (2), (3))
+SELECT CAST(l.lag_d AS BIGINT) AS lag_d,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+       CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+       CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+       CAST(sum(b.c * b.c) AS BIGINT) AS syy
+FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag_d
+GROUP BY 1
+"""
