@@ -193,6 +193,11 @@ def run_benchmarks() -> dict:
     timed("chi2_assoc", lambda: relational.q_chi2_assoc(SF_DIR))
     timed("changepoint_days", lambda: relational.q_changepoint_days(SF_DIR))
     timed("acf_daily", lambda: relational.q_acf_daily(SF_DIR))
+    timed("mannwhitney_u", lambda: relational.q_mannwhitney_u(SF_DIR))
+    timed("ks_stat", lambda: relational.q_ks_stat(SF_DIR))
+    timed("theil_sen_daily", lambda: relational.q_theil_sen_daily(SF_DIR))
+    timed("agg_rollup", lambda: relational.q_agg_rollup(SF_DIR))
+    timed("image_edges", lambda: mlprep.q_image_edges(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

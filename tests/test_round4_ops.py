@@ -435,7 +435,7 @@ def test_spearman_tiles_matches_pandas_ranks():
     assert int(out.rho_num) == num
     assert int(out.den_x) == den_x
     assert int(out.den_y) == den_y
-    rho2 = (1 if num >= 0 else -1) * (num * num * 1_000_000) // (den_x * den_y)
+    rho2 = (1 if num >= 0 else -1) * ((num * num * 1_000_000) // (den_x * den_y))
     assert int(out.rho2_fp) == rho2
     # density and payload width are positively coupled in the synthetic corpus
     assert den_x > 0 and den_y > 0
@@ -462,3 +462,135 @@ def test_tile_cost_dist_matches_bounded_bellman_ford():
     for k in counts:
         assert got[k] == dist.get(k, -1)
     assert any(v > 0 for v in got.values())
+
+
+def test_mannwhitney_u_matches_scipy_free_ranks():
+    from texel_ray.pipelines.relational import q_mannwhitney_u
+
+    out = q_mannwhitney_u(SF_DIR).set_index("event_type")
+    ev = _events()
+    # tie-averaged ranks over the combined sample, doubled to stay integer
+    r2 = (ev["cents"].rank(method="average") * 2).astype(np.int64)
+    for typ, g in ev.groupby("event_type"):
+        n_t = len(g)
+        r2_sum = int(r2[g.index].sum())
+        assert int(out.loc[typ, "n_t"]) == n_t
+        assert int(out.loc[typ, "r2_sum"]) == r2_sum
+        assert int(out.loc[typ, "u2"]) == r2_sum - n_t * (n_t + 1)
+    # U + U' symmetry: sum of all one-vs-rest 2U values equals
+    # 2 * sum over unordered type pairs of n_a*n_b  (each cross pair is
+    # counted once from each side)
+    sizes = ev.groupby("event_type").size()
+    cross = int(sizes.sum()) ** 2 - int((sizes**2).sum())
+    assert int(out["u2"].sum()) == cross
+
+
+def test_ks_stat_matches_cdf_scan():
+    from texel_ray.pipelines.relational import q_ks_stat
+
+    out = q_ks_stat(SF_DIR).set_index("event_type")
+    ev = _events()
+    vals = np.sort(ev["cents"].unique())
+    for typ in ev["event_type"].unique():
+        a = ev.loc[ev["event_type"] == typ, "cents"].to_numpy()
+        b = ev.loc[ev["event_type"] != typ, "cents"].to_numpy()
+        cum_a = np.searchsorted(np.sort(a), vals, side="right")
+        cum_b = np.searchsorted(np.sort(b), vals, side="right")
+        dn = np.abs(cum_a * len(b) - cum_b * len(a))
+        i = int(np.lexsort((vals, -dn))[0])
+        assert int(out.loc[typ, "n_t"]) == len(a)
+        assert int(out.loc[typ, "n_rest"]) == len(b)
+        assert int(out.loc[typ, "d_num"]) == int(dn[i])
+        assert int(out.loc[typ, "at_cents"]) == int(vals[i])
+
+
+def test_theil_sen_matches_fraction_median():
+    from fractions import Fraction
+
+    from texel_ray.pipelines.relational import (
+        _TS_LCM,
+        _TS_MAX_GAP,
+        q_theil_sen_daily,
+    )
+
+    out = q_theil_sen_daily(SF_DIR).set_index("event_type")
+    ev = _events()
+    ev["day"] = ev["ts_us"] // (86400 * 1_000_000)
+    for typ, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        days = daily.index.to_numpy()
+        c = daily.to_numpy()
+        slopes = []
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                gap = int(days[j] - days[i])
+                if gap <= _TS_MAX_GAP:
+                    slopes.append(Fraction(int(c[j]) - int(c[i]), gap))
+        slopes.sort()
+        med = slopes[(len(slopes) - 1) // 2]
+        key = med.numerator * _TS_LCM // med.denominator
+        assert (med.numerator * _TS_LCM) % med.denominator == 0  # exact
+        assert int(out.loc[typ, "n_pairs"]) == len(slopes)
+        assert int(out.loc[typ, "slope_lkey"]) == key
+
+
+def test_agg_rollup_levels_are_consistent():
+    from texel_ray.pipelines.relational import q_agg_rollup
+
+    out = q_agg_rollup(SF_DIR)
+    fine = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    lvl1 = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    lvl0 = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    assert len(lvl0) == 1
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                       columns=["l_returnflag", "l_quantity"]).to_pandas()
+    assert int(lvl0["n"].iloc[0]) == len(li)
+    assert int(lvl0["qty_cents"].iloc[0]) == int(
+        np.trunc(li["l_quantity"].to_numpy() * 100.0).astype(np.int64).sum()
+    )
+    for c in ("n", "qty_cents", "price_cents"):
+        assert int(fine[c].sum()) == int(lvl0[c].iloc[0])
+        assert int(lvl1[c].sum()) == int(lvl0[c].iloc[0])
+    # per-flag level matches the fine level rolled up by hand
+    got = lvl1.set_index("l_returnflag")["n"].to_dict()
+    expect = fine.groupby("l_returnflag")["n"].sum().to_dict()
+    assert got == expect
+
+
+def test_image_edges_matches_per_pixel_loop():
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.pipelines.mlprep import q_image_edges
+
+    out = q_image_edges(SF_DIR).to_pandas().set_index("image_id")
+    path = ensure_images_for_sf_dir(SF_DIR)
+    t = pq.read_table(path, columns=["image_id", "bytes", "fmt"])
+    n_checked = 0
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist()[:500],
+        t["bytes"].to_pylist()[:500],
+        t["fmt"].to_pylist()[:500],
+    ):
+        img = decode_image(buf, fmt).astype(np.int64)
+        h, w = img.shape[0], img.shape[1]
+        luma = [
+            [int(img[y, x, :].sum()) // 3 for x in range(w)] for y in range(h)
+        ]
+        es, em = 0, 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    luma[y - 1][x + 1] + 2 * luma[y][x + 1] + luma[y + 1][x + 1]
+                    - luma[y - 1][x - 1] - 2 * luma[y][x - 1] - luma[y + 1][x - 1]
+                )
+                gy = (
+                    luma[y + 1][x - 1] + 2 * luma[y + 1][x] + luma[y + 1][x + 1]
+                    - luma[y - 1][x - 1] - 2 * luma[y - 1][x] - luma[y - 1][x + 1]
+                )
+                e = abs(gx) + abs(gy)
+                es += e
+                em = max(em, e)
+        assert int(out.loc[iid, "edge_sum"]) == es
+        assert int(out.loc[iid, "edge_max"]) == em
+        assert int(out.loc[iid, "n_px"]) == (h - 2) * (w - 2)
+        n_checked += 1
+    assert n_checked == 500

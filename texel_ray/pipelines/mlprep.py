@@ -3570,3 +3570,18 @@ def q_kcenter_sample(sf_dir: str, k: int = 8):
         rows.append((rnd, win_id, int(round(win_d2 * 1_000_000))))
 
     return pd.DataFrame(rows, columns=["round", "vec_id", "d2_micro"])
+
+
+def q_image_edges(sf_dir: str):
+    """Per-image Sobel edge energy (stages/multimodal.SobelEdges) — the
+    sharpness signal image curation filters on. One actor-pool decode
+    pass, exact integer outputs; INDEPENDENT golden recomputes the
+    convolution with explicit per-offset Python loops (SQL cannot
+    decode pixels)."""
+    from ..sources.images import read_images
+    from ..stages.multimodal import SobelEdges
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        SobelEdges, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
+    )

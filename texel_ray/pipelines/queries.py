@@ -2130,7 +2130,9 @@ def q_spearman_tiles(sf_dir: str, zoom: int = 6):
     den_x = n * sxx - sx * sx
     den_y = n * syy - sy * sy
     if den_x and den_y:
-        rho2 = (1 if num >= 0 else -1) * (num * num * 1_000_000) // (den_x * den_y)
+        # sign applied AFTER the floor-division of non-negative terms, so
+        # Python matches DuckDB's truncating // on the negative branch
+        rho2 = (1 if num >= 0 else -1) * ((num * num * 1_000_000) // (den_x * den_y))
     else:
         rho2 = 0
     import pandas as pd
@@ -2368,6 +2370,11 @@ QUERIES = {
     "chi2_assoc": relational.q_chi2_assoc,
     "changepoint_days": relational.q_changepoint_days,
     "acf_daily": relational.q_acf_daily,
+    "image_edges": mlprep.q_image_edges,
+    "mannwhitney_u": relational.q_mannwhitney_u,
+    "ks_stat": relational.q_ks_stat,
+    "theil_sen_daily": relational.q_theil_sen_daily,
+    "agg_rollup": relational.q_agg_rollup,
     "morans_i": q_morans_i,
     "dissolve_regions": q_dissolve_regions,
     "hotspots_gi": q_hotspots_gi,
@@ -2577,6 +2584,10 @@ ORACLE_SQL = {
     "chi2_assoc": relational.SQL_CHI2_ASSOC,
     "changepoint_days": relational.SQL_CHANGEPOINT_DAYS,
     "acf_daily": relational.SQL_ACF_DAILY,
+    "mannwhitney_u": relational.SQL_MANNWHITNEY_U,
+    "ks_stat": relational.SQL_KS_STAT,
+    "theil_sen_daily": relational.SQL_THEIL_SEN_DAILY,
+    "agg_rollup": relational.SQL_AGG_ROLLUP,
     "tile_gradient": sql_tile_gradient(8),
     "tile_bfs_dist": sql_tile_bfs_dist(6),
     "gini_tiles": sql_gini_tiles(6),
@@ -2653,6 +2664,7 @@ for _name in (
     "tile_pyramid",
     "region_hulls",
     "vector_chain",
+    "image_edges",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -3049,3 +3049,306 @@ SELECT CAST(l.lag_d AS BIGINT) AS lag_d,
 FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag_d
 GROUP BY 1
 """
+
+
+def _cents_hist(sf_dir: str):
+    """Shared prelude of the two-sample rank/CDF tests: the
+    (event_type, cents) count histogram — the corpus folds to the
+    value dimension before anything crosses the wire."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch["event_type"], "cents": pa.array(cents)}
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """MANN-WHITNEY U rank-sum test, one-vs-rest per event_type (the
+    nonparametric does-this-group's-value-distribution-differ monitor):
+    doubled tie-averaged ranks over the GLOBAL combined sample
+    (rank2(v) = 2*cum_less(v) + tie_count(v) + 1, always integer), per
+    type the doubled rank sum r2_sum = sum n_t(v) * rank2(v) and
+    u2 = 2*U = r2_sum - n_t*(n_t + 1).
+
+    Shape at 100 TB: ONE (type, cents) count combiner; ranking runs
+    driver-side on the value-dimension histogram with Python ints
+    (r2_sum ~ n_t * 2N exceeds int64 beyond ~10^9 rows)."""
+    hist = _cents_hist(sf_dir)
+    hdf = hist.to_pandas()  # value-dimension-sized
+    per_v = hdf.groupby("cents")["n"].sum().sort_index()
+    vals = per_v.index.to_numpy()
+    cnt = per_v.to_numpy().astype(np.int64)
+    cumlt = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    rank2 = {int(v): 2 * int(l) + int(c) + 1 for v, l, c in zip(vals, cumlt, cnt)}
+    rows = {"event_type": [], "n_t": [], "r2_sum": [], "u2": []}
+    for typ, g in hdf.groupby("event_type"):
+        n_t = int(g["n"].sum())
+        r2 = sum(int(n) * rank2[int(v)] for v, n in zip(g["cents"], g["n"]))
+        rows["event_type"].append(typ)
+        rows["n_t"].append(n_t)
+        rows["r2_sum"].append(r2)
+        rows["u2"].append(r2 - n_t * (n_t + 1))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(rows["event_type"], dtype="object"),
+            "n_t": pd.Series(rows["n_t"], dtype="int64"),
+            "r2_sum": pd.Series(rows["r2_sum"], dtype="int64"),
+            "u2": pd.Series(rows["u2"], dtype="int64"),
+        }
+    )
+
+
+SQL_MANNWHITNEY_U = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+v AS (SELECT cents, sum(n) AS cnt FROM c GROUP BY 1),
+w AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents) - cnt AS cumlt
+  FROM v
+)
+SELECT c.event_type,
+       CAST(sum(c.n) AS BIGINT) AS n_t,
+       CAST(sum(c.n * (2 * w.cumlt + w.cnt + 1)) AS BIGINT) AS r2_sum,
+       CAST(sum(c.n * (2 * w.cumlt + w.cnt + 1))
+            - sum(c.n) * (sum(c.n) + 1) AS BIGINT) AS u2
+FROM c JOIN w ON c.cents = w.cents
+GROUP BY 1
+"""
+
+
+def q_ks_stat(sf_dir: str):
+    """KOLMOGOROV-SMIRNOV statistic, one-vs-rest per event_type (the
+    distribution-drift detector): D = max_v |F_t(v) - F_rest(v)| held
+    exactly as the integer numerator d_num = max |cum_t(v) * n_rest -
+    cum_rest(v) * n_t| over the common denominator n_t * n_rest, plus
+    the smallest cents value attaining it.
+
+    Shape at 100 TB: ONE (type, cents) count combiner; the CDF scan
+    runs driver-side on the value-dimension histogram."""
+    hist = _cents_hist(sf_dir)
+    hdf = hist.to_pandas()
+    piv = (
+        hdf.pivot_table(index="cents", columns="event_type", values="n",
+                        aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    vals = piv.index.to_numpy()
+    rows = {"event_type": [], "n_t": [], "n_rest": [], "d_num": [], "at_cents": []}
+    total = int(piv.to_numpy().sum())
+    cum_all = piv.to_numpy().astype(np.int64).sum(axis=1).cumsum()
+    for typ in piv.columns:
+        c_t = piv[typ].to_numpy().astype(np.int64)
+        n_t = int(c_t.sum())
+        n_r = total - n_t
+        cum_t = np.cumsum(c_t)
+        cum_r = cum_all - cum_t
+        dn = np.abs(cum_t * n_r - cum_r * n_t)
+        i = int(np.lexsort((vals, -dn))[0])
+        rows["event_type"].append(typ)
+        rows["n_t"].append(n_t)
+        rows["n_rest"].append(n_r)
+        rows["d_num"].append(int(dn[i]))
+        rows["at_cents"].append(int(vals[i]))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(rows["event_type"], dtype="object"),
+            "n_t": pd.Series(rows["n_t"], dtype="int64"),
+            "n_rest": pd.Series(rows["n_rest"], dtype="int64"),
+            "d_num": pd.Series(rows["d_num"], dtype="int64"),
+            "at_cents": pd.Series(rows["at_cents"], dtype="int64"),
+        }
+    )
+
+
+SQL_KS_STAT = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+v AS (SELECT DISTINCT cents FROM c),
+t AS (SELECT event_type, sum(n) AS n_t FROM c GROUP BY 1),
+tot AS (SELECT sum(n) AS nt FROM c),
+g AS (
+  SELECT t.event_type, v.cents, COALESCE(c.n, 0) AS n
+  FROM t CROSS JOIN v
+  LEFT JOIN c ON c.event_type = t.event_type AND c.cents = v.cents
+),
+w AS (
+  SELECT event_type, cents,
+         sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum_t
+  FROM g
+),
+a AS (
+  SELECT cents, sum(n) AS cn FROM g GROUP BY 1
+),
+aw AS (
+  SELECT cents, sum(cn) OVER (ORDER BY cents) AS cum_all FROM a
+),
+d AS (
+  SELECT w.event_type, w.cents, t.n_t,
+         tot.nt - t.n_t AS n_rest,
+         CAST(abs(w.cum_t * (tot.nt - t.n_t)
+                  - (aw.cum_all - w.cum_t) * t.n_t) AS BIGINT) AS dn
+  FROM w JOIN aw ON w.cents = aw.cents
+         JOIN t ON w.event_type = t.event_type
+         CROSS JOIN tot
+)
+SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       dn AS d_num, cents AS at_cents
+FROM d
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY dn DESC, cents ASC) = 1
+"""
+
+
+# lcm(1..29): every pair-gap <= 29 days divides it, so num * L / den is an
+# exact integer slope key (the windowed Theil-Sen trick).
+_TS_LCM = 2329089562800
+_TS_MAX_GAP = 29
+
+
+def q_theil_sen_daily(sf_dir: str):
+    """WINDOWED THEIL-SEN robust trend per event_type (the
+    outlier-immune alternative to the LSQ slope of tile_trend): the
+    exact lower-median of all pairwise daily-count slopes with day gap
+    <= 29, each slope held exactly as slope_lkey = (c_j - c_i) * L //
+    (d_j - d_i) with L = lcm(1..29) — the gap always divides L, so the
+    key IS the L-scaled slope and median selection is exact (no float
+    comparisons anywhere).
+
+    Shape at 100 TB: ONE (type, day) count combiner; the O(days^2)
+    pair scan runs driver-side on the types x days dimension (the
+    30-day window bounds pairs at 435 per type regardless of corpus
+    size)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "day": pa.array(day, pa.int64())}
+        )
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "day"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    )
+
+    ddf = daily.to_pandas()
+    rows = {"event_type": [], "n_pairs": [], "slope_lkey": []}
+    for typ, g in ddf.groupby("event_type"):
+        g = g.sort_values("day")
+        day = g["day"].to_numpy().astype(np.int64)
+        c = [int(x) for x in g["c"]]
+        keys = []
+        for i in range(len(day)):
+            for j in range(i + 1, len(day)):
+                gap = int(day[j] - day[i])
+                if gap <= _TS_MAX_GAP:
+                    keys.append((c[j] - c[i]) * _TS_LCM // gap)
+        if not keys:
+            continue
+        keys.sort()
+        rows["event_type"].append(typ)
+        rows["n_pairs"].append(len(keys))
+        rows["slope_lkey"].append(keys[(len(keys) - 1) // 2])
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(rows["event_type"], dtype="object"),
+            "n_pairs": pd.Series(rows["n_pairs"], dtype="int64"),
+            "slope_lkey": pd.Series(rows["slope_lkey"], dtype="int64"),
+        }
+    )
+
+
+SQL_THEIL_SEN_DAILY = f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         (CAST(b.c AS BIGINT) - a.c) * {_TS_LCM} // (b.day - a.day) AS k
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type
+   AND b.day > a.day AND b.day - a.day <= {_TS_MAX_GAP}
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(k AS BIGINT) AS slope_lkey
+FROM (
+  SELECT event_type, k,
+         row_number() OVER (PARTITION BY event_type ORDER BY k) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+)
+WHERE rk = (np + 1) // 2
+"""
+
+
+def q_agg_rollup(sf_dir: str):
+    """ROLLUP / GROUPING-SETS aggregation over lineitem
+    ((flag, status) -> (flag) -> ()), the OLAP cube primitive: one
+    distributed combiner pass at the FINEST grain, then the coarser
+    levels derive from that tiny grain driver-side — never re-scan the
+    corpus per level. Rolled-up dimensions carry the 'ALL' sentinel
+    (not NULL) so the typed hash is unambiguous."""
+    fine = q_agg_pricing(sf_dir).to_pandas()  # finest-grain dimension table
+    fine = fine[
+        ["l_returnflag", "l_linestatus", "n", "qty_cents", "price_cents"]
+    ].copy()
+    lvl1 = (
+        fine.groupby("l_returnflag", as_index=False)[
+            ["n", "qty_cents", "price_cents"]
+        ]
+        .sum()
+    )
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = fine[["n", "qty_cents", "price_cents"]].sum().to_frame().T
+    lvl0["l_returnflag"] = "ALL"
+    lvl0["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus", "n", "qty_cents", "price_cents"]
+    out = pd.concat([fine[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    for c in ("n", "qty_cents", "price_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_AGG_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(trunc(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(sum(CAST(trunc(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

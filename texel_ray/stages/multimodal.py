@@ -561,3 +561,46 @@ class RasterVectorize:
                 "crc": pa.array(crc, pa.int64()),
             }
         )
+
+
+class SobelEdges:
+    """Per-image SOBEL EDGE ENERGY (the sharpness / blur-detection
+    signal a curation pipeline filters on): decode once per image,
+    integer |gx| + |gy| over the valid (h-2) x (w-2) interior of the
+    luma plane, emit exact integer (edge_sum, edge_max, n_px). Actor
+    pool stage — decode state per actor, vectorized slice arithmetic
+    per image, no Python per-pixel loop."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out_sum = np.zeros(len(ids), dtype=np.int64)
+        out_max = np.zeros(len(ids), dtype=np.int64)
+        out_npx = np.zeros(len(ids), dtype=np.int64)
+        for i, (buf, fmt) in enumerate(zip(payloads, fmts)):
+            img = decode_image(buf, fmt).astype(np.int64)
+            luma = img.sum(axis=2) // 3
+            h, w = luma.shape
+            if h < 3 or w < 3:
+                continue
+            gx = (
+                luma[:-2, 2:] + 2 * luma[1:-1, 2:] + luma[2:, 2:]
+                - luma[:-2, :-2] - 2 * luma[1:-1, :-2] - luma[2:, :-2]
+            )
+            gy = (
+                luma[2:, :-2] + 2 * luma[2:, 1:-1] + luma[2:, 2:]
+                - luma[:-2, :-2] - 2 * luma[:-2, 1:-1] - luma[:-2, 2:]
+            )
+            e = np.abs(gx) + np.abs(gy)
+            out_sum[i] = int(e.sum())
+            out_max[i] = int(e.max())
+            out_npx[i] = e.size
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "edge_sum": pa.array(out_sum),
+                "edge_max": pa.array(out_max),
+                "n_px": pa.array(out_npx),
+            }
+        )

@@ -954,6 +954,49 @@ def golden_kcenter_sample():
     return pd.DataFrame(rows, columns=["round", "vec_id", "d2_micro"])
 
 
+
+def golden_image_edges():
+    """Independent recompute: per-pixel explicit Sobel application in a
+    plain Python loop over list-of-lists luma — no slicing arithmetic,
+    no stage code."""
+    import numpy as np
+    import pandas as pd
+
+    from texel_ray.core.imagecodec import decode_image
+
+    t = _sf_images(["image_id", "bytes", "fmt"])
+    rows = []
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        img = decode_image(buf, fmt).astype(np.int64)
+        h, w = img.shape[0], img.shape[1]
+        luma = [
+            [int(img[y, x, 0] + img[y, x, 1] + img[y, x, 2]) // 3 for x in range(w)]
+            for y in range(h)
+        ]
+        if h < 3 or w < 3:
+            rows.append((iid, 0, 0, 0))
+            continue
+        es, em = 0, 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    luma[y - 1][x + 1] + 2 * luma[y][x + 1] + luma[y + 1][x + 1]
+                    - luma[y - 1][x - 1] - 2 * luma[y][x - 1] - luma[y + 1][x - 1]
+                )
+                gy = (
+                    luma[y + 1][x - 1] + 2 * luma[y + 1][x] + luma[y + 1][x + 1]
+                    - luma[y - 1][x - 1] - 2 * luma[y - 1][x] - luma[y - 1][x + 1]
+                )
+                e = abs(gx) + abs(gy)
+                es += e
+                if e > em:
+                    em = e
+        rows.append((iid, es, em, (h - 2) * (w - 2)))
+    return pd.DataFrame(rows, columns=["image_id", "edge_sum", "edge_max", "n_px"])
+
+
 INDEPENDENT = {
     "kcenter_sample": golden_kcenter_sample,
     "simhash_neardup": golden_simhash_neardup,
@@ -973,6 +1016,7 @@ INDEPENDENT = {
     "tile_pyramid": golden_tile_pyramid,
     "curate_images": golden_curate_images,
     "s2_cells": golden_s2_cells,
+    "image_edges": golden_image_edges,
 }
 
 
