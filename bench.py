@@ -198,6 +198,16 @@ def run_benchmarks() -> dict:
     timed("theil_sen_daily", lambda: relational.q_theil_sen_daily(SF_DIR))
     timed("agg_rollup", lambda: relational.q_agg_rollup(SF_DIR))
     timed("image_edges", lambda: mlprep.q_image_edges(SF_DIR))
+    timed("quadtree_agg", lambda: queries.q_quadtree_agg(SF_DIR))
+    timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
+    timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
+    timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))
+    timed("benford_digits", lambda: relational.q_benford_digits(SF_DIR))
+    timed("grouped_mad", lambda: relational.q_grouped_mad(SF_DIR))
+    timed("trimmed_mean", lambda: relational.q_trimmed_mean(SF_DIR))
+    timed("shard_assign", lambda: relational.q_shard_assign(SF_DIR))
+    timed("k_anon_tiles", lambda: relational.q_k_anon_tiles(SF_DIR))
+    timed("embedding_dim_stats", lambda: mlprep.q_embedding_dim_stats(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

@@ -594,3 +594,243 @@ def test_image_edges_matches_per_pixel_loop():
         assert int(out.loc[iid, "n_px"]) == (h - 2) * (w - 2)
         n_checked += 1
     assert n_checked == 500
+
+
+def test_max_concurrency_matches_full_sort_sweep():
+    from texel_ray.pipelines.relational import _SWEEP_DUR_US, q_max_concurrency
+
+    out = q_max_concurrency(SF_DIR).iloc[0]
+    ev = _events()
+    t0 = ev["ts_us"].to_numpy()
+    deltas = sorted(
+        [(int(t), 1) for t in t0] + [(int(t) + _SWEEP_DUR_US, -1) for t in t0]
+    )
+    # collapse per unique t (the -1-before-+1 ordering makes row-level
+    # and collapsed maxima identical for half-open intervals)
+    per_t: dict[int, int] = {}
+    for t, d in deltas:
+        per_t[t] = per_t.get(t, 0) + d
+    cum, best, at = 0, -1, None
+    for t in sorted(per_t):
+        cum += per_t[t]
+        if cum > best:
+            best, at = cum, t
+    assert int(out.max_active) == best
+    assert int(out.at_us) == at
+    assert best >= 2  # the synthetic stream actually overlaps
+
+
+def test_interval_union_matches_merge_intervals():
+    from texel_ray.pipelines.relational import (
+        _SWEEP_DUR_US,
+        q_interval_union_len,
+    )
+
+    out = q_interval_union_len(SF_DIR).iloc[0]
+    ev = _events()
+    iv = sorted((int(t), int(t) + _SWEEP_DUR_US) for t in ev["ts_us"])
+    total, cur_s, cur_e = 0, None, None
+    for s, e in iv:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    total += cur_e - cur_s
+    assert int(out.union_us) == total
+    assert int(out.n_intervals) == len(ev)
+    assert 0 < total <= (iv[-1][1] - iv[0][0])
+
+
+def test_triangle_regions_matches_brute_enumeration():
+    from texel_ray.pipelines.relational import _event_geo_np, q_triangle_regions
+    from texel_ray.sources.regions import regions_parquet_path
+
+    out = q_triangle_regions(SF_DIR)
+    ev = _events()
+    lon, lat = _event_geo_np(
+        ev["user_id"].to_numpy(), ev["event_id"].to_numpy()
+    )
+    regs = pq.read_table(regions_parquet_path()).to_pandas()
+    regs = regs[regs["kind"] == "rect"].sort_values("region_id")
+    user_regions: dict[int, set] = {}
+    for u, lo, la in zip(ev["user_id"], lon, lat):
+        for r in regs.itertuples():
+            if r.minx <= lo <= r.maxx and r.miny <= la <= r.maxy:
+                user_regions.setdefault(int(u), set()).add(int(r.region_id))
+                break  # min region_id wins (sorted)
+    edges = set()
+    for rs in user_regions.values():
+        rl = sorted(rs)
+        for i in range(len(rl)):
+            for j in range(i + 1, len(rl)):
+                edges.add((rl[i], rl[j]))
+    verts = sorted({v for e in edges for v in e})
+    tri: dict[int, int] = {}
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if (a, b) not in edges:
+                continue
+            for c in verts:
+                if c > b and (a, c) in edges and (b, c) in edges:
+                    for v in (a, b, c):
+                        tri[v] = tri.get(v, 0) + 1
+    got = dict(zip(out["region_id"].tolist(), out["n_tri"].tolist()))
+    assert got == tri
+
+
+def test_quadtree_agg_invariants_and_counts():
+    from texel_ray.pipelines.queries import q_quadtree_agg
+
+    cap = 40
+    out = q_quadtree_agg(SF_DIR, z_min=4, z_max=8, cap=cap)
+    # leaves tile the point set exactly once: counts sum to the corpus
+    counts8 = _tile_counts_z(8)
+    assert int(out["n"].sum()) == sum(counts8.values())
+    # no leaf above cap unless at z_max
+    assert (out[(out.tm_id < 8)]["n"] <= cap).all()
+    # every z8 leaf's ancestors were all hot: recompute by halving
+    lvl = {8: dict(counts8)}
+    for z in range(7, 3, -1):
+        up: dict = {}
+        for (x, y), n in lvl[z + 1].items():
+            up[(x // 2, y // 2)] = up.get((x // 2, y // 2), 0) + n
+        lvl[z] = up
+    for r in out.itertuples():
+        z, x, y = int(r.tm_id), int(r.tile_x), int(r.tile_y)
+        assert lvl[z][(x, y)] == int(r.n)
+        for a in range(4, z):
+            shift = 2 ** (z - a)
+            assert lvl[a][(x // shift, y // shift)] > cap
+    # leaves are disjoint: no leaf is an ancestor of another
+    leafset = {(int(r.tm_id), int(r.tile_x), int(r.tile_y)) for r in out.itertuples()}
+    for z, x, y in leafset:
+        for a in range(4, z):
+            shift = 2 ** (z - a)
+            assert (a, x // shift, y // shift) not in leafset
+    # adaptivity actually happened (multiple depths present)
+    assert out["tm_id"].nunique() >= 2
+
+
+def test_benford_digits_matches_string_leading():
+    from texel_ray.pipelines.relational import q_benford_digits
+
+    out = q_benford_digits(SF_DIR).to_pandas()
+    ev = _events()
+    pos = ev[ev["cents"] > 0].copy()
+    pos["digit"] = pos["cents"].astype(str).str[0].astype(np.int64)
+    ref = pos.groupby(["event_type", "digit"]).size()
+    got = {
+        (r.event_type, int(r.digit)): int(r.n) for r in out.itertuples()
+    }
+    assert got == {(t, int(d)): int(n) for (t, d), n in ref.items()}
+    assert set(out["digit"].unique()) <= set(range(1, 10))
+
+
+def test_grouped_mad_matches_numpy():
+    from texel_ray.pipelines.relational import q_grouped_mad
+
+    out = q_grouped_mad(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events()
+    for typ, g in ev.groupby("event_type"):
+        v = np.sort(g["cents"].to_numpy())
+        k = -(-len(v) // 2)
+        med = int(v[k - 1])
+        dev = np.sort(np.abs(g["cents"].to_numpy() - med))
+        mad = int(dev[k - 1])
+        assert int(out.loc[typ, "median_cents"]) == med
+        assert int(out.loc[typ, "mad_cents"]) == mad
+        assert int(out.loc[typ, "n"]) == len(v)
+
+
+def test_trimmed_mean_matches_sorted_slice():
+    from texel_ray.pipelines.relational import q_trimmed_mean
+
+    out = q_trimmed_mean(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events()
+    for typ, g in ev.groupby("event_type"):
+        v = np.sort(g["cents"].to_numpy())
+        k = len(v) * 10 // 100
+        kept = v[k: len(v) - k]
+        assert int(out.loc[typ, "n_kept"]) == len(kept)
+        assert int(out.loc[typ, "sum_kept_cents"]) == int(kept.sum())
+        assert int(out.loc[typ, "n"]) == len(v)
+
+
+def test_shard_assign_ring_semantics():
+    from texel_ray.pipelines.relational import (
+        _SHARD_N,
+        _fold_hash,
+        _shard_ring,
+        q_shard_assign,
+    )
+
+    out = q_shard_assign(SF_DIR).to_pandas().set_index("shard")
+    ev = _events()
+    pos, shard = _shard_ring()
+    # scalar re-derivation of the ring successor per distinct user
+    ref: dict[int, set] = {}
+    ref_ev: dict[int, int] = {}
+    for u in ev["user_id"]:
+        h = int(_fold_hash(np.array([u]), 1 << 31)[0])
+        i = 0
+        while i < len(pos) and pos[i] < h:
+            i += 1
+        s = int(shard[i % len(pos)])
+        ref.setdefault(s, set()).add(int(u))
+        ref_ev[s] = ref_ev.get(s, 0) + 1
+    assert set(out.index) == set(ref)
+    for s in ref:
+        assert int(out.loc[s, "n_users"]) == len(ref[s])
+        assert int(out.loc[s, "n_events"]) == ref_ev[s]
+    # every event lands somewhere; load is spread over multiple shards
+    assert int(out["n_events"].sum()) == len(ev)
+    assert len(out) >= _SHARD_N // 2
+
+
+def test_k_anon_tiles_suppression():
+    from texel_ray.pipelines.relational import _event_geo_np, q_k_anon_tiles
+    from texel_ray.stages.tiles import encode_tiles
+
+    k = 2
+    out = q_k_anon_tiles(SF_DIR, zoom=8, k=k).to_pandas()
+    ev = _events()
+    lon, lat = _event_geo_np(ev["user_id"].to_numpy(), ev["event_id"].to_numpy())
+    t = pa_table_from(lon, lat, ev["user_id"].to_numpy())
+    enc = encode_tiles(t, "WebMercatorQuad", (8,), keep_columns=["user_id"]).to_pandas()
+    ref = enc.groupby(["tile_x", "tile_y"])["user_id"].agg(["nunique", "size"])
+    pub = ref[ref["nunique"] >= k]
+    got = out.set_index(["tile_x", "tile_y"]).sort_index()
+    assert set(got.index) == set(pub.index)
+    for idx in pub.index:
+        assert int(got.loc[idx, "n_users"]) == int(pub.loc[idx, "nunique"])
+        assert int(got.loc[idx, "n_events"]) == int(pub.loc[idx, "size"])
+    # suppression actually removed something
+    assert len(pub) < len(ref)
+
+
+def pa_table_from(lon, lat, uid):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "user_id": pa.array(uid, pa.int64()),
+        }
+    )
+
+
+def test_embedding_dim_stats_matches_numpy():
+    from texel_ray.pipelines.mlprep import q_embedding_dim_stats
+
+    out = q_embedding_dim_stats(SF_DIR).to_pandas().set_index("d").sort_index()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    m = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    m = np.floor(m.reshape(-1, 64) * 1_000_000.0).astype(np.int64)
+    assert len(out) == 64
+    assert (out["n"] == len(m)).all()
+    assert out["sum_fp"].to_numpy().tolist() == m.sum(axis=0).tolist()
+    assert out["min_fp"].to_numpy().tolist() == m.min(axis=0).tolist()
+    assert out["max_fp"].to_numpy().tolist() == m.max(axis=0).tolist()

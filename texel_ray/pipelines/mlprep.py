@@ -3585,3 +3585,63 @@ def q_image_edges(sf_dir: str):
     return ds.map_batches(
         SobelEdges, batch_format="pyarrow", batch_size=512, concurrency=(2, 8)
     )
+
+
+def q_embedding_dim_stats(sf_dir: str, dim: int = 64):
+    """PER-DIMENSION embedding statistics (the feature-health /
+    quantization-calibration probe): for each of the `dim` coordinates,
+    exact fixed-point (n, sum_fp, min_fp, max_fp) with fp = floor(x *
+    10^6) after the float32 -> float64 widening — one multiply + floor,
+    so DuckDB recomputes every value bit-exactly via a lateral unnest.
+
+    Shape at 100 TB: per-batch partials are dim-dimension rows (64 per
+    block); ONE combiner groupby merges. Vectors never shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.floor(flat.reshape(len(batch), dim) * 1_000_000.0).astype(
+            np.int64
+        )
+        d = np.arange(dim, dtype=np.int64)
+        return pa.table(
+            {
+                "d": pa.array(d),
+                "n": pa.array(np.full(dim, len(batch), dtype=np.int64)),
+                "sum_fp": pa.array(m.sum(axis=0)),
+                "min_fp": pa.array(m.min(axis=0)),
+                "max_fp": pa.array(m.max(axis=0)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["d"]).aggregate(
+            [("n", "sum"), ("sum_fp", "sum"), ("min_fp", "min"), ("max_fp", "max")]
+        )
+        return g.rename_columns(["d", "n", "sum_fp", "min_fp", "max_fp"])
+
+    out = parts.repartition(4).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    return out.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+SELECT CAST(t.i AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS sum_fp,
+       CAST(min(CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS min_fp,
+       CAST(max(CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS max_fp
+FROM embeddings e, range(64) t(i)
+GROUP BY 1
+"""

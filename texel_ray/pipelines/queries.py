@@ -2329,6 +2329,95 @@ FROM occ LEFT JOIN r{rounds} r ON r.x = occ.x AND r.y = occ.y
     )
 
 
+def q_quadtree_agg(sf_dir: str, z_min: int = 4, z_max: int = 8, cap: int = 400):
+    """ADAPTIVE QUADTREE AGGREGATION (variable-depth tiling — the
+    load-balanced spatial index a skewed corpus needs): starting at
+    z_min, any tile holding more than `cap` points splits into its
+    four z+1 children, recursively until <= cap or z_max. Leaves carry
+    exact counts; dense cities end deep, empty ocean stays shallow.
+
+    Shape at 100 TB: ONE distributed count pass at the FINEST zoom
+    (the 4^z_max-bounded lattice dimension); every coarser level and
+    the split recursion derive from that tiny table driver-side — the
+    corpus is never re-scanned per level."""
+    counts = _tile_counts(sf_dir, z_max).to_pandas()  # 4^z_max-bounded
+    lvl: dict[int, dict[tuple[int, int], int]] = {
+        z_max: {
+            (int(x), int(y)): int(n)
+            for x, y, n in zip(counts["tile_x"], counts["tile_y"], counts["n"])
+        }
+    }
+    for z in range(z_max - 1, z_min - 1, -1):
+        up: dict[tuple[int, int], int] = {}
+        for (x, y), n in lvl[z + 1].items():
+            k = (x // 2, y // 2)
+            up[k] = up.get(k, 0) + n
+        lvl[z] = up
+
+    rows = []
+    stack = [(z_min, x, y) for (x, y) in lvl[z_min]]
+    while stack:
+        z, x, y = stack.pop()
+        n = lvl[z][(x, y)]
+        if n > cap and z < z_max:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    child = (2 * x + dx, 2 * y + dy)
+                    if child in lvl[z + 1]:
+                        stack.append((z + 1, child[0], child[1]))
+        else:
+            rows.append((z, x, y, n))
+    rows.sort()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "tm_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "tile_x": pd.Series([r[1] for r in rows], dtype="int64"),
+            "tile_y": pd.Series([r[2] for r in rows], dtype="int64"),
+            "n": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def sql_quadtree_agg(z_min: int = 4, z_max: int = 8, cap: int = 400) -> str:
+    t = _tile_sql(z_max)
+    ctes = [
+        f"""c{z_max} AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, CAST(count(*) AS BIGINT) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)"""
+    ]
+    for z in range(z_max - 1, z_min - 1, -1):
+        ctes.append(
+            f"c{z} AS (SELECT x // 2 AS x, y // 2 AS y, CAST(sum(n) AS BIGINT)"
+            f" AS n FROM c{z + 1} GROUP BY 1, 2)"
+        )
+    selects = [
+        f"SELECT CAST({z_min} AS BIGINT) AS tm_id, x AS tile_x, y AS tile_y, n"
+        f" FROM c{z_min} WHERE n <= {cap}"
+    ]
+    for z in range(z_min + 1, z_max + 1):
+        joins, conds = [], []
+        for a in range(z_min, z):  # every ancestor must be hot
+            shift = 2 ** (z - a)
+            joins.append(
+                f"JOIN c{a} ON c{a}.x = c{z}.x // {shift}"
+                f" AND c{a}.y = c{z}.y // {shift}"
+            )
+            conds.append(f"c{a}.n > {cap}")
+        leaf = f"c{z}.n <= {cap} AND " if z < z_max else ""
+        selects.append(
+            f"SELECT CAST({z} AS BIGINT), c{z}.x, c{z}.y, c{z}.n FROM c{z} "
+            + " ".join(joins)
+            + f" WHERE {leaf}"
+            + " AND ".join(conds)
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2371,6 +2460,16 @@ QUERIES = {
     "changepoint_days": relational.q_changepoint_days,
     "acf_daily": relational.q_acf_daily,
     "image_edges": mlprep.q_image_edges,
+    "quadtree_agg": q_quadtree_agg,
+    "grouped_mad": relational.q_grouped_mad,
+    "trimmed_mean": relational.q_trimmed_mean,
+    "shard_assign": relational.q_shard_assign,
+    "k_anon_tiles": relational.q_k_anon_tiles,
+    "embedding_dim_stats": mlprep.q_embedding_dim_stats,
+    "max_concurrency": relational.q_max_concurrency,
+    "interval_union_len": relational.q_interval_union_len,
+    "triangle_regions": relational.q_triangle_regions,
+    "benford_digits": relational.q_benford_digits,
     "mannwhitney_u": relational.q_mannwhitney_u,
     "ks_stat": relational.q_ks_stat,
     "theil_sen_daily": relational.q_theil_sen_daily,
@@ -2584,6 +2683,16 @@ ORACLE_SQL = {
     "chi2_assoc": relational.SQL_CHI2_ASSOC,
     "changepoint_days": relational.SQL_CHANGEPOINT_DAYS,
     "acf_daily": relational.SQL_ACF_DAILY,
+    "quadtree_agg": sql_quadtree_agg(),
+    "grouped_mad": relational.SQL_GROUPED_MAD,
+    "trimmed_mean": relational.SQL_TRIMMED_MEAN,
+    "shard_assign": relational.sql_shard_assign(),
+    "k_anon_tiles": relational.sql_k_anon_tiles(_tile_sql(8)),
+    "embedding_dim_stats": mlprep.SQL_EMBEDDING_DIM_STATS,
+    "max_concurrency": relational.SQL_MAX_CONCURRENCY,
+    "interval_union_len": relational.SQL_INTERVAL_UNION_LEN,
+    "triangle_regions": relational.sql_triangle_regions(),
+    "benford_digits": relational.SQL_BENFORD_DIGITS,
     "mannwhitney_u": relational.SQL_MANNWHITNEY_U,
     "ks_stat": relational.SQL_KS_STAT,
     "theil_sen_daily": relational.SQL_THEIL_SEN_DAILY,

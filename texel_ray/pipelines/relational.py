@@ -3352,3 +3352,585 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+_SWEEP_DUR_US = 300 * 1_000_000  # each event spans [ts, ts + 5 min)
+_SWEEP_PART_US = 6 * 3600 * 1_000_000  # time-keyed partition (6 h)
+
+
+def _sweep_deltas(sf_dir: str):
+    """Shared prelude of the sweep-line pair: (part, t, d) delta rows,
+    two per event (+1 at ts, -1 at ts + 5 min), partition keyed by
+    time so no global sort is ever needed — the scan decomposes into
+    per-partition kernels + a driver exclusive scan over the tiny
+    partition-sums table (the pack_sequences pattern)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        t0 = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        t = np.concatenate([t0, t0 + _SWEEP_DUR_US])
+        d = np.concatenate(
+            [np.ones(len(t0), dtype=np.int64), -np.ones(len(t0), dtype=np.int64)]
+        )
+        return pa.table(
+            {
+                "part": pa.array(t // _SWEEP_PART_US),
+                "t": pa.array(t),
+                "d": pa.array(d),
+            }
+        )
+
+    return ds.map_batches(deltas, batch_format="pyarrow", batch_size=16384)
+
+
+def _sweep_offsets(deltas):
+    """Pass 1: per-partition net sums -> driver exclusive scan.
+    Returns (offsets dict, ordered part ids)."""
+    from ..stages.agg import partial_sum_groupby
+
+    sums = (
+        partial_sum_groupby(deltas, ["part"], ["d"], coalesce=4)
+        .to_pandas()
+        .sort_values("part")  # partition-dimension rows only
+    )
+    parts = sums["part"].to_numpy()
+    offs = np.concatenate(([0], np.cumsum(sums["d"].to_numpy())[:-1]))
+    return dict(zip(parts.tolist(), offs.tolist())), parts.tolist()
+
+
+def q_max_concurrency(sf_dir: str):
+    """MAX CONCURRENCY sweep-line (peak simultaneous activity — the
+    capacity-planning statistic): with each event open for 5 minutes,
+    the maximum number simultaneously open and the earliest time it is
+    reached. Exact integers; per-unique-t collapsed actives equal the
+    row-level maximum because -1 deltas sort before +1 at equal t
+    (half-open intervals).
+
+    Shape at 100 TB: delta rows are 24-byte ints, time-keyed
+    partitions scan independently (pass 1 net sums -> driver exclusive
+    scan -> pass 2 per-partition vectorized max with its broadcast
+    offset); nothing is globally sorted."""
+    deltas = _sweep_deltas(sf_dir).materialize()
+    offsets, _ = _sweep_offsets(deltas)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        off = offsets[int(g["part"].iloc[0])]
+        per_t = g.groupby("t")["d"].sum().sort_index()
+        cum = off + per_t.cumsum().to_numpy()
+        i = int(np.lexsort((per_t.index.to_numpy(), -cum))[0])
+        return pd.DataFrame(
+            {
+                "local_max": [int(cum[i])],
+                "at_t": [int(per_t.index[i])],
+            }
+        )
+
+    per_part = (
+        deltas.groupby("part").map_groups(kernel, batch_format="pandas")
+    ).to_pandas()  # partition-dimension
+    i = int(np.lexsort((per_part["at_t"].to_numpy(), -per_part["local_max"].to_numpy()))[0])
+    return pd.DataFrame(
+        {
+            "max_active": pd.Series([int(per_part["local_max"].iloc[i])], dtype="int64"),
+            "at_us": pd.Series([int(per_part["at_t"].iloc[i])], dtype="int64"),
+        }
+    )
+
+
+SQL_MAX_CONCURRENCY = f"""
+WITH dl AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_SWEEP_DUR_US}, -1 FROM events
+),
+g AS (SELECT t, sum(d) AS net FROM dl GROUP BY 1),
+c AS (SELECT t, sum(net) OVER (ORDER BY t) AS active FROM g)
+SELECT CAST(active AS BIGINT) AS max_active, t AS at_us
+FROM c
+QUALIFY row_number() OVER (ORDER BY active DESC, t ASC) = 1
+"""
+
+
+def q_interval_union_len(sf_dir: str):
+    """INTERVAL-UNION LENGTH sweep-line (total wall-clock covered by at
+    least one open event — the utilisation statistic): same 5-minute
+    intervals, exact microsecond union length. Per-partition covered
+    time uses the broadcast entry offset; gaps BETWEEN partitions are
+    covered iff the carried active count is positive (assembled on the
+    partition-dimension table driver-side)."""
+    deltas = _sweep_deltas(sf_dir).materialize()
+    offsets, _ = _sweep_offsets(deltas)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        off = offsets[int(g["part"].iloc[0])]
+        per_t = g.groupby("t")["d"].sum().sort_index()
+        t = per_t.index.to_numpy()
+        cum = off + per_t.cumsum().to_numpy()
+        covered = int(((t[1:] - t[:-1]) * (cum[:-1] > 0)).sum()) if len(t) > 1 else 0
+        return pd.DataFrame(
+            {
+                "part": [int(g["part"].iloc[0])],
+                "first_t": [int(t[0])],
+                "last_t": [int(t[-1])],
+                "end_active": [int(cum[-1])],
+                "covered": [covered],
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    pp = (
+        deltas.groupby("part").map_groups(kernel, batch_format="pandas")
+    ).to_pandas().sort_values("part")  # partition-dimension
+    total = int(pp["covered"].sum())
+    # cross-partition gaps: covered iff the carried active is positive
+    for i in range(len(pp) - 1):
+        if int(pp["end_active"].iloc[i]) > 0:
+            total += int(pp["first_t"].iloc[i + 1]) - int(pp["last_t"].iloc[i])
+    n = int(pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).num_rows)
+    return pd.DataFrame(
+        {
+            "union_us": pd.Series([total], dtype="int64"),
+            "n_intervals": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+SQL_INTERVAL_UNION_LEN = f"""
+WITH dl AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_SWEEP_DUR_US}, -1 FROM events
+),
+g AS (SELECT t, sum(d) AS net FROM dl GROUP BY 1),
+c AS (
+  SELECT t, sum(net) OVER (ORDER BY t) AS active,
+         lead(t) OVER (ORDER BY t) AS nxt
+  FROM g
+)
+SELECT CAST(sum(CASE WHEN active > 0 AND nxt IS NOT NULL THEN nxt - t
+                     ELSE 0 END) AS BIGINT) AS union_us,
+       (SELECT count(*) FROM events) AS n_intervals
+FROM c
+"""
+
+
+def q_triangle_regions(sf_dir: str):
+    """TRIANGLE COUNTING on the region co-visitation graph (the graph-
+    motif / community-density primitive, completing the graph family:
+    components, pagerank, BFS, cost-distance): regions are vertices,
+    an edge joins two regions some user visited both of; per region,
+    the number of triangles it participates in.
+
+    Shape at 100 TB: the edge list comes from the coviz machinery
+    (exchange carries (user, region) int rows; output regions^2-
+    bounded); the triangle enumeration runs driver-side on that
+    dimension-bounded adjacency. Exact SQL oracle via ordered triple
+    join."""
+    edges = q_region_coviz(sf_dir).to_pandas()  # regions^2-bounded
+    adj: dict[int, set] = {}
+    for a, b in zip(edges["region_a"], edges["region_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    tri: dict[int, int] = {}
+    for a, b in zip(edges["region_a"], edges["region_b"]):
+        a, b = int(a), int(b)
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                for v in (a, b, c):
+                    tri[v] = tri.get(v, 0) + 1
+    items = sorted(tri.items())
+    return pd.DataFrame(
+        {
+            "region_id": pd.Series([k for k, _ in items], dtype="int64"),
+            "n_tri": pd.Series([v for _, v in items], dtype="int64"),
+        }
+    )
+
+
+def sql_triangle_regions() -> str:
+    from ..sources.regions import regions_parquet_path
+
+    rsrc = f"read_parquet('{regions_parquet_path()}')"
+    return f"""
+WITH {_sql_event_pos()},
+reg AS (
+  SELECT p.user_id,
+         coalesce((SELECT min(r.region_id) FROM {rsrc} r
+                   WHERE r.kind = 'rect'
+                     AND p.lon >= r.minx AND p.lon <= r.maxx
+                     AND p.lat >= r.miny AND p.lat <= r.maxy), -1) AS region
+  FROM pos p
+),
+u AS (SELECT DISTINCT user_id, region FROM reg WHERE region >= 0),
+e AS (
+  SELECT DISTINCT a.region AS ra, b.region AS rb
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.region < b.region
+),
+t AS (
+  SELECT e1.ra AS a, e1.rb AS b, e2.rb AS c
+  FROM e e1 JOIN e e2 ON e2.ra = e1.rb
+            JOIN e e3 ON e3.ra = e1.ra AND e3.rb = e2.rb
+),
+m AS (
+  SELECT a AS region_id FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT CAST(region_id AS BIGINT) AS region_id,
+       CAST(count(*) AS BIGINT) AS n_tri
+FROM m GROUP BY 1
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """LEADING-DIGIT (Benford) distribution of positive cent values per
+    event_type — the fraud / synthetic-data smell test: observed count
+    per leading digit 1..9, exact integers.
+
+    Shape at 100 TB: ONE (type, digit) count combiner; the leading
+    digit is a vectorized integer divide-down (no string ops)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = cents > 0
+        d = cents[keep]
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table(
+            {
+                "event_type": batch["event_type"].filter(pa.array(keep)),
+                "digit": pa.array(d),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "digit"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM c WHERE cents > 0
+GROUP BY 1, 2
+"""
+
+
+def q_grouped_mad(sf_dir: str):
+    """MEDIAN ABSOLUTE DEVIATION per group (the robust dispersion
+    statistic — stddev without outlier sensitivity): per event_type the
+    exact discrete median of cents AND the exact median of
+    |cents - median| — BOTH selections run on the same per-group value
+    histogram (the grouped_median plan shape), so the corpus folds to
+    its distinct-value dimension once and never re-shuffles for the
+    second pass."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "cents": pa.array(cents)})
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        n = g["n"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        # ceil(0.5*total)th smallest == quantile_disc(0.5)
+        k = -(-total // 2)
+        med = int(v[np.searchsorted(cum, k)])
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(n[order])
+        mad = int(dev[order][np.searchsorted(dcum, k)])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [total],
+                "median_cents": [med],
+                "mad_cents": [mad],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+SQL_GROUPED_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events
+),
+m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1)
+SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(m.med AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m ON c.event_type = m.event_type
+GROUP BY 1, 3
+"""
+
+
+def q_trimmed_mean(sf_dir: str, trim_pct: int = 10):
+    """TRIMMED MEAN per group (outlier-clipped average): drop the
+    lowest and highest floor(n * trim_pct / 100) values, emit the
+    exact integer (sum_kept_cents, n_kept) pair — the mean is the
+    ratio downstream. Selection runs on the per-group value histogram:
+    each distinct value keeps the overlap of its cumulative span with
+    the kept rank band [k+1, n-k], so no corpus sort and no per-row
+    shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "cents": pa.array(cents)})
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        n = g["n"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        k = total * trim_pct // 100
+        lo_rank, hi_rank = k, total - k  # keep ranks (k, total-k]
+        prev = np.concatenate(([0], cum[:-1]))
+        kept = np.maximum(
+            0, np.minimum(cum, hi_rank) - np.maximum(prev, lo_rank)
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [total],
+                "n_kept": [int(kept.sum())],
+                "sum_kept_cents": [int((kept * v).sum())],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+SQL_TRIMMED_MEAN = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, cents, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+),
+k AS (
+  SELECT event_type, cents, n, cum, total,
+         total * 10 // 100 AS lo_rank, total - total * 10 // 100 AS hi_rank,
+         cum - n AS prev
+  FROM w
+)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+       CAST(sum(greatest(0, least(cum, hi_rank) - greatest(prev, lo_rank)))
+            AS BIGINT) AS n_kept,
+       CAST(sum(greatest(0, least(cum, hi_rank) - greatest(prev, lo_rank))
+                * cents) AS BIGINT) AS sum_kept_cents
+FROM k GROUP BY 1
+"""
+
+
+_SHARD_N = 8
+_SHARD_VNODES = 64
+
+
+def _shard_ring():
+    """Deterministic consistent-hash ring: _SHARD_VNODES virtual nodes
+    per shard, position = fold-hash of shard * 1009 + vnode * 9176569
+    (mod 2^31). Sorted (pos, shard) arrays for searchsorted assignment."""
+    ids = np.array(
+        [s * 1009 + v * 9176569 for s in range(_SHARD_N) for v in range(_SHARD_VNODES)],
+        dtype=np.int64,
+    )
+    pos = _fold_hash(ids, 1 << 31)
+    shard = np.repeat(np.arange(_SHARD_N, dtype=np.int64), _SHARD_VNODES)
+    order = np.argsort(pos, kind="stable")
+    return pos[order], shard[order]
+
+
+def q_shard_assign(sf_dir: str):
+    """CONSISTENT-HASH SHARD ASSIGNMENT (the data-placement primitive —
+    how a 256-node cluster decides ownership without a directory): each
+    user hashes onto a 2^31 ring, owned by the clockwise-next virtual
+    node of 8 shards x 64 vnodes; per shard, the distinct-user and
+    event loads. Ring positions use the engine-mirrorable fold hash, so
+    DuckDB recomputes the exact assignment.
+
+    Shape at 100 TB: the ring is broadcast (tiny), assignment is a
+    stateless searchsorted map, loads are ONE combiner groupby."""
+    from ..stages.agg import partial_sum_groupby
+
+    ring_pos, ring_shard = _shard_ring()
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        h = _fold_hash(uid, 1 << 31)
+        i = np.searchsorted(ring_pos, h, side="left") % len(ring_pos)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "shard": pa.array(ring_shard[i], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow", batch_size=16384)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["shard", "user_id"]).aggregate([("__one", "sum")])
+        return g.rename_columns(["shard", "user_id", "n_ev"])
+
+    # per-batch combiner, then the Ray sort-based groupby for the
+    # unbounded (shard, user) key space, then a tiny per-shard rollup
+    pairs = tagged.map_batches(pair_partial, batch_format="pyarrow")
+    merged = pairs.groupby(["shard", "user_id"]).aggregate(
+        Sum("n_ev", alias_name="n_ev")
+    )
+    return merged.groupby("shard").aggregate(
+        Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events")
+    )
+
+
+def sql_shard_assign() -> str:
+    pos, shard = _shard_ring()
+    vals = ", ".join(f"({int(p)}, {int(s)})" for p, s in zip(pos, shard))
+    return f"""
+WITH ring(pos, shard) AS (VALUES {vals}),
+u AS (
+  SELECT user_id, ((user_id & 2147483647) * 2654435761) % 2147483648 AS h,
+         count(*) AS n_ev
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT u.user_id, u.n_ev,
+         coalesce(
+           (SELECT r.shard FROM ring r WHERE r.pos >= u.h
+            ORDER BY r.pos, r.shard LIMIT 1),
+           (SELECT r.shard FROM ring r ORDER BY r.pos, r.shard LIMIT 1)
+         ) AS shard
+  FROM u
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM a GROUP BY 1
+"""
+
+
+def q_k_anon_tiles(sf_dir: str, zoom: int = 8, k: int = 5):
+    """K-ANONYMITY TILE PUBLICATION (the privacy-preserving aggregation
+    gate): per z-level tile the DISTINCT-user and event counts, with
+    tiles under k distinct users SUPPRESSED — the standard rule before
+    publishing mobility heatmaps.
+
+    Shape at 100 TB: geotag + tile-assign stateless map, per-batch
+    (tile, user) dedup combiner, the Ray sort-based groupby resolves
+    the unbounded (tile, user) key space, then a tiny per-tile
+    rollup + the >= k filter."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.tiles import encode_tiles
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def geotag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        t = pa.table(
+            {
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "user_id": batch["user_id"],
+            }
+        )
+        return encode_tiles(
+            t, "WebMercatorQuad", (zoom,), keep_columns=["user_id"]
+        )
+
+    tagged = ds.map_batches(geotag, batch_format="pyarrow", batch_size=16384)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["tile_x", "tile_y", "user_id"]).aggregate(
+            [("__one", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "user_id", "n_ev"])
+
+    pairs = tagged.map_batches(pair_partial, batch_format="pyarrow")
+    merged = pairs.groupby(["tile_x", "tile_y", "user_id"]).aggregate(
+        Sum("n_ev", alias_name="n_ev")
+    )
+    per_tile = merged.groupby(["tile_x", "tile_y"]).aggregate(
+        Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events")
+    )
+    return per_tile.filter(expr=f"n_users >= {k}")
+
+
+def sql_k_anon_tiles(tile_exprs: dict, k: int = 5) -> str:
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT {tile_exprs['tx']} AS tile_x, {tile_exprs['ty']} AS tile_y, user_id
+  FROM pos
+  WHERE {tile_exprs['valid']}
+),
+u AS (
+  SELECT tile_x, tile_y, user_id, count(*) AS n_ev
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM u GROUP BY 1, 2
+HAVING count(*) >= {k}
+"""
