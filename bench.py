@@ -208,6 +208,9 @@ def run_benchmarks() -> dict:
     timed("shard_assign", lambda: relational.q_shard_assign(SF_DIR))
     timed("k_anon_tiles", lambda: relational.q_k_anon_tiles(SF_DIR))
     timed("embedding_dim_stats", lambda: mlprep.q_embedding_dim_stats(SF_DIR))
+    timed("ntile_buckets", lambda: relational.q_ntile_buckets(SF_DIR))
+    timed("cross_corr_daily", lambda: relational.q_cross_corr_daily(SF_DIR))
+    timed("weighted_quantile", lambda: relational.q_weighted_quantile(SF_DIR))
     timed("importance_sample", lambda: mlprep.q_importance_sample(SF_DIR))
     timed("image_histogram", lambda: mlprep.q_image_histogram(SF_DIR))
     timed("image_equalize", lambda: mlprep.q_image_equalize(SF_DIR))

@@ -834,3 +834,70 @@ def test_embedding_dim_stats_matches_numpy():
     assert out["sum_fp"].to_numpy().tolist() == m.sum(axis=0).tolist()
     assert out["min_fp"].to_numpy().tolist() == m.min(axis=0).tolist()
     assert out["max_fp"].to_numpy().tolist() == m.max(axis=0).tolist()
+
+
+def test_ntile_buckets_matches_window_recompute():
+    from texel_ray.pipelines.relational import q_ntile_buckets
+
+    out = (
+        q_ntile_buckets(SF_DIR)
+        .to_pandas()
+        .set_index(["o_orderpriority", "bucket"])
+        .sort_index()
+    )
+    od = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    od["cents"] = np.floor(od["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+    for pri, g in od.groupby("o_orderpriority"):
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        base, extra = divmod(n, 4)
+        start = 0
+        for b in range(4):
+            size = base + (1 if b < extra else 0)
+            band = v[start : start + size]
+            start += size
+            assert int(out.loc[(pri, b + 1), "n"]) == size
+            assert int(out.loc[(pri, b + 1), "sum_cents"]) == int(band.sum())
+
+
+def test_cross_corr_daily_matches_pandas():
+    from texel_ray.pipelines.relational import q_cross_corr_daily
+
+    out = q_cross_corr_daily(SF_DIR).set_index("lag_d")
+    ev = _events()
+    day = ev["ts_us"].to_numpy() // (86400 * 1_000_000)
+    x = pd.Series(day[ev["event_type"] == "click"]).value_counts()
+    y = pd.Series(day[ev["event_type"] == "purchase"]).value_counts()
+    for lag in range(0, 4):
+        days = sorted(d for d in x.index if d + lag in y.index)
+        if not days:
+            assert lag not in out.index
+            continue
+        a = x.loc[days].to_numpy().astype(np.int64)
+        b = y.loc[[d + lag for d in days]].to_numpy().astype(np.int64)
+        assert int(out.loc[lag, "n_pairs"]) == len(days)
+        assert int(out.loc[lag, "sxy"]) == int((a * b).sum())
+        assert int(out.loc[lag, "sx"]) == int(a.sum())
+        assert int(out.loc[lag, "syy"]) == int((b * b).sum())
+
+
+def test_weighted_quantile_matches_repeat_expansion():
+    from texel_ray.pipelines.relational import q_weighted_quantile
+
+    out = q_weighted_quantile(SF_DIR).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    li["cents"] = np.floor(li["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    li["w"] = li["l_quantity"].to_numpy().astype(np.int64)
+    for flag, g in li.groupby("l_returnflag"):
+        # brute force: materialize each value w times, take the
+        # ceil(q*W)-th smallest (1-based)
+        expanded = np.sort(np.repeat(g["cents"].to_numpy(), g["w"].to_numpy()))
+        W = len(expanded)
+        assert int(out.loc[flag, "total_w"]) == W
+        for name, q in (
+            ("p25_cents", 0.25),
+            ("median_cents", 0.5),
+            ("p75_cents", 0.75),
+        ):
+            k = int(np.ceil(q * W))
+            assert int(out.loc[flag, name]) == int(expanded[k - 1])

@@ -2470,6 +2470,9 @@ QUERIES = {
     "interval_union_len": relational.q_interval_union_len,
     "triangle_regions": relational.q_triangle_regions,
     "benford_digits": relational.q_benford_digits,
+    "ntile_buckets": relational.q_ntile_buckets,
+    "cross_corr_daily": relational.q_cross_corr_daily,
+    "weighted_quantile": relational.q_weighted_quantile,
     "mannwhitney_u": relational.q_mannwhitney_u,
     "ks_stat": relational.q_ks_stat,
     "theil_sen_daily": relational.q_theil_sen_daily,
@@ -2693,6 +2696,9 @@ ORACLE_SQL = {
     "interval_union_len": relational.SQL_INTERVAL_UNION_LEN,
     "triangle_regions": relational.sql_triangle_regions(),
     "benford_digits": relational.SQL_BENFORD_DIGITS,
+    "ntile_buckets": relational.SQL_NTILE_BUCKETS,
+    "cross_corr_daily": relational.SQL_CROSS_CORR_DAILY,
+    "weighted_quantile": relational.SQL_WEIGHTED_QUANTILE,
     "mannwhitney_u": relational.SQL_MANNWHITNEY_U,
     "ks_stat": relational.SQL_KS_STAT,
     "theil_sen_daily": relational.SQL_THEIL_SEN_DAILY,

@@ -3934,3 +3934,244 @@ SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_users,
 FROM u GROUP BY 1, 2
 HAVING count(*) >= {k}
 """
+
+
+def q_ntile_buckets(sf_dir: str, n_buckets: int = 4):
+    """NTILE equi-height bucketing per group (the histogram-equalized
+    binning primitive behind percentile dashboards and equi-depth
+    partition planning): orders split into ``n_buckets`` rank bands of
+    cent-quantized o_totalprice within each o_orderpriority, emitting
+    the exact (n, sum_cents) of every band. Ties straddling a band
+    boundary contribute deterministic counts because every row of a tie
+    carries the same value — the per-band sums are order-independent
+    even though NTILE's row assignment is not.
+
+    Shape at 100 TB: ONE (priority, cents) count combiner folds the
+    corpus to its distinct-value dimension; band assignment is the same
+    cumulative-span/rank-band overlap used by trimmed_mean, run per
+    band on the tiny sorted histogram. No corpus sort, no row shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "cents": pa.array(cents)}
+        )
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["o_orderpriority", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        n = g["n"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(n)
+        prev = np.concatenate(([0], cum[:-1]))
+        total = int(cum[-1])
+        # SQL NTILE sizing: the first (total % n_buckets) bands hold
+        # ceil(total/n_buckets) rows, the rest floor(total/n_buckets).
+        base, extra = divmod(total, n_buckets)
+        sizes = np.full(n_buckets, base, dtype=np.int64)
+        sizes[:extra] += 1
+        hi = np.cumsum(sizes)
+        lo = hi - sizes
+        rows = {"o_orderpriority": [], "bucket": [], "n": [], "sum_cents": []}
+        for b in range(n_buckets):
+            inb = np.maximum(
+                0, np.minimum(cum, hi[b]) - np.maximum(prev, lo[b])
+            )
+            rows["o_orderpriority"].append(g["o_orderpriority"].iloc[0])
+            rows["bucket"].append(b + 1)
+            rows["n"].append(int(inb.sum()))
+            rows["sum_cents"].append(int((inb * v).sum()))
+        out = pd.DataFrame(rows)
+        out["bucket"] = out["bucket"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_cents"] = out["sum_cents"].astype(np.int64)
+        return out
+
+    return hist.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")
+
+
+SQL_NTILE_BUCKETS = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT o_orderpriority, cents,
+         NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY cents) AS bucket
+  FROM c
+)
+SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_cross_corr_daily(sf_dir: str, max_lag: int = 3):
+    """LAG-k CROSS-CORRELATION moments between two daily event-count
+    series (does today's `click` volume predict `purchase` volume L
+    days later — the leading-indicator probe): for each lag L in
+    0..max_lag, exact integer moment sums (n_pairs, sx, sy, sxy, sxx,
+    syy) over day pairs (d, d+L) where BOTH series observed a count;
+    Pearson r derives downstream exactly as in acf_daily.
+
+    Shape at 100 TB: ONE (day, series) count combiner folds the corpus
+    to the day dimension; the lag join runs driver-side on it."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY_US = 86400 * 1_000_000
+    sx_name, sy_name = "click", "purchase"
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        keep = (typ == sx_name) | (typ == sy_name)
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )[keep]
+        is_y = (typ[keep] == sy_name).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(day, pa.int64()), "is_y": pa.array(is_y)}
+        )
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["day", "is_y"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    )
+
+    ddf = daily.to_pandas()  # day-dimension
+    xs = ddf[ddf["is_y"] == 0].set_index("day")["c"]
+    ys = ddf[ddf["is_y"] == 1].set_index("day")["c"]
+    rows = {k: [] for k in ("lag_d", "n_pairs", "sx", "sy", "sxy", "sxx", "syy")}
+    for lag in range(0, max_lag + 1):
+        days = sorted(d for d in xs.index if d + lag in ys.index)
+        if not days:
+            continue
+        a = xs.loc[days].to_numpy().astype(np.int64)
+        b = ys.loc[[d + lag for d in days]].to_numpy().astype(np.int64)
+        rows["lag_d"].append(lag)
+        rows["n_pairs"].append(len(days))
+        rows["sx"].append(int(a.sum()))
+        rows["sy"].append(int(b.sum()))
+        rows["sxy"].append(int((a * b).sum()))
+        rows["sxx"].append(int((a * a).sum()))
+        rows["syy"].append(int((b * b).sum()))
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+SQL_CROSS_CORR_DAILY = """
+WITH x AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+y AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+l(lag_d) AS (VALUES (0), (1), (2), (3))
+SELECT CAST(l.lag_d AS BIGINT) AS lag_d,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x.c) AS BIGINT) AS sx, CAST(sum(y.c) AS BIGINT) AS sy,
+       CAST(sum(x.c * y.c) AS BIGINT) AS sxy,
+       CAST(sum(x.c * x.c) AS BIGINT) AS sxx,
+       CAST(sum(y.c * y.c) AS BIGINT) AS syy
+FROM l CROSS JOIN x JOIN y ON y.day = x.day + l.lag_d
+GROUP BY 1
+"""
+
+
+def q_weighted_quantile(sf_dir: str):
+    """EXACT WEIGHTED quantiles per group (p25/median/p75 of the
+    cent-quantized extended price, weighted by quantity, per
+    l_returnflag — the price-distribution monitor where a 50-unit line
+    counts 50x): lower weighted quantile, smallest value whose
+    cumulative weight reaches ceil(q * W). l_quantity is integral in
+    this corpus, so every weight and threshold is an exact int64.
+
+    Shape at 100 TB: ONE (flag, cents) weight-sum combiner folds the
+    corpus to its distinct-value dimension; the quantile picks run on
+    the tiny per-group sorted weight histogram. No corpus sort."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        w = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": pa.array(cents),
+                "w": pa.array(w),
+            }
+        )
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["l_returnflag", "cents"],
+        ["w"],
+        coalesce=4,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        w = g["w"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]], "total_w": [total]}
+        # cum >= ceil(q*W)  <=>  cum * denom >= q_num * W  (cum integral)
+        for name, q_num, denom in (
+            ("p25_cents", 1, 4),
+            ("median_cents", 1, 2),
+            ("p75_cents", 3, 4),
+        ):
+            i = int(np.searchsorted(cum * denom, q_num * total))
+            out[name] = [int(v[i])]
+        o = pd.DataFrame(out)
+        for c in ("total_w", "p25_cents", "median_cents", "p75_cents"):
+            o[c] = o[c].astype(np.int64)
+        return o
+
+    return hist.groupby("l_returnflag").map_groups(pick, batch_format="pandas")
+
+
+SQL_WEIGHTED_QUANTILE = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+h AS (SELECT l_returnflag, cents, sum(w) AS wv FROM c GROUP BY 1, 2),
+s AS (
+  SELECT l_returnflag, cents, wv,
+         sum(wv) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+         sum(wv) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
+       CAST(min(CASE WHEN cum * 4 >= tot THEN cents END) AS BIGINT) AS p25_cents,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN cents END) AS BIGINT) AS median_cents,
+       CAST(min(CASE WHEN cum * 4 >= 3 * tot THEN cents END) AS BIGINT) AS p75_cents
+FROM s GROUP BY 1
+"""
