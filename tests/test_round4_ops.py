@@ -901,3 +901,37 @@ def test_weighted_quantile_matches_repeat_expansion():
         ):
             k = int(np.ceil(q * W))
             assert int(out.loc[flag, name]) == int(expanded[k - 1])
+
+
+def test_raster_blobs_matches_flood_fill():
+    from texel_ray.pipelines.queries import _tile_counts, q_raster_blobs
+
+    out = q_raster_blobs(SF_DIR).set_index("blob_id").sort_index()
+    counts = _tile_counts(SF_DIR, 8).to_pandas()
+    counts = counts[counts["n"] >= 2]
+    cells = {
+        (int(x), int(y)): int(n)
+        for x, y, n in zip(counts["tile_x"], counts["tile_y"], counts["n"])
+    }
+    seen = set()
+    blobs = {}
+    for c in cells:
+        if c in seen:
+            continue
+        stack, comp = [c], []
+        seen.add(c)
+        while stack:
+            x, y = stack.pop()
+            comp.append((x, y))
+            for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                if nb in cells and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        key = min(x * 65536 + y for x, y in comp)
+        blobs[key] = comp
+    assert sorted(out.index.tolist()) == sorted(blobs)
+    for key, comp in blobs.items():
+        assert int(out.loc[key, "n_cells"]) == len(comp)
+        assert int(out.loc[key, "sum_n"]) == sum(cells[c] for c in comp)
+        assert int(out.loc[key, "min_x"]) == min(x for x, _ in comp)
+        assert int(out.loc[key, "max_y"]) == max(y for _, y in comp)

@@ -2418,6 +2418,121 @@ def sql_quadtree_agg(z_min: int = 4, z_max: int = 8, cap: int = 400) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_raster_blobs(sf_dir: str, zoom: int = 8, thresh: int = 2):
+    """RASTER CONNECTED-COMPONENT LABELING (blob detection) over the
+    z-level occupancy lattice: cells with >= `thresh` images are
+    foreground; 4-connected blobs get the min cell key as label; output
+    per blob (n_cells, sum_n, bbox). The cross-tile-boundary merge is
+    the classic distributed-CCL problem — here the adjacency edges feed
+    the same hash-to-min component stage the near-dup clusters use
+    (stages/components.py, O(log d) rounds, int64-only exchanges), so
+    a continent-sized blob at z20 converges without any driver state.
+
+    Shape at 100 TB: ONE tile-count combiner folds the corpus to the
+    4^zoom lattice; edges are built with the focal-sum broadcast
+    membership filter (4^8-bounded; at deep zooms the same membership
+    becomes a key groupby); labels stay in-dataset through the CC
+    rounds. The final blob rollup here runs driver-side on the
+    lattice-dimension table, as every lattice statistic in this family
+    does; at deep zooms it is one groupby(blob_id)."""
+    from ..stages.components import connected_components
+
+    counts = _tile_counts(sf_dir, zoom).materialize()
+
+    def fg_only(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = n >= thresh
+        x = batch["tile_x"].to_numpy(zero_copy_only=False)[keep]
+        y = batch["tile_y"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "key": pa.array(x * 65536 + y, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    cells = counts.map_batches(fg_only, batch_format="pyarrow").materialize()
+    cdf = cells.to_pandas()  # lattice-dimension
+    occ_keys = np.sort(cdf["key"].to_numpy())
+
+    def edges(batch: pa.Table) -> pa.Table:
+        """Right/down neighbor edges where both endpoints are foreground
+        (each undirected edge emitted once)."""
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        outs_a, outs_b = [], []
+        for nb in (key + 65536, key + 1):  # right (x+1), down (y+1)
+            if len(occ_keys):
+                pos = np.minimum(np.searchsorted(occ_keys, nb), len(occ_keys) - 1)
+                hit = occ_keys[pos] == nb
+            else:
+                hit = np.zeros(len(nb), dtype=bool)
+            outs_a.append(key[hit])
+            outs_b.append(nb[hit])
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+            }
+        )
+
+    edge_ds = cells.map_batches(edges, batch_format="pyarrow")
+    labels = connected_components(edge_ds).to_pandas()
+
+    rep = dict(zip(labels["id"], labels["rep"]))
+    blob = cdf["key"].map(lambda k: rep.get(k, k)).astype(np.int64)
+    out = (
+        cdf.assign(blob_id=blob)
+        .groupby("blob_id")
+        .agg(
+            n_cells=("key", "size"),
+            sum_n=("n", "sum"),
+            min_x=("x", "min"),
+            max_x=("x", "max"),
+            min_y=("y", "min"),
+            max_y=("y", "max"),
+        )
+        .reset_index()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def sql_raster_blobs(zoom: int = 8, thresh: int = 2) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+  HAVING count(*) >= {thresh}
+),
+c AS (SELECT x, y, n, x * 65536 + y AS key FROM t),
+e AS (
+  SELECT a.key AS src, b.key AS dst
+  FROM c a JOIN c b ON abs(a.x - b.x) + abs(a.y - b.y) = 1
+),
+walk(key, lab) AS (
+  SELECT key, key FROM c
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.key
+),
+lab AS (SELECT key, min(lab) AS blob FROM walk GROUP BY 1)
+SELECT CAST(l.blob AS BIGINT) AS blob_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c.n) AS BIGINT) AS sum_n,
+       CAST(min(c.x) AS BIGINT) AS min_x, CAST(max(c.x) AS BIGINT) AS max_x,
+       CAST(min(c.y) AS BIGINT) AS min_y, CAST(max(c.y) AS BIGINT) AS max_y
+FROM lab l JOIN c ON c.key = l.key
+GROUP BY 1
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2461,6 +2576,7 @@ QUERIES = {
     "acf_daily": relational.q_acf_daily,
     "image_edges": mlprep.q_image_edges,
     "quadtree_agg": q_quadtree_agg,
+    "raster_blobs": q_raster_blobs,
     "grouped_mad": relational.q_grouped_mad,
     "trimmed_mean": relational.q_trimmed_mean,
     "shard_assign": relational.q_shard_assign,
@@ -2687,6 +2803,7 @@ ORACLE_SQL = {
     "changepoint_days": relational.SQL_CHANGEPOINT_DAYS,
     "acf_daily": relational.SQL_ACF_DAILY,
     "quadtree_agg": sql_quadtree_agg(),
+    "raster_blobs": sql_raster_blobs(),
     "grouped_mad": relational.SQL_GROUPED_MAD,
     "trimmed_mean": relational.SQL_TRIMMED_MEAN,
     "shard_assign": relational.sql_shard_assign(),
