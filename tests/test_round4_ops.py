@@ -935,3 +935,27 @@ def test_raster_blobs_matches_flood_fill():
         assert int(out.loc[key, "sum_n"]) == sum(cells[c] for c in comp)
         assert int(out.loc[key, "min_x"]) == min(x for x, _ in comp)
         assert int(out.loc[key, "max_y"]) == max(y for _, y in comp)
+
+
+def test_allpairs_jaccard_complete_vs_bruteforce():
+    from texel_ray.pipelines.mlprep import q_allpairs_jaccard
+    from texel_ray.stages.dedup import jaccard, shingle_set
+
+    out = q_allpairs_jaccard(SF_DIR).to_pandas()
+    got = {
+        (int(a), int(b)): j
+        for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])
+    }
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    sets = [shingle_set(t, 2) for t in docs["text"]]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            s = jaccard(sets[i], sets[j])
+            if s >= 0.7:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want[(a, b)] = s
+    # prefix filtering must be COMPLETE: exact same pair set, same values
+    assert got == want
+    assert len(want) >= 1

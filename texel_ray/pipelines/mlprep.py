@@ -3645,3 +3645,182 @@ SELECT CAST(t.i AS BIGINT) AS d,
 FROM embeddings e, range(64) t(i)
 GROUP BY 1
 """
+
+
+def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.7, ngram: int = 2):
+    """ALL-PAIRS exact set-similarity self-join with PREFIX FILTERING
+    (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07 /
+    PPJoin, Xiao et al. VLDB'08): every document pair whose distinct
+    word-bigram sets have Jaccard >= threshold — COMPLETE recall, no
+    LSH miss probability (the guaranteed-exact sibling of
+    minhash_neardup). Prefix lemma: order every set by one global token
+    order (rarest-first by document frequency); a pair with
+    |a ∩ b| >= ceil(tau*max(|a|,|b|)) must share a token within the
+    first n - ceil(tau*n) + 1 tokens of each side, so only those
+    PREFIX tokens are exploded for candidate generation.
+
+    Shape at 100 TB: stage 1 is a (shingle) df combiner (vocab
+    dimension); the rarest-first order means hot shingles almost never
+    appear in prefixes, collapsing the classic inverted-index hot-key
+    blowup; candidates are pair-dimension; verification re-reads only
+    candidate texts (broadcast semi-join fetch). The df rank table is
+    broadcast once — at corpus scale only the df head need ship, the
+    tail defaulting to df=1 (any underestimate only lengthens
+    prefixes, never loses recall)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.dedup import (
+        _hash_tokens_ngrams,
+        bucket_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_shingles(text: str) -> np.ndarray:
+        return np.unique(
+            _hash_tokens_ngrams((text or "").split(), ngram).astype(np.int64)
+        )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        gs = [doc_shingles(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"g": pa.array(np.concatenate(gs) if gs else [], pa.int64())}
+        )
+
+    df_tab = partial_sum_groupby(
+        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512),
+        ["g"],
+        [],
+        count_alias="df",
+        coalesce=4,
+    ).to_pandas()  # shingle-vocab dimension
+    g_arr = df_tab["g"].to_numpy()
+    df_arr = df_tab["df"].to_numpy()
+    # global canonical order: (df asc, g asc) — rarest first
+    order = np.lexsort((g_arr, df_arr))
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    g_sorted_idx = np.argsort(g_arr)
+    g_sorted = g_arr[g_sorted_idx]
+    rank_by_g = rank[g_sorted_idx]
+
+    def prefix_emit(batch: pa.Table) -> pa.Table:
+        out_g, out_id = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = doc_shingles(text)
+            n = len(h)
+            if n == 0:
+                continue
+            p = n - int(np.ceil(threshold * n)) + 1
+            r = rank_by_g[np.searchsorted(g_sorted, h)]
+            keep = h[np.argsort(r)[:p]]
+            out_g.append(keep)
+            out_id.append(np.full(len(keep), did, dtype=np.int64))
+        return pa.table(
+            {
+                "g": pa.array(
+                    np.concatenate(out_g) if out_g else [], pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_id) if out_id else [], pa.int64()
+                ),
+            }
+        )
+
+    prefixes = ds.map_batches(
+        prefix_emit, batch_format="pyarrow", batch_size=512
+    )
+    pairs = (
+        prefixes.groupby("g")
+        .map_groups(
+            lambda g: bucket_pairs(g, id_col="doc_id"), batch_format="pandas"
+        )
+        .materialize()
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if pairs.count() == 0:
+        return empty
+    pdf_all = pairs.to_pandas()  # pair-dimension
+    n_capped = int(pdf_all["capped"].sum())
+    if n_capped:
+        print(
+            f"[allpairs_jaccard] WARNING: {n_capped} candidates from capped "
+            f"prefix groups (>4096 docs) — recall truncated there",
+            flush=True,
+        )
+    pdf = pdf_all[["id_a", "id_b"]].drop_duplicates()
+    cand = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    cand_ids = pa.array(
+        np.unique(np.concatenate((pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())))
+    )
+    texts_small = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_ids)),
+        batch_format="pyarrow",
+    ).materialize()  # candidate-sized
+    j = cand.join(
+        texts_small,
+        join_type="inner",
+        num_partitions=2,
+        on=("id_a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["text_a" if c == "text" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = j.join(
+        texts_small,
+        join_type="inner",
+        num_partitions=2,
+        on=("id_b",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["text_b" if c == "text" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return j.map_batches(
+        lambda b: verify_jaccard_pairs(b, threshold=threshold, ngram=ngram),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ALLPAIRS_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))
+         END AS sh
+  FROM t
+)
+, l AS (SELECT doc_id, len(sh) AS n FROM s
+), e AS (SELECT doc_id, unnest(sh) AS g FROM s
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(i.ninter AS DOUBLE) / (la.n + lb.n - i.ninter) AS jaccard
+  FROM i JOIN l la ON la.doc_id = i.id_a JOIN l lb ON lb.doc_id = i.id_b
+) WHERE jaccard >= 0.7
+"""

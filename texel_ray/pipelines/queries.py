@@ -2619,6 +2619,7 @@ QUERIES = {
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
+    "allpairs_jaccard": mlprep.q_allpairs_jaccard,
     "dedup_clusters": mlprep.q_dedup_clusters,
     "dedup_clusters_dist": mlprep.q_dedup_clusters_dist,
     "caption_redact": mlprep.q_caption_redact,
@@ -2754,6 +2755,7 @@ ORACLE_SQL = {
     "pca_scatter": mlprep.sql_pca_scatter(64),
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
+    "allpairs_jaccard": mlprep.SQL_ALLPAIRS_JACCARD,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
     # distributed hash-to-min path must equal the union-find path exactly
     "dedup_clusters_dist": mlprep.SQL_DEDUP_CLUSTERS,
