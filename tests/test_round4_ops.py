@@ -959,3 +959,29 @@ def test_allpairs_jaccard_complete_vs_bruteforce():
     # prefix filtering must be COMPLETE: exact same pair set, same values
     assert got == want
     assert len(want) >= 1
+
+
+def test_hilbert_order_partitions_are_contiguous_and_balanced():
+    from texel_ray.core.morton import hilbert_xy2d
+    from texel_ray.pipelines.queries import _tile_counts, q_hilbert_order
+
+    out = q_hilbert_order(SF_DIR).sort_values("part").reset_index(drop=True)
+    counts = _tile_counts(SF_DIR, 8).to_pandas()
+    total = int(counts["n"].sum())
+    # NTILE sizing: first (total % 16) partitions hold ceil, rest floor
+    base, extra = divmod(total, 16)
+    want_sizes = [base + (1 if p < extra else 0) for p in range(16)]
+    assert out["n"].tolist() == want_sizes
+    # index ranges are non-overlapping except possibly at shared
+    # boundary cells, and increase monotonically
+    nonempty = out[out["n"] > 0]
+    for i in range(1, len(nonempty)):
+        assert nonempty["min_h"].iloc[i] >= nonempty["max_h"].iloc[i - 1]
+    # every occupied cell's index falls inside its partition's range
+    h = hilbert_xy2d(
+        8, counts["tile_x"].to_numpy(), counts["tile_y"].to_numpy()
+    )
+    assert h.min() >= int(nonempty["min_h"].iloc[0])
+    assert h.max() <= int(nonempty["max_h"].iloc[-1])
+    # hilbert bijectivity on the lattice: distinct cells, distinct idx
+    assert len(np.unique(h)) == len(h)

@@ -65,3 +65,30 @@ def from_z_np(z: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         x = (x | (x >> shift)) & mask
         y = (y | (y >> shift)) & mask
     return x, y
+
+
+def hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert-curve index (x, y) -> d on a 2^order grid.
+
+    The classic iterative quadrant-rotation walk (public construction,
+    e.g. Wikipedia "Hilbert curve", converted from the per-point loop to
+    numpy over all points; 'order' fixed iterations). Unlike Morton,
+    consecutive d are always 4-adjacent, so equi-count d-ranges make
+    spatially-compact shuffle partitions."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        flip = m & (rx == 1)
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        xs = x[m].copy()
+        x[m] = y[m]
+        y[m] = xs
+        s >>= 1
+    return d

@@ -2533,6 +2533,113 @@ GROUP BY 1
 """
 
 
+def q_hilbert_order(sf_dir: str, zoom: int = 8, n_parts: int = 16):
+    """HILBERT-CURVE equi-count range partitioning (the space-filling
+    locality primitive: consecutive Hilbert indices are always
+    4-adjacent, so equi-count d-ranges are spatially COMPACT shuffle
+    partitions — unlike Morton, which jumps quadrants): every image's
+    z-level cell maps to its Hilbert index, and the corpus splits into
+    `n_parts` contiguous index ranges holding NTILE-equal image counts.
+    Output per partition: images, cells touched, index range.
+
+    Shape at 100 TB: the Hilbert map is a stateless vectorized
+    per-batch kernel (core/morton.hilbert_xy2d); ONE tile-count
+    combiner folds the corpus to the 4^zoom lattice; the boundary fit
+    is the rank-band overlap on the h-ordered histogram. This is the
+    partitioning-key PLANNER — the fitted ranges then drive a plain
+    hash/range shuffle whose partitions stay spatially local."""
+    from ..core.morton import hilbert_xy2d
+
+    counts = _tile_counts(sf_dir, zoom).to_pandas()  # lattice-dimension
+    h = hilbert_xy2d(zoom, counts["tile_x"].to_numpy(), counts["tile_y"].to_numpy())
+    n = counts["n"].to_numpy().astype(np.int64)
+    order = np.argsort(h)
+    h, n = h[order], n[order]
+    cum = np.cumsum(n)
+    prev = np.concatenate(([0], cum[:-1]))
+    total = int(cum[-1])
+    base, extra = divmod(total, n_parts)
+    sizes = np.full(n_parts, base, dtype=np.int64)
+    sizes[:extra] += 1
+    hi = np.cumsum(sizes)
+    lo = hi - sizes
+    import pandas as pd
+
+    rows = {"part": [], "n": [], "n_cells": [], "min_h": [], "max_h": []}
+    for p in range(n_parts):
+        kept = np.maximum(0, np.minimum(cum, hi[p]) - np.maximum(prev, lo[p]))
+        touched = kept > 0
+        rows["part"].append(p)
+        rows["n"].append(int(kept.sum()))
+        rows["n_cells"].append(int(touched.sum()))
+        rows["min_h"].append(int(h[touched].min()) if touched.any() else -1)
+        rows["max_h"].append(int(h[touched].max()) if touched.any() else -1)
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+def sql_hilbert_order(zoom: int = 8, n_parts: int = 16) -> str:
+    t = _tile_sql(zoom)
+    ctes = [
+        f"""h_in AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, count(*) AS n, CAST(0 AS BIGINT) AS d
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)"""
+    ]
+    prev = "h_in"
+    k = 0
+    s = 1 << (zoom - 1)
+    while s > 0:
+        ctes.append(
+            f"""h{k} AS (
+  SELECT n,
+         d + {s * s} * xor(3 * rx, ry) AS d,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+              ELSE y END AS y
+  FROM (SELECT n, x, y, d,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+)"""
+        )
+        prev = f"h{k}"
+        k += 1
+        s >>= 1
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+w AS (
+  SELECT d AS h, n,
+         sum(n) OVER (ORDER BY d) AS cum,
+         sum(n) OVER () AS total
+  FROM {prev}
+),
+b AS (
+  SELECT h, n, cum, cum - n AS prev, total,
+         total // {n_parts} AS base, total % {n_parts} AS extra
+  FROM w
+),
+p AS (SELECT unnest(range({n_parts})) AS part),
+k AS (
+  SELECT p.part, b.h,
+         greatest(0, least(b.cum, (p.part + 1) * b.base + least(p.part + 1, b.extra))
+                   - greatest(b.prev, p.part * b.base + least(p.part, b.extra))) AS kept
+  FROM p CROSS JOIN b
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(sum(kept) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN kept > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+       CAST(COALESCE(min(CASE WHEN kept > 0 THEN h END), -1) AS BIGINT) AS min_h,
+       CAST(COALESCE(max(CASE WHEN kept > 0 THEN h END), -1) AS BIGINT) AS max_h
+FROM k GROUP BY 1
+"""
+    )
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2577,6 +2684,7 @@ QUERIES = {
     "image_edges": mlprep.q_image_edges,
     "quadtree_agg": q_quadtree_agg,
     "raster_blobs": q_raster_blobs,
+    "hilbert_order": q_hilbert_order,
     "grouped_mad": relational.q_grouped_mad,
     "trimmed_mean": relational.q_trimmed_mean,
     "shard_assign": relational.q_shard_assign,
@@ -2806,6 +2914,7 @@ ORACLE_SQL = {
     "acf_daily": relational.SQL_ACF_DAILY,
     "quadtree_agg": sql_quadtree_agg(),
     "raster_blobs": sql_raster_blobs(),
+    "hilbert_order": sql_hilbert_order(),
     "grouped_mad": relational.SQL_GROUPED_MAD,
     "trimmed_mean": relational.SQL_TRIMMED_MEAN,
     "shard_assign": relational.sql_shard_assign(),
