@@ -985,3 +985,29 @@ def test_hilbert_order_partitions_are_contiguous_and_balanced():
     assert h.max() <= int(nonempty["max_h"].iloc[-1])
     # hilbert bijectivity on the lattice: distinct cells, distinct idx
     assert len(np.unique(h)) == len(h)
+
+
+def test_dwell_time_matches_per_user_scan():
+    from texel_ray.pipelines.relational import (
+        _event_pos_region_batch,
+        q_dwell_time,
+    )
+    import pyarrow as pa
+
+    out = q_dwell_time(SF_DIR).to_pandas().set_index("region").sort_index()
+    ev = pq.read_table(f"{SF_DIR}/events.parquet")
+    tagged = _event_pos_region_batch(ev).to_pandas()
+    want = {}
+    for _, g in tagged.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        reg = g["region"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        for i in range(1, len(g)):
+            if reg[i] == reg[i - 1] != -1:
+                r = int(reg[i])
+                n, d = want.get(r, (0, 0))
+                want[r] = (n + 1, d + int(ts[i] - ts[i - 1]))
+    assert sorted(out.index.tolist()) == sorted(want)
+    for r, (n, d) in want.items():
+        assert int(out.loc[r, "n_stays"]) == n
+        assert int(out.loc[r, "dwell_us"]) == d

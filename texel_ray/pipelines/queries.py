@@ -2797,6 +2797,7 @@ QUERIES = {
     "trip_length": relational.q_trip_length,
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
+    "dwell_time": relational.q_dwell_time,
     "upsert_latest": relational.q_upsert_latest,
     "grouped_median": relational.q_grouped_median,
     "grouped_mode": relational.q_grouped_mode,
@@ -2903,6 +2904,7 @@ ORACLE_SQL = {
     "trip_length": relational.sql_trip_length(),
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
+    "dwell_time": relational.sql_dwell_time(),
     "upsert_latest": relational.SQL_UPSERT_LATEST,
     "grouped_median": relational.SQL_GROUPED_MEDIAN,
     "grouped_mode": relational.SQL_GROUPED_MODE,

@@ -4175,3 +4175,69 @@ SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
        CAST(min(CASE WHEN cum * 4 >= 3 * tot THEN cents END) AS BIGINT) AS p75_cents
 FROM s GROUP BY 1
 """
+
+
+def q_dwell_time(sf_dir: str):
+    """GEOFENCE DWELL TIME per region (how long users linger inside each
+    zone — the visit-duration statistic behind store/POI analytics and
+    curriculum geo-balancing): consecutive same-user events both inside
+    region R contribute their timestamp gap to R's dwell total. Exact
+    integer microseconds.
+
+    Shape at 100 TB: the region assignment is the stateless rect-PIP
+    map (dimension side regenerated per worker); ONE 512-way user
+    superbucket groupby; inside a bucket one stable sort + vectorized
+    boundary-masked pairing (the _bucketed_bigrams plan); per-bucket
+    (region, n_stays, dwell) partials -> tiny combiner groupby."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    skinny = ds.map_batches(
+        _event_pos_region_batch, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def dwell(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        reg = g["region"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        keep = (uid[1:] == uid[:-1]) & (reg[1:] == reg[:-1]) & (reg[:-1] != -1)
+        part = pd.DataFrame(
+            {"region": reg[:-1][keep], "dur": ts[1:][keep] - ts[:-1][keep]}
+        )
+        out = (
+            part.groupby("region", sort=False)
+            .agg(n_stays=("dur", "size"), dwell_us=("dur", "sum"))
+            .reset_index()
+        )
+        return out.astype({"region": np.int64, "n_stays": np.int64, "dwell_us": np.int64})
+
+    parts = skinny.groupby("__ub").map_groups(dwell, batch_format="pandas")
+    return partial_sum_groupby(parts, ["region"], ["n_stays", "dwell_us"], coalesce=4)
+
+
+def sql_dwell_time() -> str:
+    from ..sources.regions import regions_parquet_path
+
+    rsrc = f"read_parquet('{regions_parquet_path()}')"
+    return f"""
+WITH {_sql_event_pos()},
+reg AS (
+  SELECT p.user_id, p.ts_us, p.event_id,
+         coalesce((SELECT min(r.region_id) FROM {rsrc} r
+                   WHERE r.kind = 'rect'
+                     AND p.lon >= r.minx AND p.lon <= r.maxx
+                     AND p.lat >= r.miny AND p.lat <= r.maxy), -1) AS region
+  FROM pos p
+),
+o AS (
+  SELECT region,
+         lag(region) OVER w AS from_region,
+         ts_us - lag(ts_us) OVER w AS dur
+  FROM reg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT from_region AS region, CAST(count(*) AS BIGINT) AS n_stays,
+       CAST(sum(dur) AS BIGINT) AS dwell_us
+FROM o WHERE from_region = region AND from_region <> -1
+GROUP BY 1
+"""
