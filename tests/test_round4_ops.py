@@ -1011,3 +1011,35 @@ def test_dwell_time_matches_per_user_scan():
     for r, (n, d) in want.items():
         assert int(out.loc[r, "n_stays"]) == n
         assert int(out.loc[r, "dwell_us"]) == d
+
+
+def test_border_crossings_matches_per_user_scan():
+    from texel_ray.pipelines.relational import (
+        _event_geo_np,
+        _rect_regions,
+        q_border_crossings,
+    )
+
+    out = (
+        q_border_crossings(SF_DIR).to_pandas().set_index("region").sort_index()
+    )
+    ev = _events()
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lon, lat = _event_geo_np(g["user_id"].to_numpy(), g["event_id"].to_numpy())
+        for i in range(1, len(g)):
+            for j, r in enumerate(rid):
+                pin = (
+                    minx[j] <= lon[i - 1] <= maxx[j]
+                    and miny[j] <= lat[i - 1] <= maxy[j]
+                )
+                cin = minx[j] <= lon[i] <= maxx[j] and miny[j] <= lat[i] <= maxy[j]
+                if pin != cin:
+                    e, x = want.get(int(r), (0, 0))
+                    want[int(r)] = (e + (1 if cin else 0), x + (1 if pin else 0))
+    assert sorted(out.index.tolist()) == sorted(want)
+    for r, (e, x) in want.items():
+        assert int(out.loc[r, "n_enter"]) == e
+        assert int(out.loc[r, "n_exit"]) == x

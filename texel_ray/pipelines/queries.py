@@ -2798,6 +2798,7 @@ QUERIES = {
     "traj_segments": relational.q_traj_segments,
     "region_coviz": relational.q_region_coviz,
     "dwell_time": relational.q_dwell_time,
+    "border_crossings": relational.q_border_crossings,
     "upsert_latest": relational.q_upsert_latest,
     "grouped_median": relational.q_grouped_median,
     "grouped_mode": relational.q_grouped_mode,
@@ -2905,6 +2906,7 @@ ORACLE_SQL = {
     "traj_segments": relational.sql_traj_segments(),
     "region_coviz": relational.sql_region_coviz(),
     "dwell_time": relational.sql_dwell_time(),
+    "border_crossings": relational.sql_border_crossings(),
     "upsert_latest": relational.SQL_UPSERT_LATEST,
     "grouped_median": relational.SQL_GROUPED_MEDIAN,
     "grouped_mode": relational.SQL_GROUPED_MODE,

@@ -4241,3 +4241,95 @@ SELECT from_region AS region, CAST(count(*) AS BIGINT) AS n_stays,
 FROM o WHERE from_region = region AND from_region <> -1
 GROUP BY 1
 """
+
+
+def q_border_crossings(sf_dir: str):
+    """GEOFENCE BORDER CROSSINGS per region (entry/exit counting — the
+    segment-vs-boundary join behind alerting and mobility flux
+    statistics): each consecutive same-user event pair is a movement
+    segment; it ENTERS region R when only its head lies inside R's
+    rect, EXITS when only its tail does. Segments are tested against
+    EVERY region independently (a long hop can cross several borders),
+    unlike od_flows' single min-region assignment.
+
+    Shape at 100 TB: ONE 512-way user superbucket groupby; inside a
+    bucket one stable sort + boundary-masked pairing, then a vectorized
+    (segments x 58 rects) inclusion matrix — the region dimension side
+    is regenerated per worker, never shipped; only nonzero (region,
+    enter, exit) partials leave the group for the tiny combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pa.compute.cast(
+                    batch["ts"].cast(pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def crossings(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lon, lat = _event_geo_np(uid, eid)
+        rid, minx, miny, maxx, maxy = _rect_regions()
+        inside = (
+            (lon[:, None] >= minx[None, :])
+            & (lon[:, None] <= maxx[None, :])
+            & (lat[:, None] >= miny[None, :])
+            & (lat[:, None] <= maxy[None, :])
+        )
+        same = uid[1:] == uid[:-1]
+        pin, cin = inside[:-1][same], inside[1:][same]
+        enter = (~pin) & cin
+        exit_ = pin & (~cin)
+        n_enter = enter.sum(axis=0).astype(np.int64)
+        n_exit = exit_.sum(axis=0).astype(np.int64)
+        keep = (n_enter > 0) | (n_exit > 0)
+        return pd.DataFrame(
+            {
+                "region": rid[keep].astype(np.int64),
+                "n_enter": n_enter[keep],
+                "n_exit": n_exit[keep],
+            }
+        )
+
+    parts = skinny.groupby("__ub").map_groups(crossings, batch_format="pandas")
+    return partial_sum_groupby(parts, ["region"], ["n_enter", "n_exit"], coalesce=4)
+
+
+def sql_border_crossings() -> str:
+    from ..sources.regions import regions_parquet_path
+
+    rsrc = f"read_parquet('{regions_parquet_path()}')"
+    return f"""
+WITH {_sql_event_pos()},
+seg AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (SELECT * FROM seg WHERE plon IS NOT NULL),
+x AS (
+  SELECT r.region_id AS region,
+         (s.plon >= r.minx AND s.plon <= r.maxx
+          AND s.plat >= r.miny AND s.plat <= r.maxy) AS pin,
+         (s.lon >= r.minx AND s.lon <= r.maxx
+          AND s.lat >= r.miny AND s.lat <= r.maxy) AS cin
+  FROM s CROSS JOIN (SELECT * FROM {rsrc} WHERE kind = 'rect') r
+)
+SELECT region,
+       CAST(sum(CASE WHEN cin THEN 1 ELSE 0 END) AS BIGINT) AS n_enter,
+       CAST(sum(CASE WHEN pin THEN 1 ELSE 0 END) AS BIGINT) AS n_exit
+FROM x WHERE pin <> cin
+GROUP BY 1
+"""
