@@ -2640,6 +2640,90 @@ FROM k GROUP BY 1
     )
 
 
+def q_spatial_downsample(sf_dir: str, zoom: int = 8, cap: int = 4):
+    """SPATIAL DENSITY EQUALIZATION (per-tile cap): keep at most `cap`
+    images per z-level tile, chosen by deterministic hash rank — the
+    curation step that stops dense urban cells from dominating a
+    training mix (the spatial analogue of per-source quota sampling).
+    The keep rule is pure ranking (fold-hash, image id tiebreak), so
+    re-running on a grown corpus keeps a stable prefix per tile.
+
+    Shape at 100 TB: stateless tile encode, ONE 512-way tile-superbucket
+    groupby (per-tile groups are tiny — dispatching per tile would pay
+    the measured 4.5x map_groups tax); within a bucket one lexsort and
+    a vectorized segment-rank computation, no per-tile loop. Output is
+    the kept-sample dimension (tiles x cap), not the corpus."""
+    from .relational import _fold_hash
+
+    ds = images_src.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    ds = ds.map_batches(
+        lambda b: encode_tiles(b, "WebMercatorQuad", (zoom,), keep_columns=["image_id"]),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        img = pc.utf8_slice_codeunits(batch["image_id"], 3).cast(pa.int64())
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        tkey = tx * 65536 + ty
+        return pa.table(
+            {
+                "tkey": pa.array(tkey, pa.int64()),
+                "img": img,
+                "h": pa.array(_fold_hash(img.to_numpy(), 1 << 31)),
+                "__tb": pa.array(_fold_hash(tkey, 512)),
+            }
+        )
+
+    skinny = ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384)
+
+    def keep_capped(group) -> pa.Table:
+        import pandas as pd
+
+        tkey = group["tkey"].to_numpy()
+        img = group["img"].to_numpy()
+        h = group["h"].to_numpy()
+        order = np.lexsort((img, h, tkey))
+        tkey, img = tkey[order], img[order]
+        new_seg = np.concatenate(([True], tkey[1:] != tkey[:-1]))
+        starts = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        rank = np.arange(len(tkey)) - starts[seg_id]
+        keep = rank < cap
+        return pd.DataFrame(
+            {
+                "tile_x": tkey[keep] // 65536,
+                "tile_y": tkey[keep] % 65536,
+                "img": img[keep],
+            }
+        ).astype(np.int64)
+
+    return skinny.groupby("__tb").map_groups(keep_capped, batch_format="pandas")
+
+
+def sql_spatial_downsample(zoom: int = 8, cap: int = 4) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH t AS (
+  SELECT {t['tx']} AS tile_x, {t['ty']} AS tile_y,
+         CAST(substr(image_id, 4) AS BIGINT) AS img
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+)
+SELECT tile_x, tile_y, img FROM (
+  SELECT tile_x, tile_y, img,
+         row_number() OVER (
+           PARTITION BY tile_x, tile_y
+           ORDER BY ((img & 2147483647) * 2654435761) % 2147483648, img
+         ) AS rk
+  FROM t
+) WHERE rk <= {cap}
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2685,6 +2769,7 @@ QUERIES = {
     "quadtree_agg": q_quadtree_agg,
     "raster_blobs": q_raster_blobs,
     "hilbert_order": q_hilbert_order,
+    "spatial_downsample": q_spatial_downsample,
     "grouped_mad": relational.q_grouped_mad,
     "trimmed_mean": relational.q_trimmed_mean,
     "shard_assign": relational.q_shard_assign,
@@ -2919,6 +3004,7 @@ ORACLE_SQL = {
     "quadtree_agg": sql_quadtree_agg(),
     "raster_blobs": sql_raster_blobs(),
     "hilbert_order": sql_hilbert_order(),
+    "spatial_downsample": sql_spatial_downsample(),
     "grouped_mad": relational.SQL_GROUPED_MAD,
     "trimmed_mean": relational.SQL_TRIMMED_MEAN,
     "shard_assign": relational.sql_shard_assign(),
