@@ -205,6 +205,7 @@ def run_benchmarks() -> dict:
     timed("dwell_time", lambda: relational.q_dwell_time(SF_DIR))
     timed("border_crossings", lambda: relational.q_border_crossings(SF_DIR))
     timed("spatial_downsample", lambda: queries.q_spatial_downsample(SF_DIR))
+    timed("video_scene_cuts", lambda: mlprep.q_video_scene_cuts(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

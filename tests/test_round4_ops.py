@@ -1080,3 +1080,26 @@ def test_spatial_downsample_cap_and_determinism():
         out[(out["tile_x"] == tx) & (out["tile_y"] == ty)]["img"].tolist()
     )
     assert got == want
+
+
+def test_video_scene_cuts_matches_plain_recompute():
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.pipelines.mlprep import q_video_scene_cuts
+    from texel_ray.sources.video import decode_sfv, ensure_video_for_sf_dir
+
+    out = (
+        q_video_scene_cuts(SF_DIR).to_pandas().set_index("video_id").sort_index()
+    )
+    t = pq.read_table(ensure_video_for_sf_dir(SF_DIR))
+    assert len(out) == len(t)
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        frames, _w, _h, _fps = decode_sfv(buf)
+        imgs = [decode_image(b, "png").astype(np.int64) for b in frames]
+        sads = [
+            int(np.abs(imgs[i] - imgs[i - 1]).sum()) for i in range(1, len(imgs))
+        ]
+        cuts = [i + 1 for i, s in enumerate(sads) if s >= 13000]
+        assert int(out.loc[vid, "n_frames"]) == len(frames)
+        assert int(out.loc[vid, "n_cuts"]) == len(cuts)
+        assert int(out.loc[vid, "first_cut"]) == (cuts[0] if cuts else -1)
+        assert int(out.loc[vid, "total_sad"]) == sum(sads)

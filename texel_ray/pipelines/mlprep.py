@@ -3824,3 +3824,64 @@ SELECT id_a, id_b, jaccard FROM (
   FROM i JOIN l la ON la.doc_id = i.id_a JOIN l lb ON lb.doc_id = i.id_b
 ) WHERE jaccard >= 0.7
 """
+
+
+def q_video_scene_cuts(sf_dir: str, sad_thresh: int = 13000):
+    """VIDEO SCENE-CUT DETECTION (temporal shot segmentation — the
+    frame-level curation signal behind clip splitting and per-shot
+    captioning): per clip, decode every frame (actor pool, one decode
+    pass), compute the exact integer sum-of-absolute-differences (SAD)
+    between consecutive frames, and mark a cut where SAD >= thresh.
+    Output per clip: frame/cut counts, the first cut index (-1 when
+    none) and the total SAD energy — all exact int64.
+
+    Shape at 100 TB: one actor-pool map_batches, clip-parallel (a clip's
+    frames never cross workers, so the consecutive-frame pairing needs
+    no shuffle at all); per-frame pixel math vectorized; output is
+    clip-dimension. Real codecs (mp4/webm) raise the documented
+    NotImplementedError; the SFV container decodes for real."""
+    from ..sources.video import read_video
+
+    ds = read_video(sf_dir, columns=["video_id", "bytes", "fmt"])
+
+    class SceneCuts:
+        def __init__(self):
+            from ..core.imagecodec import decode_image
+            from ..sources.video import decode_sfv
+
+            self.decode_sfv = decode_sfv
+            self.decode_image = decode_image
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch["video_id"].to_numpy(zero_copy_only=False)
+            fmts = batch["fmt"].to_pylist()
+            rows = {
+                "video_id": [],
+                "n_frames": [],
+                "n_cuts": [],
+                "first_cut": [],
+                "total_sad": [],
+            }
+            for i, buf in enumerate(batch["bytes"].to_pylist()):
+                if fmts[i] != "sfv":
+                    raise NotImplementedError(
+                        f"video format {fmts[i]!r} needs a real codec"
+                    )
+                frames, _w, _h, _fps = self.decode_sfv(buf)
+                imgs = np.stack(
+                    [self.decode_image(b, "png").astype(np.int64) for b in frames]
+                )
+                sad = np.abs(imgs[1:] - imgs[:-1]).sum(axis=(1, 2, 3))
+                cuts = np.nonzero(sad >= sad_thresh)[0]
+                rows["video_id"].append(int(vids[i]))
+                rows["n_frames"].append(len(frames))
+                rows["n_cuts"].append(len(cuts))
+                rows["first_cut"].append(int(cuts[0]) + 1 if len(cuts) else -1)
+                rows["total_sad"].append(int(sad.sum()))
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+            )
+
+    return ds.map_batches(
+        SceneCuts, batch_format="pyarrow", batch_size=64, concurrency=(2, 8)
+    )

@@ -2837,6 +2837,7 @@ QUERIES = {
     "image_embed_neardup": mlprep.q_image_embed_neardup,
     "audio_features": mlprep.q_audio_features,
     "video_frames": mlprep.q_video_frames,
+    "video_scene_cuts": mlprep.q_video_scene_cuts,
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
@@ -3098,6 +3099,7 @@ for _name in (
     "region_hulls",
     "vector_chain",
     "image_edges",
+    "video_scene_cuts",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

@@ -997,6 +997,45 @@ def golden_image_edges():
     return pd.DataFrame(rows, columns=["image_id", "edge_sum", "edge_max", "n_px"])
 
 
+def golden_video_scene_cuts():
+    """INDEPENDENT scene-cut recompute: plain per-pixel Python loops over
+    the SFV clips (no numpy SAD kernel, no Ray plumbing) — the container
+    and PNG decode are the codec layer already pinned by its own tests."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.core.imagecodec import decode_image
+    from texel_ray.sources.video import decode_sfv, ensure_video_for_sf_dir
+
+    t = pq.read_table(ensure_video_for_sf_dir(SF_DIR))
+    rows = []
+    for vid, buf, fmt in zip(
+        t["video_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        assert fmt == "sfv"
+        frames, w, h, _fps = decode_sfv(buf)
+        imgs = [decode_image(b, "png") for b in frames]
+        sads = []
+        for i in range(1, len(imgs)):
+            s = 0
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        s += abs(int(imgs[i][y, x, c]) - int(imgs[i - 1][y, x, c]))
+            sads.append(s)
+        cuts = [i + 1 for i, s in enumerate(sads) if s >= 13000]
+        rows.append(
+            {
+                "video_id": vid,
+                "n_frames": len(frames),
+                "n_cuts": len(cuts),
+                "first_cut": cuts[0] if cuts else -1,
+                "total_sad": sum(sads),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
 INDEPENDENT = {
     "kcenter_sample": golden_kcenter_sample,
     "simhash_neardup": golden_simhash_neardup,
@@ -1017,6 +1056,7 @@ INDEPENDENT = {
     "curate_images": golden_curate_images,
     "s2_cells": golden_s2_cells,
     "image_edges": golden_image_edges,
+    "video_scene_cuts": golden_video_scene_cuts,
 }
 
 
