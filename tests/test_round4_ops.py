@@ -1103,3 +1103,30 @@ def test_video_scene_cuts_matches_plain_recompute():
         assert int(out.loc[vid, "n_cuts"]) == len(cuts)
         assert int(out.loc[vid, "first_cut"]) == (cuts[0] if cuts else -1)
         assert int(out.loc[vid, "total_sad"]) == sum(sads)
+
+
+def test_tpch_q3_matches_pandas_recompute():
+    from texel_ray.pipelines.relational import q_tpch_q3
+
+    out = q_tpch_q3(SF_DIR)
+    cu = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    od = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    cut = pd.Timestamp("1998-06-01")
+    keys = set(cu[cu["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    od = od[(od["o_custkey"].isin(keys)) & (od["o_orderdate"] < cut)]
+    li = li[li["l_shipdate"] > cut].copy()
+    li["rev"] = np.trunc(
+        li["l_extendedprice"].to_numpy() * (1.0 - li["l_discount"].to_numpy()) * 100.0
+    ).astype(np.int64)
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j["odate_us"] = j["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+    agg = (
+        j.groupby(["l_orderkey", "odate_us"])["rev"].sum().reset_index()
+        .sort_values(["rev", "odate_us", "l_orderkey"], ascending=[False, True, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert out["l_orderkey"].tolist() == agg["l_orderkey"].tolist()
+    assert out["rev_cents"].tolist() == agg["rev"].tolist()
+    assert out["odate_us"].tolist() == agg["odate_us"].tolist()

@@ -2856,6 +2856,7 @@ QUERIES = {
     "join_mktsegment": relational.q_join_mktsegment,
     "join_part_brand": relational.q_join_part_brand,
     "join_large": relational.q_join_large,
+    "tpch_q3": relational.q_tpch_q3,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -2965,6 +2966,7 @@ ORACLE_SQL = {
     "join_mktsegment": relational.SQL_JOIN_MKTSEGMENT,
     "join_part_brand": relational.SQL_JOIN_PART_BRAND,
     "join_large": relational.SQL_JOIN_LARGE,
+    "tpch_q3": relational.sql_tpch_q3(),
     "label_stats": relational.SQL_LABEL_STATS,
     "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,

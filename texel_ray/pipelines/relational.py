@@ -4333,3 +4333,126 @@ SELECT region,
 FROM x WHERE pin <> cin
 GROUP BY 1
 """
+
+
+def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3 (shipping priority): the canonical 3-way selective join —
+    customer(segment) |x| orders(date < cutoff) |x| lineitem(shipdate >
+    cutoff) -> cent-exact revenue per order -> top-k by (revenue desc,
+    orderdate, orderkey). Exercises the mixed join plan: the filtered
+    customer keys are a BROADCAST semi-join gate on orders (small side
+    shipped once), then orders |x| lineitem is the genuine two-sided
+    hash exchange (Dataset.join), per-order revenue a combiner groupby,
+    and top-k a per-block prune + tiny driver finish.
+
+    Shape at 100 TB: predicates pushed to the parquet scan; nothing
+    corpus-sized is materialized; the only driver state is the k-row
+    result and the filtered-segment key set (customer-dimension; at
+    larger dimension tables the same gate becomes a Dataset.join)."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import partial_sum_groupby
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1000)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = pa.array(
+        np.unique(
+            np.concatenate(
+                [
+                    b["c_custkey"].to_numpy(zero_copy_only=False)[
+                        np.asarray(b["c_mktsegment"].to_pylist(), dtype=object)
+                        == segment
+                    ]
+                    for b in cust.iter_batches(batch_format="pyarrow")
+                ]
+            )
+        )
+    )  # customer-dimension key set, broadcast via closure
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        m = pc.and_(
+            pc.is_in(batch["o_custkey"], value_set=keys),
+            pc.less(od, pa.scalar(cutoff_us, pa.int64())),
+        )
+        t = batch.append_column("odate_us", od).filter(m)
+        return t.select(["o_orderkey", "odate_us"])
+
+    o_small = orders.map_batches(o_filter, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        sd = (
+            batch["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = sd > cutoff_us
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        ok = batch["l_orderkey"].filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_orderkey": ok,
+                "rev_cents": pa.array(
+                    np.trunc(ep * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    li_small = li.map_batches(li_filter, batch_format="pyarrow")
+    joined = li_small.join(
+        o_small,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_order = partial_sum_groupby(
+        joined, ["l_orderkey", "odate_us"], ["rev_cents"], coalesce=4
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["rev_cents", "odate_us", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pdf = (
+        per_order.map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(
+            ["rev_cents", "odate_us", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="stable",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pdf.astype({"l_orderkey": np.int64, "odate_us": np.int64, "rev_cents": np.int64})
+
+
+def sql_tpch_q3(segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10) -> str:
+    return f"""
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) AS odate_us,
+       CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff}'
+  AND l.l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY 1, 2
+ORDER BY rev_cents DESC, odate_us, l_orderkey
+LIMIT {k}
+"""
