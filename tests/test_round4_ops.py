@@ -1130,3 +1130,25 @@ def test_tpch_q3_matches_pandas_recompute():
     assert out["l_orderkey"].tolist() == agg["l_orderkey"].tolist()
     assert out["rev_cents"].tolist() == agg["rev"].tolist()
     assert out["odate_us"].tolist() == agg["odate_us"].tolist()
+
+
+def test_gap_fill_daily_matches_plain_scan():
+    from texel_ray.pipelines.relational import q_gap_fill_daily
+
+    out = q_gap_fill_daily(SF_DIR).set_index("event_type")
+    ev = _events()
+    day = ev["ts_us"].to_numpy() // (86400 * 1_000_000)
+    d0, d1 = int(day.min()), int(day.max())
+    for typ, g in ev.groupby("event_type"):
+        counts = pd.Series(
+            g["ts_us"].to_numpy() // (86400 * 1_000_000)
+        ).value_counts()
+        last, total, obs = 0, 0, 0
+        for d in range(d0, d1 + 1):
+            if d in counts.index:
+                last = int(counts[d])
+                obs += 1
+            total += last
+        assert int(out.loc[typ, "n_days"]) == d1 - d0 + 1
+        assert int(out.loc[typ, "n_observed"]) == obs
+        assert int(out.loc[typ, "sum_filled"]) == total

@@ -2857,6 +2857,7 @@ QUERIES = {
     "join_part_brand": relational.q_join_part_brand,
     "join_large": relational.q_join_large,
     "tpch_q3": relational.q_tpch_q3,
+    "gap_fill_daily": relational.q_gap_fill_daily,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -2967,6 +2968,7 @@ ORACLE_SQL = {
     "join_part_brand": relational.SQL_JOIN_PART_BRAND,
     "join_large": relational.SQL_JOIN_LARGE,
     "tpch_q3": relational.sql_tpch_q3(),
+    "gap_fill_daily": relational.SQL_GAP_FILL_DAILY,
     "label_stats": relational.SQL_LABEL_STATS,
     "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,

@@ -4456,3 +4456,93 @@ GROUP BY 1, 2
 ORDER BY rev_cents DESC, odate_us, l_orderkey
 LIMIT {k}
 """
+
+
+def q_gap_fill_daily(sf_dir: str):
+    """TEMPORAL GAP FILL / RESAMPLE with last-observation-carried-forward
+    (the regularization step before any fixed-step time-series model):
+    per event type, the daily count series is completed over the GLOBAL
+    [min_day, max_day] span, missing days carrying the last observed
+    count forward (days before a type's first observation fill 0).
+    Output per type: span length, observed days, filled days, and the
+    exact integer sum of the completed series.
+
+    Shape at 100 TB: ONE (type, day) count combiner folds the corpus to
+    the day dimension; the fill runs driver-side on that tiny table (at
+    finer grains it is a per-type segment cumsum inside one groupby)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "day": pa.array(day, pa.int64())}
+        )
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "day"],
+        [],
+        count_alias="c",
+        coalesce=4,
+    ).to_pandas()  # (type x day)-dimension
+
+    d_min, d_max = int(daily["day"].min()), int(daily["day"].max())
+    span = d_max - d_min + 1
+    rows = {
+        "event_type": [],
+        "n_days": [],
+        "n_observed": [],
+        "n_filled": [],
+        "sum_filled": [],
+    }
+    for typ, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        series = np.zeros(span, dtype=np.int64)
+        obs = np.zeros(span, dtype=bool)
+        series[g["day"].to_numpy() - d_min] = g["c"].to_numpy()
+        obs[g["day"].to_numpy() - d_min] = True
+        # LOCF: carry last observed value across unobserved days
+        idx = np.where(obs, np.arange(span), -1)
+        idx = np.maximum.accumulate(idx)
+        filled = np.where(idx >= 0, series[np.maximum(idx, 0)], 0)
+        rows["event_type"].append(typ)
+        rows["n_days"].append(span)
+        rows["n_observed"].append(int(obs.sum()))
+        rows["n_filled"].append(int(span - obs.sum()))
+        rows["sum_filled"].append(int(filled.sum()))
+    out = pd.DataFrame(rows)
+    for c in ("n_days", "n_observed", "n_filled", "sum_filled"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_GAP_FILL_DAILY = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+grid AS (
+  SELECT t.event_type, days.day
+  FROM (SELECT DISTINCT event_type FROM d) t CROSS JOIN days
+),
+f AS (
+  SELECT g.event_type, g.day, d.c,
+         coalesce(last_value(d.c IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day), 0) AS filled
+  FROM grid g LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(filled) AS BIGINT) AS sum_filled
+FROM f GROUP BY 1
+"""
