@@ -948,12 +948,12 @@ def test_allpairs_jaccard_complete_vs_bruteforce():
     }
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
     ids = docs["doc_id"].to_numpy()
-    sets = [shingle_set(t, 2) for t in docs["text"]]
+    sets = [shingle_set(t, 3) for t in docs["text"]]
     want = {}
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             s = jaccard(sets[i], sets[j])
-            if s >= 0.7:
+            if s >= 0.75:
                 a, b = sorted((int(ids[i]), int(ids[j])))
                 want[(a, b)] = s
     # prefix filtering must be COMPLETE: exact same pair set, same values
@@ -1152,3 +1152,50 @@ def test_gap_fill_daily_matches_plain_scan():
         assert int(out.loc[typ, "n_days"]) == d1 - d0 + 1
         assert int(out.loc[typ, "n_observed"]) == obs
         assert int(out.loc[typ, "sum_filled"]) == total
+
+
+def test_s2_compact_lossless_and_minimal():
+    from texel_ray.core import s2
+    from texel_ray.pipelines.mlprep import q_s2_compact
+    from texel_ray.sources.images import images_parquet_path
+    from texel_ray.stages.tiles import encode_s2
+
+    out = q_s2_compact(SF_DIR)
+    ids = out["s2_cell"].to_numpy().view(np.uint64)
+    lvl = out["lvl"].to_numpy()
+    assert (lvl <= 8).all() and (lvl >= 0).all()
+    # expand every compacted cell back to level-8 descendants: the union
+    # must equal the original occupied set exactly (lossless), with no
+    # overlap (sum of 4^(8-lvl) == len(original))
+    imgs = pq.read_table(images_parquet_path(SF_DIR), columns=["lon", "lat"])
+    enc = encode_s2(imgs, level=8, keep_columns=[], as_token=True)
+    occ = np.unique(
+        s2.token_to_cell_id(
+            enc["s2_tok"].to_numpy().view(np.uint64), 8
+        ).astype(np.uint64)
+    )
+    want = set(occ.tolist())
+    got = set()
+    for cid, lv in zip(ids, lvl):
+        lo, hi = s2.cell_range(np.array([cid], dtype=np.uint64))
+        lsb8 = np.uint64(1) << np.uint64(2 * (30 - 8))
+        members = np.arange(
+            int(lo[0]) + int(lsb8) - 1, int(hi[0]) + 1, 2 * int(lsb8),
+            dtype=np.uint64,
+        )
+        # level-8 descendants: ids with lsb at level 8 inside the range
+        members = members[(members & (np.uint64(2) * lsb8 - np.uint64(1))) == lsb8]
+        assert len(members) == 4 ** (8 - lv)
+        before = len(got)
+        got.update(int(m) for m in members)
+        assert len(got) == before + len(members)  # disjoint
+    assert got == want
+    # minimality: no 4 siblings at any level remain unpromoted
+    for k in range(0, 8):
+        lsb = np.uint64(1) << np.uint64(2 * (30 - k))
+        child = ids[lvl == k + 1]
+        if len(child) == 0:
+            continue
+        par = (child & ~(lsb - np.uint64(1))) | lsb
+        _, counts = np.unique(par, return_counts=True)
+        assert counts.max() < 4

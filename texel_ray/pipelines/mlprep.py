@@ -3647,13 +3647,17 @@ GROUP BY 1
 """
 
 
-def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.7, ngram: int = 2):
+def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
     """ALL-PAIRS exact set-similarity self-join with PREFIX FILTERING
     (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07 /
     PPJoin, Xiao et al. VLDB'08): every document pair whose distinct
-    word-bigram sets have Jaccard >= threshold — COMPLETE recall, no
-    LSH miss probability (the guaranteed-exact sibling of
-    minhash_neardup). Prefix lemma: order every set by one global token
+    word-trigram shingle sets have Jaccard >= threshold — COMPLETE
+    recall, no LSH miss probability (the guaranteed-exact sibling of
+    minhash_neardup, at a lower threshold LSH banding would miss more
+    often). Shingle order matters: bigrams on this corpus's ~900-token
+    vocabulary leave every prefix token hot (~9M candidates, measured
+    289 s); trigram shingles push the vocabulary to 27k and candidates
+    to ~150k — pick the shingle width that makes prefixes RARE. Prefix lemma: order every set by one global token
     order (rarest-first by document frequency); a pair with
     |a ∩ b| >= ceil(tau*max(|a|,|b|)) must share a token within the
     first n - ceil(tau*n) + 1 tokens of each side, so only those
@@ -3674,7 +3678,7 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.7, ngram: int = 2):
     from ..stages.agg import partial_sum_groupby
     from ..stages.dedup import (
         _hash_tokens_ngrams,
-        bucket_pairs,
+        _triangle_pair_indices,
         verify_jaccard_pairs,
     )
 
@@ -3735,12 +3739,58 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.7, ngram: int = 2):
 
     prefixes = ds.map_batches(
         prefix_emit, batch_format="pyarrow", batch_size=512
+    ).map_batches(
+        # 512-way token superbucket: grouping on the raw prefix token
+        # dispatches one pandas map_groups per DISTINCT token (measured
+        # 381 s at sf0.1 — the per-tiny-group tax); the fold-hash bucket
+        # cuts dispatches to 512 with a vectorized in-bucket kernel
+        lambda b: b.append_column(
+            "__gb",
+            pa.array(
+                (
+                    (b["g"].to_numpy(zero_copy_only=False) & np.int64(0x7FFFFFFF))
+                    * np.int64(2654435761)
+                )
+                % np.int64(512)
+            ),
+        ),
+        batch_format="pyarrow",
     )
-    pairs = (
-        prefixes.groupby("g")
-        .map_groups(
-            lambda g: bucket_pairs(g, id_col="doc_id"), batch_format="pandas"
+
+    def segment_pairs(group) -> "pd.DataFrame":
+        """Candidate pairs per token segment inside one bucket: sort by
+        (g, doc_id), then tiled triangle enumeration per segment —
+        singleton segments (the common case under rarest-first
+        prefixes) cost one boundary comparison, no pandas dispatch."""
+        g_arr = group["g"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        order = np.lexsort((ids, g_arr))
+        g_arr, ids = g_arr[order], ids[order]
+        bnd = np.nonzero(g_arr[1:] != g_arr[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(g_arr)]))
+        outs_a, outs_b, capped = [], [], False
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > 4096:
+                capped = True
+                e = s + 4096
+                n = 4096
+            seg = ids[s:e]
+            for ia, ib in _triangle_pair_indices(n):
+                outs_a.append(seg[ia])
+                outs_b.append(seg[ib])
+        a = np.concatenate(outs_a) if outs_a else np.array([], dtype=np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"id_a": a, "id_b": b, "capped": np.full(len(a), capped)}
         )
+
+    pairs = (
+        prefixes.groupby("__gb")
+        .map_groups(segment_pairs, batch_format="pandas")
         .materialize()
     )
     empty = pd.DataFrame(
@@ -3805,9 +3855,9 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id,
-         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-              ELSE list_distinct(list_transform(range(1, len(toks)),
-                   i -> toks[i] || ' ' || toks[i+1]))
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          END AS sh
   FROM t
 )
@@ -3822,7 +3872,7 @@ SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          CAST(i.ninter AS DOUBLE) / (la.n + lb.n - i.ninter) AS jaccard
   FROM i JOIN l la ON la.doc_id = i.id_a JOIN l lb ON lb.doc_id = i.id_b
-) WHERE jaccard >= 0.7
+) WHERE jaccard >= 0.75
 """
 
 
@@ -3885,3 +3935,67 @@ def q_video_scene_cuts(sf_dir: str, sad_thresh: int = 13000):
     return ds.map_batches(
         SceneCuts, batch_format="pyarrow", batch_size=64, concurrency=(2, 8)
     )
+
+
+def q_s2_compact(sf_dir: str, level: int = 8):
+    """S2 COVERING COMPACTION (RegionCoverer's normalize step; the S2
+    sibling of h3_compact): the corpus's occupied level-`level` cells
+    collapse into a minimal mixed-level covering — a parent replaces its
+    children exactly when ALL FOUR are present, recursively to level 0.
+    The result is the canonical compact cell union importers feed to
+    S2-based systems (coverings, index shards, spatial ACLs).
+
+    Shape at 100 TB: ONE distinct-cell combiner (token-grouped — see
+    q_s2_cells for why canonical ids degrade the hash grouper) folds
+    the corpus to the occupied-cell dimension; compaction runs on that
+    set with vectorized parent arithmetic (4^level-bounded; at deeper
+    levels it becomes a per-face groupby of the same numpy kernel)."""
+    from ..core import s2
+    from ..stages.agg import partial_count_groupby
+    from ..stages.tiles import encode_s2
+
+    ds = _read_images_lonlat(sf_dir)
+    ds = ds.map_batches(
+        lambda b: encode_s2(b, level=level, keep_columns=[], as_token=True),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    occ = partial_count_groupby(ds, ["s2_tok"], alias="n").to_pandas()
+    cur = s2.token_to_cell_id(
+        occ["s2_tok"].to_numpy().view(np.uint64), level
+    ).astype(np.uint64)
+
+    out_ids, out_lvl = [], []
+    for k in range(level - 1, -1, -1):
+        par = s2.parent(cur, k).astype(np.uint64)
+        uniq, counts = np.unique(par, return_counts=True)
+        complete = set(uniq[counts == 4].tolist())
+        if complete:
+            keep = np.array([int(p) not in complete for p in par], dtype=bool)
+        else:
+            keep = np.ones(len(cur), dtype=bool)
+        out_ids.append(cur[keep])
+        out_lvl.append(np.full(int(keep.sum()), k + 1, dtype=np.int64))
+        cur = np.array(sorted(complete), dtype=np.uint64)
+        if len(cur) == 0:
+            break
+    if len(cur):
+        out_ids.append(cur)
+        out_lvl.append(np.zeros(len(cur), dtype=np.int64))
+    ids = np.concatenate(out_ids)
+    lvl = np.concatenate(out_lvl)
+    order = np.argsort(ids)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "s2_cell": ids[order].view(np.int64),
+            "lvl": lvl[order],
+        }
+    )
+
+
+def _read_images_lonlat(sf_dir: str):
+    from ..sources.images import read_images
+
+    return read_images(sf_dir, columns=["lon", "lat"])

@@ -2838,6 +2838,7 @@ QUERIES = {
     "audio_features": mlprep.q_audio_features,
     "video_frames": mlprep.q_video_frames,
     "video_scene_cuts": mlprep.q_video_scene_cuts,
+    "s2_compact": mlprep.q_s2_compact,
     # text analysis
     "text_features": mlprep.q_text_features,
     "token_counts": mlprep.q_token_counts,
@@ -3104,6 +3105,7 @@ for _name in (
     "vector_chain",
     "image_edges",
     "video_scene_cuts",
+    "s2_compact",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

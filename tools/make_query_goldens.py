@@ -923,6 +923,43 @@ def golden_s2_cells():
     )
 
 
+def golden_s2_compact():
+    """INDEPENDENT compaction reference: scalar published-construction
+    encoder (above) + pure-Python dict recursion with the spec's parent
+    bit identity ((id & ~(lsb-1)) | lsb) — no numpy kernels, no code
+    shared with the pipeline's combiner/vectorized compaction."""
+    import numpy as np
+    import pandas as pd
+
+    t = _sf_images(["lon", "lat"])
+    cur = {
+        _s2_id_scalar(float(lo), float(la), 8)
+        for lo, la in zip(t["lon"].to_numpy(), t["lat"].to_numpy())
+    }
+    out = []
+    for k in range(7, -1, -1):
+        lsb = 1 << (2 * (30 - k))
+        groups: dict[int, int] = {}
+        for c in cur:
+            p = (c & ~(lsb - 1)) | lsb
+            groups[p] = groups.get(p, 0) + 1
+        promoted = {p for p, n in groups.items() if n == 4}
+        for c in cur:
+            p = (c & ~(lsb - 1)) | lsb
+            if p not in promoted:
+                out.append((c, k + 1))
+        cur = promoted
+    out.extend((c, 0) for c in cur)
+    out.sort()
+    ids = np.array([c for c, _ in out], dtype=np.uint64)
+    return pd.DataFrame(
+        {
+            "s2_cell": ids.view(np.int64),
+            "lvl": np.array([l for _, l in out], dtype=np.int64),
+        }
+    )
+
+
 def golden_kcenter_sample():
     """INDEPENDENT greedy k-center (Gonzalez) reference: plain numpy over
     the full embeddings matrix, no Dataset/partial code shared with the
@@ -1057,6 +1094,7 @@ INDEPENDENT = {
     "s2_cells": golden_s2_cells,
     "image_edges": golden_image_edges,
     "video_scene_cuts": golden_video_scene_cuts,
+    "s2_compact": golden_s2_compact,
 }
 
 
