@@ -208,6 +208,7 @@ def run_benchmarks() -> dict:
     timed("video_scene_cuts", lambda: mlprep.q_video_scene_cuts(SF_DIR))
     timed("tpch_q3", lambda: relational.q_tpch_q3(SF_DIR), consume=None)
     timed("gap_fill_daily", lambda: relational.q_gap_fill_daily(SF_DIR), consume=None)
+    timed("s2_compact", lambda: mlprep.q_s2_compact(SF_DIR), consume=None)
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))
