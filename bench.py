@@ -209,6 +209,8 @@ def run_benchmarks() -> dict:
     timed("tpch_q3", lambda: relational.q_tpch_q3(SF_DIR), consume=None)
     timed("gap_fill_daily", lambda: relational.q_gap_fill_daily(SF_DIR), consume=None)
     timed("s2_compact", lambda: mlprep.q_s2_compact(SF_DIR), consume=None)
+    timed("region_centroid", lambda: queries.q_region_centroid(SF_DIR))
+    timed("new_users_daily", lambda: relational.q_new_users_daily(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

@@ -1199,3 +1199,53 @@ def test_s2_compact_lossless_and_minimal():
         par = (child & ~(lsb - np.uint64(1))) | lsb
         _, counts = np.unique(par, return_counts=True)
         assert counts.max() < 4
+
+
+def test_region_centroid_matches_extents_membership():
+    from texel_ray.pipelines.queries import q_region_centroid, q_region_extents
+
+    cen = q_region_centroid(SF_DIR).to_pandas().set_index("region_id")
+    ext = q_region_extents(SF_DIR).to_pandas().set_index("region_id")
+    # same membership: counts equal; centroid inside the extent box
+    assert sorted(cen.index) == sorted(ext.index)
+    for rid in cen.index:
+        assert int(cen.loc[rid, "n"]) == int(ext.loc[rid, "n"])
+        n = int(cen.loc[rid, "n"])
+        lon_c = cen.loc[rid, "lon_fp"] / 1e7 / n
+        lat_c = cen.loc[rid, "lat_fp"] / 1e7 / n
+        assert ext.loc[rid, "minx"] - 1e-6 <= lon_c <= ext.loc[rid, "maxx"] + 1e-6
+        assert ext.loc[rid, "miny"] - 1e-6 <= lat_c <= ext.loc[rid, "maxy"] + 1e-6
+
+
+def test_percent_change_weekly_matches_pandas():
+    from texel_ray.pipelines.relational import q_percent_change_weekly
+
+    out = q_percent_change_weekly(SF_DIR)
+    ev = _events()
+    week = ev["ts_us"].to_numpy() // (7 * 86400 * 1_000_000)
+    for typ, g in ev.groupby("event_type"):
+        counts = (
+            pd.Series(g["ts_us"].to_numpy() // (7 * 86400 * 1_000_000))
+            .value_counts()
+            .sort_index()
+        )
+        sub = out[out["event_type"] == typ].set_index("week")
+        for w in counts.index:
+            if w - 1 in counts.index:
+                assert int(sub.loc[w, "n"]) == int(counts[w])
+                assert int(sub.loc[w, "delta"]) == int(counts[w] - counts[w - 1])
+            else:
+                assert w not in sub.index
+
+
+def test_new_users_daily_matches_pandas():
+    from texel_ray.pipelines.relational import q_new_users_daily
+
+    out = q_new_users_daily(SF_DIR).to_pandas().set_index("day")
+    ev = _events()
+    ev = ev.assign(day=ev["ts_us"] // (86400 * 1_000_000))
+    first = ev.groupby("user_id")["day"].min()
+    want = first.value_counts().sort_index()
+    assert out["n_new"].sum() == ev["user_id"].nunique()
+    for d, n in want.items():
+        assert int(out.loc[d, "n_new"]) == int(n)

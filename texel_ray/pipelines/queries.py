@@ -280,6 +280,95 @@ SELECT * FROM (
 """
 
 
+def q_region_centroid(sf_dir: str):
+    """Per-region WEIGHTED CENTROID of member geotags in exact fixed
+    point (the label-point / cartogram-anchor statistic): PIP join ->
+    per-batch integer sums of floor(lon*1e7)/floor(lat*1e7) -> one tiny
+    merge; the centroid is the ratio downstream, every byte exactly
+    recomputable (multi-membership counted per region, like
+    region_extents). Same 100-TB shape as every PIP rollup here:
+    broadcast dimension side, combiner partials, no row shuffle."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.pip_join import PIPJoiner
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"keep_columns": ["lon", "lat"]},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 4),
+    )
+
+    def fixed(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "region_id": batch["region_id"],
+                "lon_fp": pa.array(np.floor(lon * 1e7).astype(np.int64)),
+                "lat_fp": pa.array(np.floor(lat * 1e7).astype(np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        joined.select_columns(["region_id", "lon", "lat"]).map_batches(
+            fixed, batch_format="pyarrow"
+        ),
+        ["region_id"],
+        ["lon_fp", "lat_fp"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def sql_region_centroid() -> str:
+    from ..core.geom import wkb_decode
+    from ..sources.regions import generate_regions_table
+
+    regions = generate_regions_table()
+    hex_selects = []
+    for rid, kind, buf in zip(
+        regions["region_id"].to_pylist(),
+        regions["kind"].to_pylist(),
+        regions["geom_wkb"].to_pylist(),
+    ):
+        if kind != "poly":
+            continue
+        _, rings = wkb_decode(buf)
+        conds = []
+        ring = rings[0]
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0"
+            )
+        hex_selects.append(
+            f"SELECT {rid} AS region_id, "
+            f"CAST(sum(CAST(floor(lon * 1e7) AS BIGINT)) AS BIGINT) AS lon_fp, "
+            f"CAST(sum(CAST(floor(lat * 1e7) AS BIGINT)) AS BIGINT) AS lat_fp, "
+            f"CAST(count(*) AS BIGINT) AS n "
+            f"FROM {images_sql_source()} WHERE {' AND '.join(conds)}"
+        )
+    hex_sql = "\nUNION ALL\n".join(hex_selects)
+    return f"""
+SELECT * FROM (
+    SELECT r.region_id AS region_id,
+           CAST(sum(CAST(floor(i.lon * 1e7) AS BIGINT)) AS BIGINT) AS lon_fp,
+           CAST(sum(CAST(floor(i.lat * 1e7) AS BIGINT)) AS BIGINT) AS lat_fp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {images_sql_source()} i
+    JOIN {regions_sql_source()} r
+      ON r.kind = 'rect'
+     AND i.lon >= r.minx AND i.lon <= r.maxx
+     AND i.lat >= r.miny AND i.lat <= r.maxy
+    GROUP BY 1
+    UNION ALL
+    {hex_sql}
+) WHERE n > 0
+"""
+
+
 def q_quadkey_cells(sf_dir: str, zoom: int = 8):
     """Per-quadkey image counts (Bing quadkey = interleaved tile-coord
     digits; stages/tiles.quadkey_np, pinned against the published
@@ -2859,6 +2948,9 @@ QUERIES = {
     "join_large": relational.q_join_large,
     "tpch_q3": relational.q_tpch_q3,
     "gap_fill_daily": relational.q_gap_fill_daily,
+    "region_centroid": q_region_centroid,
+    "percent_change_weekly": relational.q_percent_change_weekly,
+    "new_users_daily": relational.q_new_users_daily,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -2970,6 +3062,9 @@ ORACLE_SQL = {
     "join_large": relational.SQL_JOIN_LARGE,
     "tpch_q3": relational.sql_tpch_q3(),
     "gap_fill_daily": relational.SQL_GAP_FILL_DAILY,
+    "region_centroid": sql_region_centroid(),
+    "percent_change_weekly": relational.SQL_PERCENT_CHANGE_WEEKLY,
+    "new_users_daily": relational.SQL_NEW_USERS_DAILY,
     "label_stats": relational.SQL_LABEL_STATS,
     "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,

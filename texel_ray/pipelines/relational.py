@@ -4546,3 +4546,99 @@ SELECT event_type,
        CAST(sum(filled) AS BIGINT) AS sum_filled
 FROM f GROUP BY 1
 """
+
+
+def q_percent_change_weekly(sf_dir: str):
+    """WEEK-OVER-WEEK DELTA per event type (the trend-monitoring delta
+    behind every ops dashboard): weekly event counts and the exact
+    integer change vs the previous OBSERVED week. Output: (type, week,
+    n, prev_n, delta) for weeks with a predecessor.
+
+    Shape at 100 TB: ONE (type, week) count combiner; the adjacent-week
+    join runs driver-side on the week dimension."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        week = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // WEEK_US
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "week": pa.array(week, pa.int64())}
+        )
+
+    weekly = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "week"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    ).to_pandas()
+
+    rows = {"event_type": [], "week": [], "n": [], "prev_n": [], "delta": []}
+    for typ, g in weekly.groupby("event_type"):
+        g = g.sort_values("week")
+        w = g["week"].to_numpy()
+        n = g["n"].to_numpy()
+        adj = w[1:] == w[:-1] + 1
+        rows["event_type"].extend([typ] * int(adj.sum()))
+        rows["week"].extend(w[1:][adj].tolist())
+        rows["n"].extend(n[1:][adj].tolist())
+        rows["prev_n"].extend(n[:-1][adj].tolist())
+        rows["delta"].extend((n[1:][adj] - n[:-1][adj]).tolist())
+    out = pd.DataFrame(rows)
+    for c in ("week", "n", "prev_n", "delta"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_PERCENT_CHANGE_WEEKLY = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.week, CAST(a.n AS BIGINT) AS n,
+       CAST(b.n AS BIGINT) AS prev_n, CAST(a.n - b.n AS BIGINT) AS delta
+FROM w a JOIN w b ON b.event_type = a.event_type AND b.week = a.week - 1
+"""
+
+
+def q_new_users_daily(sf_dir: str):
+    """NEW-vs-RETURNING decomposition (acquisition monitoring): per day,
+    how many users appear for the FIRST time in the corpus. One
+    groupby(user) min-day pass (combiner: per-batch min partials), then
+    a day histogram of first days.
+
+    Shape at 100 TB: per-batch (user, min_day) partials -> one skinny
+    user-dimension groupby -> tiny day histogram combiner."""
+    from ..stages.agg import partial_min_groupby, partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"user_id": batch["user_id"], "day": pa.array(day, pa.int64())}
+        )
+
+    skinny = ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384)
+    first = partial_min_groupby(skinny, ["user_id"], ["day"], coalesce=8)
+    return partial_sum_groupby(
+        first, ["day"], [], count_alias="n_new", coalesce=4
+    )
+
+
+SQL_NEW_USERS_DAILY = """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1
+"""

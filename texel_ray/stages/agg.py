@@ -67,6 +67,23 @@ def partial_count_groupby(ds, keys: list[str], alias: str = "n", coalesce: int =
     return partial_sum_groupby(ds, keys, [], count_alias=alias, coalesce=coalesce)
 
 
+def partial_min_groupby(ds, keys: list[str], min_cols: list[str], coalesce: int = 16):
+    """Distributed min-per-key with per-batch combining (min is
+    associative, so the partial/merge plan mirrors partial_sum_groupby)."""
+    aggs = [(c, "min") for c in min_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + min_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if coalesce and coalesce > 1:
+        partials = partials.repartition(coalesce)
+        partials = partials.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    partials = partials.repartition(1)
+    return partials.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
 def salted_group_map(
     ds,
     key: str,
