@@ -211,6 +211,9 @@ def run_benchmarks() -> dict:
     timed("s2_compact", lambda: mlprep.q_s2_compact(SF_DIR), consume=None)
     timed("region_centroid", lambda: queries.q_region_centroid(SF_DIR))
     timed("new_users_daily", lambda: relational.q_new_users_daily(SF_DIR))
+    timed("rolling_wau", lambda: relational.q_rolling_wau(SF_DIR))
+    timed("voronoi_assign", lambda: relational.q_voronoi_assign(SF_DIR))
+    timed("shard_zonemap", lambda: queries.q_shard_zonemap(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

@@ -1249,3 +1249,54 @@ def test_new_users_daily_matches_pandas():
     assert out["n_new"].sum() == ev["user_id"].nunique()
     for d, n in want.items():
         assert int(out.loc[d, "n_new"]) == int(n)
+
+
+def test_rolling_wau_matches_pandas():
+    from texel_ray.pipelines.relational import q_rolling_wau
+
+    out = q_rolling_wau(SF_DIR).to_pandas().set_index("day")
+    ev = _events()
+    ev = ev.assign(day=ev["ts_us"] // (86400 * 1_000_000))
+    d0, d1 = int(ev["day"].min()), int(ev["day"].max())
+    for d in range(d0, d1 + 1):
+        users = ev[(ev["day"] >= d - 6) & (ev["day"] <= d)]["user_id"].nunique()
+        if users:
+            assert int(out.loc[d, "wau"]) == users
+        else:
+            assert d not in out.index
+
+
+def test_voronoi_assign_matches_argmin():
+    from texel_ray.pipelines.relational import _event_geo_np, q_voronoi_assign
+    from texel_ray.sources.images import _URBAN_CENTERS
+
+    out = q_voronoi_assign(SF_DIR).to_pandas().set_index("site").sort_index()
+    ev = _events()
+    cx = np.array([c[0] for c in _URBAN_CENTERS])
+    cy = np.array([c[1] for c in _URBAN_CENTERS])
+    lon, lat = _event_geo_np(ev["user_id"].to_numpy(), ev["event_id"].to_numpy())
+    d2 = (lon[:, None] - cx[None, :]) ** 2 + (lat[:, None] - cy[None, :]) ** 2
+    site = d2.argmin(axis=1)
+    for s in np.unique(site):
+        sel = site == s
+        assert int(out.loc[s, "n"]) == int(sel.sum())
+        assert int(out.loc[s, "d2_fp"]) == int(
+            np.floor(d2[sel, s] * 1e7).astype(np.int64).sum()
+        )
+
+
+def test_shard_zonemap_covers_all_rows():
+    from texel_ray.pipelines.queries import q_shard_zonemap
+    from texel_ray.sources.images import images_parquet_path
+
+    out = q_shard_zonemap(SF_DIR).to_pandas()
+    t = pq.read_table(images_parquet_path(SF_DIR), columns=["lon", "lat"])
+    assert int(out["n"].sum()) == t.num_rows
+    assert out["min_lon"].min() == t["lon"].to_numpy().min()
+    assert out["max_lat"].max() == t["lat"].to_numpy().max()
+    # pruning is sound: a pruned shard's envelope is disjoint from the bbox
+    for _, r in out[out["pruned"] == 1].iterrows():
+        assert (
+            r["max_lon"] < 0.0 or r["min_lon"] > 40.0
+            or r["max_lat"] < 0.0 or r["min_lat"] > 40.0
+        )

@@ -2813,6 +2813,95 @@ SELECT tile_x, tile_y, img FROM (
 """
 
 
+def q_shard_zonemap(
+    sf_dir: str,
+    q_minx: float = 0.0,
+    q_maxx: float = 40.0,
+    q_miny: float = 0.0,
+    q_maxy: float = 40.0,
+):
+    """SHARD ZONE MAPS + scan-pruning plan (the prune-at-the-read
+    planner: per input shard, the lon/lat min/max envelope and whether
+    a bbox query could SKIP the shard entirely — min/max pruning is how
+    a 100-TB scan becomes a 100-GB scan when data is spatially
+    clustered). One combiner pass keyed on the shard path builds the
+    zone map; the prune flag is the standard disjoint-envelope test.
+
+    Shape at 100 TB: per-batch min/max partials (exact — no
+    accumulation), shard-dimension output; the emitted plan then drives
+    `read_parquet(paths=kept)` for the actual query."""
+    import ray.data
+
+    path = images_src.images_parquet_path(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["lon", "lat"], include_paths=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["path"]).aggregate(
+            [
+                ("lon", "min"),
+                ("lon", "max"),
+                ("lat", "min"),
+                ("lat", "max"),
+                ("lon", "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["shard", "min_lon", "max_lon", "min_lat", "max_lat", "n"]
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["shard"]).aggregate(
+            [
+                ("min_lon", "min"),
+                ("max_lon", "max"),
+                ("min_lat", "min"),
+                ("max_lat", "max"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["shard", "min_lon", "max_lon", "min_lat", "max_lat", "n"]
+        )
+
+    zm = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        pruned = (
+            (batch["max_lon"].to_numpy(zero_copy_only=False) < q_minx)
+            | (batch["min_lon"].to_numpy(zero_copy_only=False) > q_maxx)
+            | (batch["max_lat"].to_numpy(zero_copy_only=False) < q_miny)
+            | (batch["min_lat"].to_numpy(zero_copy_only=False) > q_maxy)
+        )
+        return batch.append_column("pruned", pa.array(pruned.astype(np.int64)))
+
+    return zm.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_shard_zonemap(
+    q_minx: float = 0.0, q_maxx: float = 40.0, q_miny: float = 0.0, q_maxy: float = 40.0
+) -> str:
+    path = images_src.images_parquet_path("/root/testdata/sf0.01")
+    return f"""
+WITH z AS (
+  SELECT filename AS shard,
+         min(lon) AS min_lon, max(lon) AS max_lon,
+         min(lat) AS min_lat, max(lat) AS max_lat,
+         CAST(count(*) AS BIGINT) AS n
+  FROM read_parquet('{path}/*.parquet', filename = true)
+  GROUP BY 1
+)
+SELECT shard, min_lon, max_lon, min_lat, max_lat, n,
+       CAST(CASE WHEN max_lon < {q_minx!r} OR min_lon > {q_maxx!r}
+                  OR max_lat < {q_miny!r} OR min_lat > {q_maxy!r}
+            THEN 1 ELSE 0 END AS BIGINT) AS pruned
+FROM z
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -2951,6 +3040,9 @@ QUERIES = {
     "region_centroid": q_region_centroid,
     "percent_change_weekly": relational.q_percent_change_weekly,
     "new_users_daily": relational.q_new_users_daily,
+    "rolling_wau": relational.q_rolling_wau,
+    "voronoi_assign": relational.q_voronoi_assign,
+    "shard_zonemap": q_shard_zonemap,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -3065,6 +3157,9 @@ ORACLE_SQL = {
     "region_centroid": sql_region_centroid(),
     "percent_change_weekly": relational.SQL_PERCENT_CHANGE_WEEKLY,
     "new_users_daily": relational.SQL_NEW_USERS_DAILY,
+    "rolling_wau": relational.SQL_ROLLING_WAU,
+    "voronoi_assign": relational.sql_voronoi_assign(),
+    "shard_zonemap": sql_shard_zonemap(),
     "label_stats": relational.SQL_LABEL_STATS,
     "train_test_split": mlprep.SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": mlprep.SQL_STRATIFIED_SAMPLE,

@@ -4642,3 +4642,148 @@ WITH f AS (
 )
 SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1
 """
+
+
+def q_rolling_wau(sf_dir: str, window_d: int = 7):
+    """ROLLING 7-DAY ACTIVE USERS (the WAU engagement metric — a
+    sliding-window COUNT DISTINCT, the aggregation SQL windows cannot
+    express directly): for each day, how many distinct users had any
+    event in [day - 6, day]. Exact.
+
+    Shape at 100 TB: per-batch (user, day) dedup combiner folds the
+    corpus to active user-days; each user-day DONATES itself to the 7
+    windows it supports (skinny explode); a second (user, window-day)
+    dedup combiner collapses multi-day users inside one window; the
+    final count is a tiny day-histogram combiner. Three skinny
+    exchanges, nothing corpus-sized, no per-day rescan."""
+    from ..stages.agg import partial_count_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"user_id": batch["user_id"], "day": pa.array(day, pa.int64())}
+        )
+
+    skinny = ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384)
+    # pass 1: distinct active (user, day)
+    active = partial_count_groupby(skinny, ["user_id", "day"], alias="_c", coalesce=8)
+    # observed day span (bounds the donated windows)
+    span = active.map_batches(
+        lambda b: pa.table(
+            {
+                "d0": pa.array([int(b["day"].to_numpy().min())] if b.num_rows else [], pa.int64()),
+                "d1": pa.array([int(b["day"].to_numpy().max())] if b.num_rows else [], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).to_pandas()
+    d_min, d_max = int(span["d0"].min()), int(span["d1"].max())
+
+    def donate(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        outs_u, outs_w = [], []
+        for k in range(window_d):
+            w = day + k
+            keep = w <= d_max
+            outs_u.append(uid[keep])
+            outs_w.append(w[keep])
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(outs_u)),
+                "wday": pa.array(np.concatenate(outs_w)),
+            }
+        )
+
+    donated = active.map_batches(donate, batch_format="pyarrow")
+    # pass 2: distinct (user, window-day), then the day histogram
+    uw = partial_count_groupby(donated, ["user_id", "wday"], alias="_c", coalesce=8)
+    out = partial_count_groupby(uw, ["wday"], alias="wau", coalesce=4)
+    return out.map_batches(
+        lambda b: b.rename_columns(["day", "wau"]), batch_format="pyarrow"
+    )
+
+
+SQL_ROLLING_WAU = """
+WITH a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM a),
+days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span)
+SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM days d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
+def q_voronoi_assign(sf_dir: str):
+    """VORONOI / NEAREST-CENTROID assignment (the discrete-site
+    partition behind service-area analysis and nearest-depot routing):
+    every event maps to its nearest urban center by squared euclidean
+    degree distance (deterministic min-index tiebreak), one stateless
+    vectorized argmin per batch against the broadcast center table;
+    output per center: members and the exact fixed-point (1e7) distance
+    sum. Exact SQL oracle: the same argmin as a min-over-cross-join."""
+    from ..sources.images import _URBAN_CENTERS
+    from ..stages.agg import partial_sum_groupby
+
+    cx = np.array([c[0] for c in _URBAN_CENTERS], dtype=np.float64)
+    cy = np.array([c[1] for c in _URBAN_CENTERS], dtype=np.float64)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        d2 = (lon[:, None] - cx[None, :]) ** 2 + (lat[:, None] - cy[None, :]) ** 2
+        site = d2.argmin(axis=1).astype(np.int64)  # first min wins
+        dmin = d2[np.arange(len(site)), site]
+        return pa.table(
+            {
+                "site": pa.array(site),
+                "d2_fp": pa.array(np.floor(dmin * 1e7).astype(np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=16384),
+        ["site"],
+        ["d2_fp"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def sql_voronoi_assign() -> str:
+    from ..sources.images import _URBAN_CENTERS
+
+    vals = ", ".join(
+        f"({i}, {cx!r}, {cy!r})" for i, (cx, cy) in enumerate(_URBAN_CENTERS)
+    )
+    return f"""
+WITH {_sql_event_pos()},
+sites(si, sx, sy) AS (VALUES {vals}),
+d AS (
+  SELECT p.event_id, s.si,
+         (p.lon - s.sx) * (p.lon - s.sx) + (p.lat - s.sy) * (p.lat - s.sy) AS d2
+  FROM pos p CROSS JOIN sites s
+),
+a AS (
+  SELECT event_id, si, d2,
+         row_number() OVER (PARTITION BY event_id ORDER BY d2, si) AS rk
+  FROM d
+)
+SELECT CAST(si AS BIGINT) AS site,
+       CAST(sum(CAST(floor(d2 * 1e7) AS BIGINT)) AS BIGINT) AS d2_fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rk = 1
+GROUP BY 1
+"""
