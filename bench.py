@@ -214,6 +214,7 @@ def run_benchmarks() -> dict:
     timed("rolling_wau", lambda: relational.q_rolling_wau(SF_DIR))
     timed("voronoi_assign", lambda: relational.q_voronoi_assign(SF_DIR))
     timed("shard_zonemap", lambda: queries.q_shard_zonemap(SF_DIR))
+    timed("segment_traffic", lambda: relational.q_segment_traffic(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

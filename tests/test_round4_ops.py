@@ -1300,3 +1300,54 @@ def test_shard_zonemap_covers_all_rows():
             r["max_lon"] < 0.0 or r["min_lon"] > 40.0
             or r["max_lat"] < 0.0 or r["min_lat"] > 40.0
         )
+
+
+def test_segment_traffic_matches_dda_traversal():
+    import math
+
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import (
+        _SEG_ORIGIN,
+        _SEG_ZOOM_SPAN,
+        _event_geo_np,
+        q_segment_traffic,
+    )
+
+    out = (
+        q_segment_traffic(SF_DIR)
+        .to_pandas()
+        .set_index(["tile_x", "tile_y"])
+        .sort_index()
+    )
+    ev = _events()
+    acc = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lon, lat = _event_geo_np(g["user_id"].to_numpy(), g["event_id"].to_numpy())
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-_SEG_ORIGIN)) / _SEG_ZOOM_SPAN
+        fy = (_SEG_ORIGIN - my) / _SEG_ZOOM_SPAN
+        for i in range(1, len(g)):
+            x0, y0, x1, y1 = fx[i - 1], fy[i - 1], fx[i], fy[i]
+            tx, ty = int(math.floor(x0)), int(math.floor(y0))
+            txe, tye = int(math.floor(x1)), int(math.floor(y1))
+            dx, dy = x1 - x0, y1 - y0
+            sx, sy = (1 if dx > 0 else -1), (1 if dy > 0 else -1)
+            tmx = ((tx + (sx > 0)) - x0) / dx if dx else math.inf
+            tmy = ((ty + (sy > 0)) - y0) / dy if dy else math.inf
+            tdx = abs(1.0 / dx) if dx else math.inf
+            tdy = abs(1.0 / dy) if dy else math.inf
+            cells = [(tx, ty)]
+            while (tx, ty) != (txe, tye):
+                if tmx < tmy:
+                    tx += sx
+                    tmx += tdx
+                else:
+                    ty += sy
+                    tmy += tdy
+                cells.append((tx, ty))
+            for c in cells:
+                acc[c] = acc.get(c, 0) + 1
+    assert sorted(out.index.tolist()) == sorted(acc)
+    for c, n in acc.items():
+        assert int(out.loc[c, "n"]) == n

@@ -3043,6 +3043,7 @@ QUERIES = {
     "rolling_wau": relational.q_rolling_wau,
     "voronoi_assign": relational.q_voronoi_assign,
     "shard_zonemap": q_shard_zonemap,
+    "segment_traffic": relational.q_segment_traffic,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -3296,6 +3297,7 @@ for _name in (
     "image_edges",
     "video_scene_cuts",
     "s2_compact",
+    "segment_traffic",
 ):
     _path = os.path.join(_GOLDEN_DIR, f"{_name}.parquet")
     if os.path.exists(_path):

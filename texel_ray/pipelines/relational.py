@@ -4787,3 +4787,103 @@ SELECT CAST(si AS BIGINT) AS site,
 FROM a WHERE rk = 1
 GROUP BY 1
 """
+
+
+_SEG_ZOOM_SPAN = 256.0 * (156543.033928041 / 256.0)  # z8 tile span, meters
+_SEG_ORIGIN = 20037508.3427892
+
+
+def _seg_tiles_clip(fx0, fy0, fx1, fy1):
+    """Cells of the z-grid a segment passes through, by Liang-Barsky
+    interval clipping against every cell in the segment's bbox (cells
+    whose clip interval is non-degenerate, t0 < t1). Returns (tx, ty)
+    int arrays. Scalar per segment; candidate cells are bbox-bounded."""
+    txa, txb = int(np.floor(min(fx0, fx1))), int(np.floor(max(fx0, fx1)))
+    tya, tyb = int(np.floor(min(fy0, fy1))), int(np.floor(max(fy0, fy1)))
+    dx, dy = fx1 - fx0, fy1 - fy0
+    out_x, out_y = [], []
+    for tx in range(txa, txb + 1):
+        for ty in range(tya, tyb + 1):
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for p, q0, q1 in (
+                (dx, tx - fx0, tx + 1 - fx0),
+                (dy, ty - fy0, ty + 1 - fy0),
+            ):
+                if p == 0.0:
+                    if q0 > 0.0 or q1 < 0.0:
+                        ok = False
+                        break
+                else:
+                    ta, tb = q0 / p, q1 / p
+                    if ta > tb:
+                        ta, tb = tb, ta
+                    t0, t1 = max(t0, ta), min(t1, tb)
+                    if t0 >= t1:
+                        ok = False
+                        break
+            if ok:
+                out_x.append(tx)
+                out_y.append(ty)
+    return out_x, out_y
+
+
+def q_segment_traffic(sf_dir: str, zoom: int = 8):
+    """TRAJECTORY LINE RASTERIZATION (segment -> tile-grid traffic
+    counts — the supercover traversal behind traffic heatmaps and
+    corridor analysis; the LINE sibling of rasterize_regions'
+    polygon burn): every consecutive same-user event pair is a
+    movement segment in WebMercator; each z-level tile it PASSES
+    THROUGH (open Liang-Barsky clip interval) counts one traversal.
+
+    Shape at 100 TB: ONE 512-way user superbucket groupby builds the
+    segments (boundary-masked pairing); per segment the candidate cells
+    are bbox-bounded (urban hops span a handful of z8 tiles) so the clip loop is
+    output-dimensional; (tile, n) partials -> tiny combiner. Exactness:
+    both this and the independent golden define traversal by the same
+    strict t0 < t1 clip on identical float arithmetic."""
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pa.compute.cast(
+                    batch["ts"].cast(pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def traffic(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-_SEG_ORIGIN)) / _SEG_ZOOM_SPAN
+        fy = (_SEG_ORIGIN - my) / _SEG_ZOOM_SPAN
+        same = np.nonzero(uid[1:] == uid[:-1])[0]
+        acc: dict[tuple, int] = {}
+        for i in same:
+            xs, ys = _seg_tiles_clip(fx[i], fy[i], fx[i + 1], fy[i + 1])
+            for tx, ty in zip(xs, ys):
+                acc[(tx, ty)] = acc.get((tx, ty), 0) + 1
+        items = sorted(acc.items())
+        return pd.DataFrame(
+            {
+                "tile_x": np.array([k[0] for k, _ in items], dtype=np.int64),
+                "tile_y": np.array([k[1] for k, _ in items], dtype=np.int64),
+                "n": np.array([v for _, v in items], dtype=np.int64),
+            }
+        )
+
+    parts = skinny.groupby("__ub").map_groups(traffic, batch_format="pandas")
+    return partial_sum_groupby(parts, ["tile_x", "tile_y"], ["n"], coalesce=4)

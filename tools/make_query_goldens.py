@@ -1073,6 +1073,70 @@ def golden_video_scene_cuts():
     return pd.DataFrame(rows).astype("int64")
 
 
+def golden_segment_traffic():
+    """INDEPENDENT line-rasterization reference: Amanatides-Woo grid
+    traversal (t-stepping DDA) per segment — a different algorithm from
+    the pipeline's per-cell Liang-Barsky clipping; they agree except on
+    measure-zero lattice degeneracies the mercator floats never hit."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import (
+        _SEG_ORIGIN,
+        _SEG_ZOOM_SPAN,
+        _event_geo_np,
+    )
+
+    ev = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    acc: dict[tuple, int] = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lon, lat = _event_geo_np(g["user_id"].to_numpy(), g["event_id"].to_numpy())
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-_SEG_ORIGIN)) / _SEG_ZOOM_SPAN
+        fy = (_SEG_ORIGIN - my) / _SEG_ZOOM_SPAN
+        for i in range(1, len(g)):
+            x0, y0, x1, y1 = fx[i - 1], fy[i - 1], fx[i], fy[i]
+            tx, ty = int(math.floor(x0)), int(math.floor(y0))
+            txe, tye = int(math.floor(x1)), int(math.floor(y1))
+            dx, dy = x1 - x0, y1 - y0
+            step_x = 1 if dx > 0 else -1
+            step_y = 1 if dy > 0 else -1
+            t_max_x = ((tx + (step_x > 0)) - x0) / dx if dx != 0 else math.inf
+            t_max_y = ((ty + (step_y > 0)) - y0) / dy if dy != 0 else math.inf
+            t_dx = abs(1.0 / dx) if dx != 0 else math.inf
+            t_dy = abs(1.0 / dy) if dy != 0 else math.inf
+            cells = [(tx, ty)]
+            guard = 0
+            while (tx, ty) != (txe, tye) and guard < 10000:
+                guard += 1
+                if t_max_x < t_max_y:
+                    tx += step_x
+                    t_max_x += t_dx
+                else:
+                    ty += step_y
+                    t_max_y += t_dy
+                cells.append((tx, ty))
+            for c in cells:
+                acc[c] = acc.get(c, 0) + 1
+    items = sorted(acc.items())
+    return pd.DataFrame(
+        {
+            "tile_x": np.array([k[0] for k, _ in items], dtype=np.int64),
+            "tile_y": np.array([k[1] for k, _ in items], dtype=np.int64),
+            "n": np.array([v for _, v in items], dtype=np.int64),
+        }
+    )
+
+
 INDEPENDENT = {
     "kcenter_sample": golden_kcenter_sample,
     "simhash_neardup": golden_simhash_neardup,
@@ -1095,6 +1159,7 @@ INDEPENDENT = {
     "image_edges": golden_image_edges,
     "video_scene_cuts": golden_video_scene_cuts,
     "s2_compact": golden_s2_compact,
+    "segment_traffic": golden_segment_traffic,
 }
 
 
