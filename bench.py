@@ -215,6 +215,8 @@ def run_benchmarks() -> dict:
     timed("voronoi_assign", lambda: relational.q_voronoi_assign(SF_DIR))
     timed("shard_zonemap", lambda: queries.q_shard_zonemap(SF_DIR))
     timed("segment_traffic", lambda: relational.q_segment_traffic(SF_DIR))
+    timed("abandoned_clicks", lambda: relational.q_abandoned_clicks(SF_DIR))
+    timed("iou_footprint_join", lambda: queries.q_iou_footprint_join(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

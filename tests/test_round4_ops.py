@@ -1351,3 +1351,53 @@ def test_segment_traffic_matches_dda_traversal():
     assert sorted(out.index.tolist()) == sorted(acc)
     for c, n in acc.items():
         assert int(out.loc[c, "n"]) == n
+
+
+def test_abandoned_clicks_matches_per_user_scan():
+    from texel_ray.pipelines.relational import q_abandoned_clicks
+
+    out = q_abandoned_clicks(SF_DIR).to_pandas().set_index("day")
+    ev = _events()
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"]["ts_us"].to_numpy()
+        buys = np.sort(g[g["event_type"] == "purchase"]["ts_us"].to_numpy())
+        for t in clicks:
+            followed = np.any((buys > t) & (buys <= t + 3600 * 1_000_000))
+            if not followed:
+                d = int(t // (86400 * 1_000_000))
+                want[d] = want.get(d, 0) + 1
+    assert sorted(out.index.tolist()) == sorted(want)
+    for d, n in want.items():
+        assert int(out.loc[d, "n_abandoned"]) == n
+
+
+def test_iou_footprint_join_matches_allpairs_bruteforce():
+    from texel_ray.pipelines.queries import q_iou_footprint_join
+    from texel_ray.sources.images import images_parquet_path
+
+    out = q_iou_footprint_join(SF_DIR).to_pandas()
+    got = {
+        (int(a), int(b)): v
+        for a, b, v in zip(out["id_a"], out["id_b"], out["iou"])
+    }
+    t = pq.read_table(
+        images_parquet_path(SF_DIR), columns=["image_id", "lon", "lat", "w", "h"]
+    ).to_pandas()
+    t = t[np.abs(t["lat"]) < 85.0].reset_index(drop=True)
+    img = t["image_id"].str.slice(3).astype(np.int64).to_numpy()
+    mx, my = t["lon"].to_numpy(), t["lat"].to_numpy()
+    hw = t["w"].to_numpy() * 0.002 / 2.0
+    hh = t["h"].to_numpy() * 0.002 / 2.0
+    want = {}
+    for i in range(len(t)):
+        ix = np.minimum(mx[i] + hw[i], mx + hw) - np.maximum(mx[i] - hw[i], mx - hw)
+        iy = np.minimum(my[i] + hh[i], my + hh) - np.maximum(my[i] - hh[i], my - hh)
+        inter = np.maximum(0.0, ix) * np.maximum(0.0, iy)
+        areas = 4.0 * hw[i] * hh[i] + 4.0 * hw * hh
+        iou = inter / (areas - inter)
+        for j in np.nonzero((iou >= 0.5) & (img > img[i]))[0]:
+            want[(int(img[i]), int(img[j]))] = float(iou[j])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k] or abs(got[k] - want[k]) < 1e-12

@@ -2902,6 +2902,162 @@ FROM z
 """
 
 
+_IOU_CELL = 0.128  # degrees; >= the largest footprint extent (64 px x 0.002 deg)
+
+
+def q_iou_footprint_join(sf_dir: str, threshold: float = 0.5):
+    """BOUNDING-BOX IoU SELF-JOIN over image ground footprints (the
+    duplicate-crop / overlapping-capture detector: two images whose
+    mercator footprints overlap with intersection-over-union >=
+    threshold are near-identical coverage — the detection-style dedup
+    complement to phash). Footprint: the geodetic rect centered at the
+    geotag, (w x h) x 0.002 deg/px — degree-space on purpose: every
+    comparison is plain arithmetic, so the DuckDB oracle recomputes it
+    bit-for-bit (the mercator ln/tan differs from numpy's libm by 1
+    ulp, which a value-hashed float output cannot absorb).
+
+    Shape at 100 TB: PBSM — each footprint donates its skinny params to
+    the <=2x2 grid cells it touches (cell >= max footprint extent);
+    ONE 512-way cell-superbucket groupby; per cell a vectorized
+    triangle IoU matrix over the local arrays; each qualifying pair is
+    emitted EXACTLY ONCE by the cell containing the intersection's min
+    corner (reference-point rule — no cross-partition dedup pass, the
+    poly_intersect_join plan). Output is the overlap-pair dimension."""
+    from .relational import _fold_hash
+
+    ds = images_src.read_images(sf_dir, columns=["image_id", "lon", "lat", "w", "h"])
+
+    def donate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ok = np.abs(lat) < 85.0
+        img = (
+            pc.utf8_slice_codeunits(batch["image_id"], 3)
+            .cast(pa.int64())
+            .to_numpy()[ok]
+        )
+        mx, my = lon[ok], lat[ok]
+        hw = batch["w"].to_numpy(zero_copy_only=False)[ok] * 0.002 / 2.0
+        hh = batch["h"].to_numpy(zero_copy_only=False)[ok] * 0.002 / 2.0
+        cx0 = np.floor((mx - hw) / _IOU_CELL).astype(np.int64)
+        cx1 = np.floor((mx + hw) / _IOU_CELL).astype(np.int64)
+        cy0 = np.floor((my - hh) / _IOU_CELL).astype(np.int64)
+        cy1 = np.floor((my + hh) / _IOU_CELL).astype(np.int64)
+        outs = {k: [] for k in ("cell", "img", "mx", "my", "hw", "hh")}
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cx = cx0 + dx
+                cy = cy0 + dy
+                keep = (cx <= cx1) & (cy <= cy1)
+                outs["cell"].append(
+                    (cx[keep] << 32) | (cy[keep] & np.int64(0xFFFFFFFF))
+                )
+                outs["img"].append(img[keep])
+                outs["mx"].append(mx[keep])
+                outs["my"].append(my[keep])
+                outs["hw"].append(hw[keep])
+                outs["hh"].append(hh[keep])
+        cell = np.concatenate(outs["cell"])
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "img": pa.array(np.concatenate(outs["img"]), pa.int64()),
+                "mx": pa.array(np.concatenate(outs["mx"])),
+                "my": pa.array(np.concatenate(outs["my"])),
+                "hw": pa.array(np.concatenate(outs["hw"])),
+                "hh": pa.array(np.concatenate(outs["hh"])),
+                "__cb": pa.array(_fold_hash(cell, 512)),
+            }
+        )
+
+    donated = ds.map_batches(donate, batch_format="pyarrow", batch_size=16384)
+
+    def cell_pairs(group) -> "object":
+        import pandas as pd
+
+        from ..stages.dedup import _triangle_pair_indices
+
+        cell = group["cell"].to_numpy()
+        order = np.lexsort((group["img"].to_numpy(), cell))
+        cell = cell[order]
+        img = group["img"].to_numpy()[order]
+        mx = group["mx"].to_numpy()[order]
+        my = group["my"].to_numpy()[order]
+        hw = group["hw"].to_numpy()[order]
+        hh = group["hh"].to_numpy()[order]
+        bnd = np.nonzero(cell[1:] != cell[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(cell)]))
+        oa, ob, oi = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ckey = cell[s]
+            cellx, celly = ckey >> 32, np.int64(np.int32(ckey & 0xFFFFFFFF))
+            for ia, ib in _triangle_pair_indices(n):
+                a, b = ia + s, ib + s
+                ix = np.minimum(mx[a] + hw[a], mx[b] + hw[b]) - np.maximum(
+                    mx[a] - hw[a], mx[b] - hw[b]
+                )
+                iy = np.minimum(my[a] + hh[a], my[b] + hh[b]) - np.maximum(
+                    my[a] - hh[a], my[b] - hh[b]
+                )
+                inter = np.maximum(0.0, ix) * np.maximum(0.0, iy)
+                areas = 4.0 * hw[a] * hh[a] + 4.0 * hw[b] * hh[b]
+                iou = inter / (areas - inter)
+                # reference point: the intersection's min corner
+                rx = np.floor(
+                    np.maximum(mx[a] - hw[a], mx[b] - hw[b]) / _IOU_CELL
+                ).astype(np.int64)
+                ry = np.floor(
+                    np.maximum(my[a] - hh[a], my[b] - hh[b]) / _IOU_CELL
+                ).astype(np.int64)
+                keep = (iou >= threshold) & (rx == cellx) & (ry == celly)
+                lo = np.minimum(img[a][keep], img[b][keep])
+                hi = np.maximum(img[a][keep], img[b][keep])
+                oa.append(lo)
+                ob.append(hi)
+                oi.append(iou[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(oa) if oa else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(ob) if ob else np.array([], dtype=np.int64),
+                "iou": np.concatenate(oi) if oi else np.array([], dtype=np.float64),
+            }
+        )
+
+    return donated.groupby("__cb").map_groups(cell_pairs, batch_format="pandas")
+
+
+def sql_iou_footprint_join(threshold: float = 0.5) -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) AS img,
+         lon AS mx, lat AS my,
+         w * 0.002 / 2.0 AS hw, h * 0.002 / 2.0 AS hh
+  FROM {images_sql_source()}
+  WHERE abs(lat) < 85.0
+),
+p AS (
+  SELECT a.img AS id_a, b.img AS id_b,
+         greatest(0.0, least(a.mx + a.hw, b.mx + b.hw)
+                  - greatest(a.mx - a.hw, b.mx - b.hw))
+       * greatest(0.0, least(a.my + a.hh, b.my + b.hh)
+                  - greatest(a.my - a.hh, b.my - b.hh)) AS inter,
+         4.0 * a.hw * a.hh + 4.0 * b.hw * b.hh AS areas
+  FROM f a JOIN f b
+    ON a.img < b.img
+   AND a.mx - a.hw < b.mx + b.hw AND a.mx + a.hw > b.mx - b.hw
+   AND a.my - a.hh < b.my + b.hh AND a.my + a.hh > b.my - b.hh
+)
+SELECT id_a, id_b, inter / (areas - inter) AS iou
+FROM p WHERE inter / (areas - inter) >= {threshold!r}
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -3044,6 +3200,8 @@ QUERIES = {
     "voronoi_assign": relational.q_voronoi_assign,
     "shard_zonemap": q_shard_zonemap,
     "segment_traffic": relational.q_segment_traffic,
+    "abandoned_clicks": relational.q_abandoned_clicks,
+    "iou_footprint_join": q_iou_footprint_join,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -3159,6 +3317,8 @@ ORACLE_SQL = {
     "percent_change_weekly": relational.SQL_PERCENT_CHANGE_WEEKLY,
     "new_users_daily": relational.SQL_NEW_USERS_DAILY,
     "rolling_wau": relational.SQL_ROLLING_WAU,
+    "abandoned_clicks": relational.SQL_ABANDONED_CLICKS,
+    "iou_footprint_join": sql_iou_footprint_join(),
     "voronoi_assign": relational.sql_voronoi_assign(),
     "shard_zonemap": sql_shard_zonemap(),
     "label_stats": relational.SQL_LABEL_STATS,

@@ -4887,3 +4887,90 @@ def q_segment_traffic(sf_dir: str, zoom: int = 8):
 
     parts = skinny.groupby("__ub").map_groups(traffic, batch_format="pandas")
     return partial_sum_groupby(parts, ["tile_x", "tile_y"], ["n"], coalesce=4)
+
+
+def q_abandoned_clicks(sf_dir: str, window_s: int = 3600):
+    """BOUNDED-WINDOW TEMPORAL ANTI-JOIN (cart abandonment): per day,
+    clicks with NO purchase by the same user within the next hour —
+    the not-followed-by pattern (funnel's negative space) every
+    engagement pipeline needs. Strict window: (t_click, t_click + 1h].
+
+    Shape at 100 TB: only click/purchase rows leave the scan; ONE
+    512-way user superbucket groupby; inside a bucket one sort and a
+    per-user vectorized searchsorted of click times into purchase
+    times (no per-row scan); (day, n) partials -> tiny combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    win_us = window_s * 1_000_000
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        keep = (typ == "click") | (typ == "purchase")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "ts_us": pa.array(
+                    batch["ts"]
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_numpy()[keep]
+                ),
+                "is_purchase": pa.array((typ[keep] == "purchase").astype(np.int8)),
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g, uid, starts, ends = _user_segments(group, ["ts_us"])
+        ts = g["ts_us"].to_numpy()
+        isp = g["is_purchase"].to_numpy()
+        out_day, cnt = {}, None
+        days = []
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            p = t[isp[s:e] == 1]
+            c = t[isp[s:e] == 0]
+            if len(c) == 0:
+                continue
+            # abandoned: no purchase in (t, t + win]
+            lo = np.searchsorted(p, c, side="right")
+            hi = np.searchsorted(p, c + win_us, side="right")
+            ab = c[hi == lo]
+            days.append(ab // DAY_US)
+        if days:
+            all_days = np.concatenate(days)
+        else:
+            all_days = np.array([], dtype=np.int64)
+        uniq, counts = np.unique(all_days, return_counts=True)
+        return pd.DataFrame(
+            {"day": uniq.astype(np.int64), "n_abandoned": counts.astype(np.int64)}
+        )
+
+    parts = skinny.groupby("__ub").map_groups(scan, batch_format="pandas")
+    return partial_sum_groupby(parts, ["day"], ["n_abandoned"], coalesce=4)
+
+
+SQL_ABANDONED_CLICKS = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+)
+SELECT c.ts_us // 86400000000 AS day,
+       CAST(count(*) AS BIGINT) AS n_abandoned
+FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = c.user_id
+    AND p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+)
+GROUP BY 1
+"""
