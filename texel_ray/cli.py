@@ -26,15 +26,23 @@ import sys
 
 
 def _ray_init(num_cpus: int | None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # Under `ray job submit` the runtime sets RAY_ADDRESS to the
+        # cluster address — connect to it; standalone runs default to a
+        # fresh local session. num_cpus only applies to the local case
+        # (a cluster's size is the cluster's).
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"num_cpus": num_cpus} if address == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=num_cpus,
+            address=address,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kwargs,
         )
     import ray.data
 
