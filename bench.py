@@ -217,6 +217,8 @@ def run_benchmarks() -> dict:
     timed("segment_traffic", lambda: relational.q_segment_traffic(SF_DIR))
     timed("abandoned_clicks", lambda: relational.q_abandoned_clicks(SF_DIR))
     timed("iou_footprint_join", lambda: queries.q_iou_footprint_join(SF_DIR))
+    timed("ab_test_counts", lambda: relational.q_ab_test_counts(SF_DIR))
+    timed("bilinear_upsample", lambda: queries.q_bilinear_upsample(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

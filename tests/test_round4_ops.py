@@ -1401,3 +1401,50 @@ def test_iou_footprint_join_matches_allpairs_bruteforce():
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k] or abs(got[k] - want[k]) < 1e-12
+
+
+def test_ab_test_counts_matches_pandas():
+    from texel_ray.pipelines.relational import _fold_hash, q_ab_test_counts
+
+    out = q_ab_test_counts(SF_DIR).to_pandas().set_index("arm").sort_index()
+    ev = _events()
+    ev = ev.assign(arm=_fold_hash(ev["user_id"].to_numpy(), 2))
+    for arm, g in ev.groupby("arm"):
+        per_user = g.groupby("user_id")["event_type"].apply(
+            lambda s: (s == "purchase").sum()
+        )
+        assert int(out.loc[arm, "users"]) == len(per_user)
+        assert int(out.loc[arm, "converted"]) == int((per_user > 0).sum())
+        assert int(out.loc[arm, "purchases"]) == int(per_user.sum())
+        assert int(out.loc[arm, "clicks"]) == int((g["event_type"] == "click").sum())
+
+
+def test_bilinear_upsample_matches_dense_interpolation():
+    from texel_ray.pipelines.queries import _tile_counts, q_bilinear_upsample
+
+    out = (
+        q_bilinear_upsample(SF_DIR)
+        .to_pandas()
+        .set_index(["fine_x", "fine_y"])
+        .sort_index()
+    )
+    counts = _tile_counts(SF_DIR, 6).to_pandas()
+    dense = np.zeros((64, 64), dtype=np.int64)
+    dense[counts["tile_x"].to_numpy(), counts["tile_y"].to_numpy()] = counts[
+        "n"
+    ].to_numpy()
+    # dense recompute: value16(fx, fy) = sum over the 4 coarse centers of
+    # weight * count, bilinear at the fine-center quarter offsets
+    for (fx, fy), row in out.iterrows():
+        cxf = (fx + 0.5) / 2.0 - 0.5
+        cyf = (fy + 0.5) / 2.0 - 0.5
+        x0, y0 = int(np.floor(cxf)), int(np.floor(cyf))
+        wx1 = cxf - x0
+        wy1 = cyf - y0
+        val = 0.0
+        for (cx, wx) in ((x0, 1 - wx1), (x0 + 1, wx1)):
+            for (cy, wy) in ((y0, 1 - wy1), (y0 + 1, wy1)):
+                if 0 <= cx < 64 and 0 <= cy < 64:
+                    val += wx * wy * dense[cx, cy]
+        assert int(row["value16"]) == int(round(val * 16))
+    assert len(out) > 0

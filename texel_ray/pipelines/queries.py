@@ -3058,6 +3058,84 @@ FROM p WHERE inter / (areas - inter) >= {threshold!r}
 """
 
 
+def q_bilinear_upsample(sf_dir: str, zoom: int = 6):
+    """BILINEAR RASTER UPSAMPLING of the z-level tile-count grid to the
+    next zoom, EXACT in 16ths (the resampling primitive behind pyramid
+    interpolation and smooth heatmap rendering): each z+1 cell's center
+    sits at quarter offsets inside the coarse lattice, so its bilinear
+    value over the four surrounding coarse CENTERS has weights in
+    {1,3,9}/16 — emitted as the integer numerator (value16 = 16 *
+    bilinear), no floats anywhere. Absent coarse cells read 0; output
+    covers fine cells whose 2x2 coarse support has >= 1 occupied cell.
+
+    Shape at 100 TB: ONE coarse-count combiner; each coarse cell
+    DONATES weight-scaled contributions to the <= 16 fine cells it
+    supports (skinny explode, the focal-sum plan); one groupby sums
+    numerators. No gather, no dense grid materialization."""
+    from ..stages.agg import partial_sum_groupby
+
+    counts = _tile_counts(sf_dir, zoom)
+
+    def donate(batch: pa.Table) -> pa.Table:
+        cx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        cy = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        outs_x, outs_y, outs_v = [], [], []
+        # fine cell (fx, fy) center = ((fx+0.5)/2, (fy+0.5)/2) in coarse
+        # units; its 4 coarse support centers are floor(c-0.5)..+1 per
+        # axis. Inverting: coarse cell (cx, cy) supports fine cells
+        # fx in [2*cx - 1, 2*cx + 2] with per-axis weights:
+        #   fx = 2*cx - 1 -> 1/4 ; 2*cx -> 3/4 ; 2*cx+1 -> 3/4 ; 2*cx+2 -> 1/4
+        for dx, wx in ((-1, 1), (0, 3), (1, 3), (2, 1)):
+            for dy, wy in ((-1, 1), (0, 3), (1, 3), (2, 1)):
+                outs_x.append(2 * cx + dx)
+                outs_y.append(2 * cy + dy)
+                outs_v.append(n * (wx * wy))
+        return pa.table(
+            {
+                "fine_x": pa.array(np.concatenate(outs_x), pa.int64()),
+                "fine_y": pa.array(np.concatenate(outs_y), pa.int64()),
+                "value16": pa.array(np.concatenate(outs_v), pa.int64()),
+            }
+        )
+
+    out = partial_sum_groupby(
+        counts.map_batches(donate, batch_format="pyarrow"),
+        ["fine_x", "fine_y"],
+        ["value16"],
+        coalesce=4,
+    )
+
+    def clip(batch: pa.Table) -> pa.Table:
+        fx = batch["fine_x"].to_numpy(zero_copy_only=False)
+        fy = batch["fine_y"].to_numpy(zero_copy_only=False)
+        m = 1 << (zoom + 1)
+        keep = (fx >= 0) & (fx < m) & (fy >= 0) & (fy < m)
+        return batch.filter(pa.array(keep))
+
+    return out.map_batches(clip, batch_format="pyarrow")
+
+
+def sql_bilinear_upsample(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    m = 1 << (zoom + 1)
+    return f"""
+WITH c AS (
+  SELECT {t['tx']} AS cx, {t['ty']} AS cy, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+),
+w(d, wt) AS (VALUES (-1, 1), (0, 3), (1, 3), (2, 1))
+SELECT 2 * c.cx + wx.d AS fine_x, 2 * c.cy + wy.d AS fine_y,
+       CAST(sum(c.n * wx.wt * wy.wt) AS BIGINT) AS value16
+FROM c CROSS JOIN w wx CROSS JOIN w wy
+WHERE 2 * c.cx + wx.d BETWEEN 0 AND {m - 1}
+  AND 2 * c.cy + wy.d BETWEEN 0 AND {m - 1}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -3202,6 +3280,8 @@ QUERIES = {
     "segment_traffic": relational.q_segment_traffic,
     "abandoned_clicks": relational.q_abandoned_clicks,
     "iou_footprint_join": q_iou_footprint_join,
+    "ab_test_counts": relational.q_ab_test_counts,
+    "bilinear_upsample": q_bilinear_upsample,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
     "distinct_users": relational.q_distinct_users,
@@ -3319,6 +3399,8 @@ ORACLE_SQL = {
     "rolling_wau": relational.SQL_ROLLING_WAU,
     "abandoned_clicks": relational.SQL_ABANDONED_CLICKS,
     "iou_footprint_join": sql_iou_footprint_join(),
+    "ab_test_counts": relational.SQL_AB_TEST_COUNTS,
+    "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),
     "shard_zonemap": sql_shard_zonemap(),
     "label_stats": relational.SQL_LABEL_STATS,

@@ -4974,3 +4974,73 @@ WHERE NOT EXISTS (
 )
 GROUP BY 1
 """
+
+
+def q_ab_test_counts(sf_dir: str):
+    """A/B COHORT CONVERSION TABLE (the experiment-analysis primitive):
+    users split deterministically by fold-hash parity into arms A/B;
+    per arm, exact user count, converting users (>= 1 purchase), click
+    and purchase event totals — the 2x2 table a proportions z-test or
+    chi-square consumes downstream, all exact int64.
+
+    Shape at 100 TB: stateless arm tag per batch; ONE (user, arm)
+    combiner with per-batch partial flags folds the corpus to the user
+    dimension; the arm rollup is a tiny second combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "arm": pa.array(_fold_hash(uid, 2)),
+                "clicks": pa.array((typ == "click").astype(np.int64)),
+                "purchases": pa.array((typ == "purchase").astype(np.int64)),
+            }
+        )
+
+    per_user = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "arm"],
+        ["clicks", "purchases"],
+        coalesce=8,
+    )
+
+    def to_flags(batch: pa.Table) -> pa.Table:
+        p = batch["purchases"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "arm": batch["arm"],
+                "users": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "converted": pa.array((p > 0).astype(np.int64)),
+                "clicks": batch["clicks"],
+                "purchases": batch["purchases"],
+            }
+        )
+
+    return partial_sum_groupby(
+        per_user.map_batches(to_flags, batch_format="pyarrow"),
+        ["arm"],
+        ["users", "converted", "clicks", "purchases"],
+        coalesce=4,
+    )
+
+
+SQL_AB_TEST_COUNTS = """
+WITH u AS (
+  SELECT user_id,
+         ((user_id & 2147483647) * 2654435761) % 2 AS arm,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS users,
+       CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+       CAST(sum(clicks) AS BIGINT) AS clicks,
+       CAST(sum(purchases) AS BIGINT) AS purchases
+FROM u GROUP BY 1
+"""
