@@ -219,6 +219,8 @@ def run_benchmarks() -> dict:
     timed("iou_footprint_join", lambda: queries.q_iou_footprint_join(SF_DIR))
     timed("ab_test_counts", lambda: relational.q_ab_test_counts(SF_DIR))
     timed("bilinear_upsample", lambda: queries.q_bilinear_upsample(SF_DIR))
+    timed("fulfillment_lag", lambda: relational.q_fulfillment_lag(SF_DIR))
+    timed("ripley_pairs", lambda: queries.q_ripley_pairs(SF_DIR), consume=None)
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

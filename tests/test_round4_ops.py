@@ -1448,3 +1448,49 @@ def test_bilinear_upsample_matches_dense_interpolation():
                     val += wx * wy * dense[cx, cy]
         assert int(row["value16"]) == int(round(val * 16))
     assert len(out) > 0
+
+
+def test_fulfillment_lag_matches_pandas():
+    from texel_ray.pipelines.relational import q_fulfillment_lag
+
+    out = (
+        q_fulfillment_lag(SF_DIR)
+        .to_pandas()
+        .set_index(["o_orderpriority", "bucket"])
+        .sort_index()
+    )
+    od = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    lag = (
+        j["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        - j["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+    ) // (86400 * 1_000_000)
+    bucket = np.full(len(lag), 3)
+    bucket[lag <= 90] = 2
+    bucket[lag <= 30] = 1
+    bucket[lag <= 7] = 0
+    j = j.assign(bucket=bucket)
+    want = j.groupby(["o_orderpriority", "bucket"]).size()
+    assert len(out) == len(want)
+    for k, v in want.items():
+        assert int(out.loc[k, "n"]) == int(v)
+
+
+def test_ripley_pairs_matches_quadratic_lattice():
+    from texel_ray.pipelines.queries import _tile_counts, q_ripley_pairs
+
+    out = q_ripley_pairs(SF_DIR).set_index("r")
+    counts = _tile_counts(SF_DIR, 6).to_pandas()
+    x = counts["tile_x"].to_numpy()
+    y = counts["tile_y"].to_numpy()
+    n = counts["n"].to_numpy().astype(np.int64)
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    for r in (1, 2, 4):
+        same = int((n * (n - 1) // 2).sum())
+        mask = np.triu(d2 <= r * r, k=1)
+        cross = int((n[:, None] * n[None, :])[mask].sum())
+        assert int(out.loc[r, "n_pairs"]) == same + cross
+    # monotone in r
+    v = out["n_pairs"].to_numpy()
+    assert (np.diff(v) >= 0).all()

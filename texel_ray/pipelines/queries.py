@@ -3136,6 +3136,74 @@ GROUP BY 1, 2
 """
 
 
+def q_ripley_pairs(sf_dir: str, zoom: int = 6, radii=(1, 2, 4)):
+    """RIPLEY'S K pair counts over the tile lattice (the point-pattern
+    clustering-vs-dispersion statistic, in its exact lattice form):
+    for each radius r (in cell units), the exact number of image PAIRS
+    whose cells' centers lie within squared distance r^2 — same-cell
+    pairs contribute C(n,2), cross-cell pairs n_i * n_j. K(r) derives
+    downstream by normalizing with the intensity; the counts here are
+    exact int64 at any cluster size.
+
+    Shape at 100 TB: ONE tile-count combiner folds the corpus to the
+    4^zoom lattice; the pair sums run on that dimension table (16M cell
+    pairs at z6 — driver-trivial; at deeper zooms the same sum is a
+    ring-donation groupby like tile_focal_sum). The point-level
+    quadratic never happens."""
+    counts = _tile_counts(sf_dir, zoom).to_pandas()
+    x = counts["tile_x"].to_numpy().astype(np.int64)
+    y = counts["tile_y"].to_numpy().astype(np.int64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    import pandas as pd
+
+    rows = {"r": [], "n_pairs": []}
+    # cross-cell pair sums per squared-distance threshold, vectorized
+    # per dx band (|dx| <= r): for each dx, match y-shifted partners
+    for r in radii:
+        total = int((n * (n - 1) // 2).sum())  # same-cell pairs
+        r2 = r * r
+        # order cells by (x, y) for searchsorted banding
+        order = np.lexsort((y, x))
+        xs, ys, ns = x[order], y[order], n[order]
+        key = xs * 131072 + ys
+        for dx in range(0, r + 1):
+            max_dy = int(np.floor(np.sqrt(r2 - dx * dx)))
+            for dy in range(-max_dy, max_dy + 1):
+                if dx == 0 and dy <= 0:
+                    continue  # count each unordered cross pair once
+                nb = (xs + dx) * 131072 + (ys + dy)
+                pos = np.searchsorted(key, nb)
+                pos = np.minimum(pos, len(key) - 1)
+                hit = key[pos] == nb
+                total += int((ns[hit] * ns[pos[hit]]).sum())
+        rows["r"].append(r)
+        rows["n_pairs"].append(total)
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+def sql_ripley_pairs(zoom: int = 6, radii=(1, 2, 4)) -> str:
+    t = _tile_sql(zoom)
+    parts = []
+    for r in radii:
+        parts.append(f"""
+SELECT CAST({r} AS BIGINT) AS r,
+       CAST((SELECT sum(n * (n - 1) // 2) FROM c)
+          + (SELECT COALESCE(sum(a.n * b.n), 0) FROM c a JOIN c b
+             ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+            AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= {r * r})
+       AS BIGINT) AS n_pairs""")
+    return (
+        f"""
+WITH c AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, count(*) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+)"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -3281,6 +3349,8 @@ QUERIES = {
     "abandoned_clicks": relational.q_abandoned_clicks,
     "iou_footprint_join": q_iou_footprint_join,
     "ab_test_counts": relational.q_ab_test_counts,
+    "fulfillment_lag": relational.q_fulfillment_lag,
+    "ripley_pairs": q_ripley_pairs,
     "bilinear_upsample": q_bilinear_upsample,
     "label_stats": relational.q_label_stats,
     "topk_orders": relational.q_topk_orders,
@@ -3400,6 +3470,8 @@ ORACLE_SQL = {
     "abandoned_clicks": relational.SQL_ABANDONED_CLICKS,
     "iou_footprint_join": sql_iou_footprint_join(),
     "ab_test_counts": relational.SQL_AB_TEST_COUNTS,
+    "fulfillment_lag": relational.SQL_FULFILLMENT_LAG,
+    "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),
     "shard_zonemap": sql_shard_zonemap(),

@@ -5044,3 +5044,83 @@ SELECT CAST(arm AS BIGINT) AS arm,
        CAST(sum(purchases) AS BIGINT) AS purchases
 FROM u GROUP BY 1
 """
+
+
+def q_fulfillment_lag(sf_dir: str):
+    """ORDER-FULFILLMENT LAG histogram (operational SLA monitoring):
+    per order priority, how many lineitems shipped within 0-7 / 8-30 /
+    31-90 / >90 days of the order date — a large-large join whose
+    payload is just two timestamps, bucketed exactly in integer days.
+
+    Shape at 100 TB: both sides pruned to (key, date) at the scan; one
+    hash-partitioned Dataset.join; per-batch bucket combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def o_skinny(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "odate_us": batch["o_orderdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def l_skinny(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "sdate_us": batch["l_shipdate"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    joined = li.map_batches(l_skinny, batch_format="pyarrow").join(
+        orders.map_batches(o_skinny, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    DAY_US = 86400 * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lag_d = (
+            batch["sdate_us"].to_numpy(zero_copy_only=False)
+            - batch["odate_us"].to_numpy(zero_copy_only=False)
+        ) // DAY_US
+        bucket = np.full(len(lag_d), 3, dtype=np.int64)
+        bucket[lag_d <= 90] = 2
+        bucket[lag_d <= 30] = 1
+        bucket[lag_d <= 7] = 0
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "bucket": pa.array(bucket)}
+        )
+
+    return partial_sum_groupby(
+        joined.map_batches(bucketize, batch_format="pyarrow"),
+        ["o_orderpriority", "bucket"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_FULFILLMENT_LAG = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS lag_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(CASE WHEN lag_d <= 7 THEN 0 WHEN lag_d <= 30 THEN 1
+                 WHEN lag_d <= 90 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+"""
