@@ -201,6 +201,7 @@ def run_benchmarks() -> dict:
     timed("quadtree_agg", lambda: queries.q_quadtree_agg(SF_DIR))
     timed("raster_blobs", lambda: queries.q_raster_blobs(SF_DIR))
     timed("allpairs_jaccard", lambda: mlprep.q_allpairs_jaccard(SF_DIR))
+    timed("containment_join", lambda: mlprep.q_containment_join(SF_DIR))
     timed("hilbert_order", lambda: queries.q_hilbert_order(SF_DIR))
     timed("dwell_time", lambda: relational.q_dwell_time(SF_DIR))
     timed("border_crossings", lambda: relational.q_border_crossings(SF_DIR))

@@ -1494,3 +1494,29 @@ def test_ripley_pairs_matches_quadratic_lattice():
     # monotone in r
     v = out["n_pairs"].to_numpy()
     assert (np.diff(v) >= 0).all()
+
+
+def test_containment_join_complete_vs_bruteforce():
+    from texel_ray.pipelines.mlprep import q_containment_join
+    from texel_ray.stages.dedup import shingle_set
+
+    out = q_containment_join(SF_DIR).to_pandas()
+    got = {
+        (int(a), int(b)): c
+        for a, b, c in zip(out["id_a"], out["id_b"], out["containment"])
+    }
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    sets = [shingle_set(t, 3) for t in docs["text"]]
+    want = {}
+    for i in range(len(ids)):
+        if not sets[i]:
+            continue
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            c = len(sets[i] & sets[j]) / len(sets[i])
+            if c >= 0.9:
+                want[(int(ids[i]), int(ids[j]))] = c
+    # one-sided prefix filtering must be COMPLETE over ordered pairs
+    assert got == want

@@ -3999,3 +3999,226 @@ def _read_images_lonlat(sf_dir: str):
     from ..sources.images import read_images
 
     return read_images(sf_dir, columns=["lon", "lat"])
+
+
+def q_containment_join(sf_dir: str, threshold: float = 0.9, ngram: int = 3):
+    """ASYMMETRIC CONTAINMENT JOIN (Broder's containment coefficient
+    |A∩B| / |A| — the boilerplate/quote/near-superset detector Jaccard
+    misses when a short doc lives inside a long one): every ORDERED
+    pair (A, B) with >= threshold of A's distinct trigram shingles
+    present in B. Complete recall via the one-sided prefix lemma: if
+    at most floor((1-tau)|A|) of A's tokens miss B, A's rarest
+    (|A| - ceil(tau*|A|) + 1) tokens must hit SOME token of B — so the
+    query side emits prefixes while the index side emits full sets.
+
+    Shape at 100 TB: df combiner -> broadcast rarest-first order;
+    query-prefix rows join index-full rows in ONE 512-way
+    token-superbucket groupby (vectorized per-segment bipartite
+    candidate generation); candidates are pair-dimension; verification
+    re-reads only candidate texts (semi-join fetch)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.dedup import _hash_tokens_ngrams, jaccard, shingle_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_shingles(text: str) -> np.ndarray:
+        return np.unique(
+            _hash_tokens_ngrams((text or "").split(), ngram).astype(np.int64)
+        )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        gs = [doc_shingles(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"g": pa.array(np.concatenate(gs) if gs else [], pa.int64())}
+        )
+
+    df_tab = partial_sum_groupby(
+        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512),
+        ["g"],
+        [],
+        count_alias="df",
+        coalesce=4,
+    ).to_pandas()
+    g_arr = df_tab["g"].to_numpy()
+    df_arr = df_tab["df"].to_numpy()
+    order = np.lexsort((g_arr, df_arr))
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    g_sorted_idx = np.argsort(g_arr)
+    g_sorted = g_arr[g_sorted_idx]
+    rank_by_g = rank[g_sorted_idx]
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        out_g, out_id, out_side = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = doc_shingles(text)
+            n = len(h)
+            if n == 0:
+                continue
+            # index side: every token
+            out_g.append(h)
+            out_id.append(np.full(n, did, dtype=np.int64))
+            out_side.append(np.zeros(n, dtype=np.int8))
+            # query side: the rarest prefix
+            p = n - int(np.ceil(threshold * n)) + 1
+            r = rank_by_g[np.searchsorted(g_sorted, h)]
+            keep = h[np.argsort(r)[:p]]
+            out_g.append(keep)
+            out_id.append(np.full(len(keep), did, dtype=np.int64))
+            out_side.append(np.ones(len(keep), dtype=np.int8))
+        g = np.concatenate(out_g) if out_g else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(out_id) if out_id else [], pa.int64()
+                ),
+                "side": pa.array(
+                    np.concatenate(out_side) if out_side else [], pa.int8()
+                ),
+                "__gb": pa.array(
+                    ((g & np.int64(0x7FFFFFFF)) * np.int64(2654435761))
+                    % np.int64(512)
+                ),
+            }
+        )
+
+    rows = ds.map_batches(emit_sides, batch_format="pyarrow", batch_size=512)
+
+    def segment_candidates(group) -> "pd.DataFrame":
+        g_arr2 = group["g"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        side = group["side"].to_numpy()
+        order2 = np.lexsort((ids, side, g_arr2))
+        g_arr2, ids, side = g_arr2[order2], ids[order2], side[order2]
+        bnd = np.nonzero(g_arr2[1:] != g_arr2[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(g_arr2)]))
+        oa, ob = [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            nq = int((sd == 1).sum())
+            ni = (e - s) - nq
+            if nq == 0 or ni == 0:
+                continue
+            idx = ids[s:e]
+            q = idx[sd == 1]
+            ix = idx[sd == 0]
+            # bipartite candidates (query A, index B), A != B
+            a = np.repeat(q, len(ix))
+            b = np.tile(ix, len(q))
+            keep = a != b
+            oa.append(a[keep])
+            ob.append(b[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(oa) if oa else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(ob) if ob else np.array([], dtype=np.int64),
+            }
+        )
+
+    pairs = (
+        rows.groupby("__gb")
+        .map_groups(segment_candidates, batch_format="pandas")
+        .materialize()
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "containment": pd.Series([], dtype="float64"),
+        }
+    )
+    if pairs.count() == 0:
+        return empty
+    pdf = pairs.to_pandas().drop_duplicates()  # pair-dimension
+    cand = ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    cand_ids = pa.array(
+        np.unique(np.concatenate((pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy())))
+    )
+    texts_small = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=cand_ids)),
+        batch_format="pyarrow",
+    ).materialize()
+    j = cand.join(
+        texts_small,
+        join_type="inner",
+        num_partitions=2,
+        on=("id_a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["text_a" if c == "text" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = j.join(
+        texts_small,
+        join_type="inner",
+        num_partitions=2,
+        on=("id_b",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["text_b" if c == "text" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep_a, keep_b, keep_c = [], [], []
+        for x, y, sx, sy in zip(a, b, ta, tb):
+            sa = shingle_set(sx or "", ngram)
+            sb = shingle_set(sy or "", ngram)
+            if not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                keep_c.append(c)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+                "containment": pa.array(keep_c, pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_JOIN = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM t
+)
+, l AS (SELECT doc_id, len(sh) AS n FROM s
+), e AS (SELECT doc_id, unnest(sh) AS g FROM s
+), i AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT id_a, id_b, CAST(i.ninter AS DOUBLE) / la.n AS containment
+  FROM i JOIN l la ON la.doc_id = i.id_a
+) WHERE containment >= 0.9
+"""

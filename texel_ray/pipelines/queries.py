@@ -3293,6 +3293,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_neardup": mlprep.q_minhash_neardup,
     "allpairs_jaccard": mlprep.q_allpairs_jaccard,
+    "containment_join": mlprep.q_containment_join,
     "dedup_clusters": mlprep.q_dedup_clusters,
     "dedup_clusters_dist": mlprep.q_dedup_clusters_dist,
     "caption_redact": mlprep.q_caption_redact,
@@ -3448,6 +3449,7 @@ ORACLE_SQL = {
     "vocab_encode": mlprep.SQL_VOCAB_ENCODE,
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "allpairs_jaccard": mlprep.SQL_ALLPAIRS_JACCARD,
+    "containment_join": mlprep.SQL_CONTAINMENT_JOIN,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
     # distributed hash-to-min path must equal the union-find path exactly
     "dedup_clusters_dist": mlprep.SQL_DEDUP_CLUSTERS,
