@@ -1520,3 +1520,35 @@ def test_containment_join_complete_vs_bruteforce():
                 want[(int(ids[i]), int(ids[j]))] = c
     # one-sided prefix filtering must be COMPLETE over ordered pairs
     assert got == want
+
+
+def test_impossible_travel_matches_per_user_scan():
+    from texel_ray.pipelines.relational import (
+        _event_geo_np,
+        q_impossible_travel,
+    )
+
+    out = (
+        q_impossible_travel(SF_DIR).to_pandas().set_index("user_id").sort_index()
+    )
+    ev = _events()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lon, lat = _event_geo_np(g["user_id"].to_numpy(), g["event_id"].to_numpy())
+        lon, lat = np.radians(lon), np.radians(lat)
+        if len(g) < 2:
+            continue
+        dphi = (lat[1:] - lat[:-1]) / 2.0
+        dlmb = (lon[1:] - lon[:-1]) / 2.0
+        a = np.sin(dphi) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb) ** 2
+        d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+        dist_mm = np.floor(d * 1000.0).astype(np.int64)
+        dt = np.diff(g["ts_us"].to_numpy())
+        viol = int((dist_mm * 1_000_000 > dt * 150_000).sum())
+        if viol:
+            want[int(uid)] = (len(g) - 1, viol)
+    assert sorted(out.index.tolist()) == sorted(want)
+    for u, (ns, nv) in want.items():
+        assert int(out.loc[u, "n_steps"]) == ns
+        assert int(out.loc[u, "n_violations"]) == nv

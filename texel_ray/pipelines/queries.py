@@ -3351,6 +3351,7 @@ QUERIES = {
     "iou_footprint_join": q_iou_footprint_join,
     "ab_test_counts": relational.q_ab_test_counts,
     "fulfillment_lag": relational.q_fulfillment_lag,
+    "impossible_travel": relational.q_impossible_travel,
     "ripley_pairs": q_ripley_pairs,
     "bilinear_upsample": q_bilinear_upsample,
     "label_stats": relational.q_label_stats,
@@ -3473,6 +3474,7 @@ ORACLE_SQL = {
     "iou_footprint_join": sql_iou_footprint_join(),
     "ab_test_counts": relational.SQL_AB_TEST_COUNTS,
     "fulfillment_lag": relational.SQL_FULFILLMENT_LAG,
+    "impossible_travel": relational.sql_impossible_travel(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

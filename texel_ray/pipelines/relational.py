@@ -5124,3 +5124,97 @@ SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY 1, 2
 """
+
+
+def q_impossible_travel(sf_dir: str, v_max_mm_s: int = 150_000):
+    """IMPOSSIBLE-TRAVEL detection (the GPS-noise / account-sharing
+    anomaly gate): per user, consecutive-event steps whose implied
+    speed exceeds v_max (150 m/s default — faster than airliners'
+    ground average) are violations. The comparison is all-integer
+    (dist_mm * 1e6 > dt_us * v_max_mm_s) over the same mm-floored
+    haversine steps trip_length uses, so the oracle recomputes exactly;
+    zero-dt steps with positive distance count as violations.
+
+    Shape at 100 TB: one skinny superbucketed groupby(user); output is
+    the flagged-user dimension (HAVING >= 1 violation)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def geotag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, ev)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    skinny = ds.map_batches(
+        geotag, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def flag(group: pd.DataFrame) -> pd.DataFrame:
+        g, uid, starts, ends = _user_segments(group, ["ts_us", "event_id"])
+        lon_all = np.radians(g["lon"].to_numpy())
+        lat_all = np.radians(g["lat"].to_numpy())
+        ts_all = g["ts_us"].to_numpy()
+        users, nsteps, nviol = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            lon = lon_all[s:e]
+            lat = lat_all[s:e]
+            dphi = (lat[1:] - lat[:-1]) / 2.0
+            dlmb = (lon[1:] - lon[:-1]) / 2.0
+            a = (np.sin(dphi) ** 2
+                 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb) ** 2)
+            d = 2.0 * 6371000.0 * np.arcsin(np.sqrt(a))
+            dist_mm = np.floor(d * 1000.0).astype(np.int64)
+            dt_us = ts_all[s + 1 : e] - ts_all[s : e - 1]
+            viol = dist_mm * np.int64(1_000_000) > dt_us * np.int64(v_max_mm_s)
+            if viol.any():
+                users.append(uid[s])
+                nsteps.append(e - s - 1)
+                nviol.append(int(viol.sum()))
+        return pd.DataFrame(
+            {
+                "user_id": np.array(users, dtype=np.int64),
+                "n_steps": np.array(nsteps, dtype=np.int64),
+                "n_violations": np.array(nviol, dtype=np.int64),
+            }
+        )
+
+    return skinny.groupby("__ub").map_groups(flag, batch_format="pandas")
+
+
+def sql_impossible_travel(v_max_mm_s: int = 150_000) -> str:
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt("
+        "pow(sin((radians(lat) - radians(plat)) / 2.0), 2)"
+        " + cos(radians(plat)) * cos(radians(lat))"
+        " * pow(sin((radians(lon) - radians(plon)) / 2.0), 2)))"
+    )
+    return f"""
+WITH {_sql_event_pos()},
+seq AS (
+  SELECT user_id, lon, lat, ts_us,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         lag(ts_us) OVER w AS pts
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id,
+       CAST(count(plon) AS BIGINT) AS n_steps,
+       CAST(sum(CASE WHEN CAST(floor({hav} * 1000.0) AS BIGINT) * 1000000
+                          > (ts_us - pts) * {v_max_mm_s}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM seq WHERE plon IS NOT NULL
+GROUP BY user_id
+HAVING sum(CASE WHEN CAST(floor({hav} * 1000.0) AS BIGINT) * 1000000
+                     > (ts_us - pts) * {v_max_mm_s}
+           THEN 1 ELSE 0 END) >= 1
+"""
