@@ -1552,3 +1552,26 @@ def test_impossible_travel_matches_per_user_scan():
     for u, (ns, nv) in want.items():
         assert int(out.loc[u, "n_steps"]) == ns
         assert int(out.loc[u, "n_violations"]) == nv
+
+
+def test_embedding_quantization_matches_numpy():
+    from texel_ray.pipelines.mlprep import q_embedding_quantization
+
+    out = (
+        q_embedding_quantization(SF_DIR).to_pandas().set_index("d").sort_index()
+    )
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+    )
+    max_abs = np.abs(x).max(axis=0)
+    scale = np.where(max_abs > 0, 127.0 / max_abs, 0.0)
+    q = np.floor(x * scale[None, :] + 0.5)
+    deq = np.where(scale[None, :] > 0, q / np.where(scale == 0, 1, scale)[None, :], 0.0)
+    term = np.floor((x - deq) ** 2 * 1e12).astype(np.int64)
+    for d in range(64):
+        assert int(out.loc[d, "n"]) == len(x)
+        assert int(out.loc[d, "sum_err_fp"]) == int(term[:, d].sum())
+        assert int(out.loc[d, "max_q"]) == int(q[:, d].max())
+        # int8 range respected
+        assert -127 <= int(out.loc[d, "min_q"]) <= int(out.loc[d, "max_q"]) <= 127

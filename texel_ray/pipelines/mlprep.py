@@ -4222,3 +4222,102 @@ SELECT id_a, id_b, containment FROM (
   FROM i JOIN l la ON la.doc_id = i.id_a
 ) WHERE containment >= 0.9
 """
+
+
+def q_embedding_quantization(sf_dir: str, dim: int = 64):
+    """INT8 QUANTIZATION CALIBRATION (the error audit run before
+    shipping a quantized ANN index): per dimension, symmetric int8
+    scale = 127 / max|x|, q = floor(x * scale + 0.5), and the exact
+    integer reconstruction-error account sum(floor((x - q/scale)^2 *
+    1e12)) — floor-fixed per ELEMENT so the sum is reduction-order
+    independent and DuckDB recomputes it bit-exactly (naive float sums
+    would differ by reduction order at any cluster size).
+
+    Shape at 100 TB: TWO streaming passes — a dim-dimension max
+    combiner, broadcast scales, then a dim-dimension error combiner.
+    Vectors never shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.abs(flat.reshape(len(batch), dim))
+        return pa.table(
+            {
+                "d": pa.array(np.arange(dim, dtype=np.int64)),
+                "max_abs": pa.array(m.max(axis=0)),
+            }
+        )
+
+    def max_merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["d"]).aggregate([("max_abs", "max")])
+        return g.rename_columns(["d", "max_abs"])
+
+    mx = (
+        ds.map_batches(max_partial, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(max_merge, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("d")
+    )
+    max_abs = mx["max_abs"].to_numpy()  # dim-dimension, broadcast
+    scale = np.where(max_abs > 0.0, 127.0 / max_abs, 0.0)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        x = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), dim)
+        q = np.floor(x * scale[None, :] + 0.5)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            deq = np.where(scale[None, :] > 0.0, q / scale[None, :], 0.0)
+        err = x - deq
+        term = np.floor(err * err * 1e12).astype(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(np.arange(dim, dtype=np.int64)),
+                "n": pa.array(np.full(dim, len(batch), dtype=np.int64)),
+                "sum_err_fp": pa.array(term.sum(axis=0)),
+                "max_q": pa.array(q.max(axis=0).astype(np.int64)),
+                "min_q": pa.array(q.min(axis=0).astype(np.int64)),
+            }
+        )
+
+    def err_merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["d"]).aggregate(
+            [("n", "sum"), ("sum_err_fp", "sum"), ("max_q", "max"), ("min_q", "min")]
+        )
+        return g.rename_columns(["d", "n", "sum_err_fp", "max_q", "min_q"])
+
+    out = (
+        ds.map_batches(err_partial, batch_format="pyarrow", batch_size=4096)
+        .repartition(4)
+        .map_batches(err_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(err_merge, batch_format="pyarrow", batch_size=None)
+    )
+    return out
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH x AS (
+  SELECT t.i AS d, CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, range(64) t(i)
+),
+s AS (
+  SELECT d, CASE WHEN max(abs(v)) > 0.0 THEN 127.0 / max(abs(v)) ELSE 0.0 END AS scale
+  FROM x GROUP BY 1
+),
+q AS (
+  SELECT x.d, x.v, floor(x.v * s.scale + 0.5) AS qv, s.scale
+  FROM x JOIN s ON s.d = x.d
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor((v - CASE WHEN scale > 0.0 THEN qv / scale ELSE 0.0 END)
+                           * (v - CASE WHEN scale > 0.0 THEN qv / scale ELSE 0.0 END)
+                           * 1e12) AS BIGINT)) AS BIGINT) AS sum_err_fp,
+       CAST(max(qv) AS BIGINT) AS max_q,
+       CAST(min(qv) AS BIGINT) AS min_q
+FROM q GROUP BY 1
+"""

@@ -3255,6 +3255,7 @@ QUERIES = {
     "shard_assign": relational.q_shard_assign,
     "k_anon_tiles": relational.q_k_anon_tiles,
     "embedding_dim_stats": mlprep.q_embedding_dim_stats,
+    "embedding_quantization": mlprep.q_embedding_quantization,
     "max_concurrency": relational.q_max_concurrency,
     "interval_union_len": relational.q_interval_union_len,
     "triangle_regions": relational.q_triangle_regions,
@@ -3525,6 +3526,7 @@ ORACLE_SQL = {
     "shard_assign": relational.sql_shard_assign(),
     "k_anon_tiles": relational.sql_k_anon_tiles(_tile_sql(8)),
     "embedding_dim_stats": mlprep.SQL_EMBEDDING_DIM_STATS,
+    "embedding_quantization": mlprep.SQL_EMBEDDING_QUANTIZATION,
     "max_concurrency": relational.SQL_MAX_CONCURRENCY,
     "interval_union_len": relational.SQL_INTERVAL_UNION_LEN,
     "triangle_regions": relational.sql_triangle_regions(),
