@@ -224,6 +224,8 @@ def run_benchmarks() -> dict:
     timed("ripley_pairs", lambda: queries.q_ripley_pairs(SF_DIR), consume=None)
     timed("impossible_travel", lambda: relational.q_impossible_travel(SF_DIR))
     timed("embedding_quantization", lambda: mlprep.q_embedding_quantization(SF_DIR))
+    timed("home_location", lambda: relational.q_home_location(SF_DIR))
+    timed("doc_keywords", lambda: mlprep.q_doc_keywords(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

@@ -1575,3 +1575,52 @@ def test_embedding_quantization_matches_numpy():
         assert int(out.loc[d, "max_q"]) == int(q[:, d].max())
         # int8 range respected
         assert -127 <= int(out.loc[d, "min_q"]) <= int(out.loc[d, "max_q"]) <= 127
+
+
+def test_home_location_matches_pandas_argmax():
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import _event_geo_np, q_home_location
+
+    out = q_home_location(SF_DIR).to_pandas().set_index("user_id").sort_index()
+    ev = _events()
+    span = 256.0 * (156543.033928041 / 256.0)
+    origin = 20037508.3427892
+    lon, lat = _event_geo_np(ev["user_id"].to_numpy(), ev["event_id"].to_numpy())
+    mx, my = lonlat_to_webmercator_np(lon, lat)
+    fx = (mx + origin) / span
+    fy = (origin - my) / span
+    tx = np.trunc(fx).astype(np.int64)
+    ty = np.trunc(fy).astype(np.int64)
+    ok = (fx >= 0) & (fy >= 0) & (tx < 256) & (ty < 256)
+    df = pd.DataFrame(
+        {"user_id": ev["user_id"].to_numpy()[ok], "tkey": tx[ok] * 65536 + ty[ok]}
+    )
+    for uid, g in df.groupby("user_id"):
+        counts = g["tkey"].value_counts()
+        best_n = counts.max()
+        best = min(int(t) for t, n in counts.items() if n == best_n)
+        assert int(out.loc[uid, "n_visits"]) == int(best_n)
+        assert (
+            int(out.loc[uid, "tile_x"]) * 65536 + int(out.loc[uid, "tile_y"])
+            == best
+        )
+
+
+def test_doc_keywords_matches_plain_recompute():
+    from texel_ray.pipelines.mlprep import q_doc_keywords
+
+    out = q_doc_keywords(SF_DIR).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    df_map = {}
+    for t in docs["text"]:
+        for w in set((t or "").split()):
+            df_map[w] = df_map.get(w, 0) + 1
+    for _, drow in docs.iterrows():
+        toks = (drow["text"] or "").split()
+        tf = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], df_map[kv[0]], kv[0]))[:3]
+        sub = out[out["doc_id"] == drow["doc_id"]].sort_values("rank")
+        assert sub["word"].tolist() == [w for w, _ in ranked]
+        assert sub["tf"].tolist() == [f for _, f in ranked]

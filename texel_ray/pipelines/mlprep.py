@@ -4321,3 +4321,84 @@ SELECT CAST(d AS BIGINT) AS d,
        CAST(min(qv) AS BIGINT) AS min_q
 FROM q GROUP BY 1
 """
+
+
+def q_doc_keywords(sf_dir: str, k: int = 3):
+    """PER-DOCUMENT SALIENT TERMS (the keyword-extraction / tagging
+    primitive): each document's top-k words ranked by term frequency
+    with a rarity tiebreak — (tf DESC, corpus df ASC, word ASC), a
+    fully integer ordering (deliberately not the float tf*idf product:
+    ln() differs by 1 ulp between libms, and a value-hashed output
+    cannot absorb that — the integer lexicographic rank is exactly
+    mirrorable and selects the same head terms).
+
+    Shape at 100 TB: a (word, doc-distinct) df combiner (vocab
+    dimension, broadcast); per-batch per-doc vectorized tf count +
+    top-k selection — documents never shuffle; output is docs x k."""
+    import pandas as pd
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        words = []
+        for t in batch["text"].to_pylist():
+            words.extend(set((t or "").split()))
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    df_tab = partial_sum_groupby(
+        ds.map_batches(df_rows, batch_format="pyarrow", batch_size=512),
+        ["word"],
+        [],
+        count_alias="df",
+        coalesce=4,
+    ).to_pandas()  # vocab dimension
+    df_map = dict(zip(df_tab["word"], df_tab["df"].astype(int)))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        out_id, out_rank, out_word, out_tf = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for w in toks:
+                tf[w] = tf.get(w, 0) + 1
+            ranked = sorted(
+                tf.items(), key=lambda kv: (-kv[1], df_map.get(kv[0], 0), kv[0])
+            )[:k]
+            for r, (w, f) in enumerate(ranked):
+                out_id.append(did)
+                out_rank.append(r + 1)
+                out_word.append(w)
+                out_tf.append(f)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "word": pa.array(out_word, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=512)
+
+
+SQL_DOC_KEYWORDS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df, tf.word
+         ) AS rank
+  FROM tf JOIN df ON df.word = tf.word
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf
+FROM r WHERE rank <= 3
+"""

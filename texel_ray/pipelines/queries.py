@@ -3295,6 +3295,7 @@ QUERIES = {
     "minhash_neardup": mlprep.q_minhash_neardup,
     "allpairs_jaccard": mlprep.q_allpairs_jaccard,
     "containment_join": mlprep.q_containment_join,
+    "doc_keywords": mlprep.q_doc_keywords,
     "dedup_clusters": mlprep.q_dedup_clusters,
     "dedup_clusters_dist": mlprep.q_dedup_clusters_dist,
     "caption_redact": mlprep.q_caption_redact,
@@ -3353,6 +3354,7 @@ QUERIES = {
     "ab_test_counts": relational.q_ab_test_counts,
     "fulfillment_lag": relational.q_fulfillment_lag,
     "impossible_travel": relational.q_impossible_travel,
+    "home_location": relational.q_home_location,
     "ripley_pairs": q_ripley_pairs,
     "bilinear_upsample": q_bilinear_upsample,
     "label_stats": relational.q_label_stats,
@@ -3452,6 +3454,7 @@ ORACLE_SQL = {
     "minhash_neardup": mlprep.SQL_MINHASH_NEARDUP,
     "allpairs_jaccard": mlprep.SQL_ALLPAIRS_JACCARD,
     "containment_join": mlprep.SQL_CONTAINMENT_JOIN,
+    "doc_keywords": mlprep.SQL_DOC_KEYWORDS,
     "dedup_clusters": mlprep.SQL_DEDUP_CLUSTERS,
     # distributed hash-to-min path must equal the union-find path exactly
     "dedup_clusters_dist": mlprep.SQL_DEDUP_CLUSTERS,
@@ -3476,6 +3479,7 @@ ORACLE_SQL = {
     "ab_test_counts": relational.SQL_AB_TEST_COUNTS,
     "fulfillment_lag": relational.SQL_FULFILLMENT_LAG,
     "impossible_travel": relational.sql_impossible_travel(),
+    "home_location": relational.sql_home_location(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -5218,3 +5218,98 @@ HAVING sum(CASE WHEN CAST(floor({hav} * 1000.0) AS BIGINT) * 1000000
                      > (ts_us - pts) * {v_max_mm_s}
            THEN 1 ELSE 0 END) >= 1
 """
+
+
+def q_home_location(sf_dir: str, zoom: int = 8):
+    """HOME-LOCATION INFERENCE (modal cell per user — the anchor-point
+    primitive of mobility analytics): each user's most-visited z-level
+    tile with its visit count; ties resolve to the smallest packed tile
+    key, so the answer is deterministic at any parallelism.
+
+    Shape at 100 TB: ONE (user, tile) count combiner folds events to
+    visited cells; ONE 512-way user superbucket groupby picks each
+    user's argmax with a vectorized lexsort + segment-head take — no
+    per-user dispatch. Output is the user dimension."""
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[ok]),
+                "tkey": pa.array(tx[ok] * 65536 + ty[ok], pa.int64()),
+            }
+        )
+
+    visits = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "tkey"],
+        [],
+        count_alias="n",
+        coalesce=8,
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def argmax(group: pd.DataFrame) -> pd.DataFrame:
+        uid = group["user_id"].to_numpy()
+        tkey = group["tkey"].to_numpy()
+        n = group["n"].to_numpy()
+        # per user: max n, then min tkey — lexsort ascending by
+        # (uid, -n, tkey) and take each segment head
+        order = np.lexsort((tkey, -n, uid))
+        uid, tkey, n = uid[order], tkey[order], n[order]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        return pd.DataFrame(
+            {
+                "user_id": uid[head].astype(np.int64),
+                "tile_x": (tkey[head] // 65536).astype(np.int64),
+                "tile_y": (tkey[head] % 65536).astype(np.int64),
+                "n_visits": n[head].astype(np.int64),
+            }
+        )
+
+    return visits.groupby("__ub").map_groups(argmax, batch_format="pandas")
+
+
+def sql_home_location(zoom: int = 8) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT user_id,
+         CAST(trunc({fx}) AS BIGINT) AS tx,
+         CAST(trunc({fy}) AS BIGINT) AS ty
+  FROM pos
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+),
+v AS (SELECT user_id, tx, ty, count(*) AS n FROM t GROUP BY 1, 2, 3),
+r AS (
+  SELECT user_id, tx, ty, n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY n DESC, tx * 65536 + ty
+         ) AS rk
+  FROM v
+)
+SELECT user_id, tx AS tile_x, ty AS tile_y, CAST(n AS BIGINT) AS n_visits
+FROM r WHERE rk = 1
+"""
