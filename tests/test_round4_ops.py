@@ -1624,3 +1624,40 @@ def test_doc_keywords_matches_plain_recompute():
         sub = out[out["doc_id"] == drow["doc_id"]].sort_values("rank")
         assert sub["word"].tolist() == [w for w, _ in ranked]
         assert sub["tf"].tolist() == [f for _, f in ranked]
+
+
+def test_tile_diversity_simpson_consistency():
+    from texel_ray.pipelines.relational import q_tile_diversity
+
+    out = q_tile_diversity(SF_DIR).to_pandas()
+    # invariants: sum_sq between n (all-distinct) and n^2 (single type);
+    # n_types bounded by the 5 event types; totals match the corpus
+    assert (out["sum_sq"] >= out["n"]).all()
+    assert (out["sum_sq"] <= out["n"] ** 2).all()
+    assert (out["n_types"] <= 5).all()
+    ev = _events()
+    assert out["n"].sum() == len(ev)  # all events land in-grid at z6
+
+
+def test_tpch_q10_matches_pandas_recompute():
+    from texel_ray.pipelines.relational import q_tpch_q10
+
+    out = q_tpch_q10(SF_DIR)
+    od = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    od = od[(od["o_orderdate"] >= lo) & (od["o_orderdate"] < hi)]
+    li = li[li["l_returnflag"] == "R"].copy()
+    li["rev"] = np.trunc(
+        li["l_extendedprice"].to_numpy() * (1.0 - li["l_discount"].to_numpy()) * 100.0
+    ).astype(np.int64)
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    agg = (
+        j.groupby("o_custkey")
+        .agg(rev=("rev", "sum"), n=("rev", "size"))
+        .reset_index()
+        .sort_values(["rev", "o_custkey"], ascending=[False, True])
+        .head(20)
+    )
+    assert out["o_custkey"].tolist() == agg["o_custkey"].tolist()
+    assert out["rev_cents"].tolist() == agg["rev"].tolist()

@@ -3355,6 +3355,8 @@ QUERIES = {
     "fulfillment_lag": relational.q_fulfillment_lag,
     "impossible_travel": relational.q_impossible_travel,
     "home_location": relational.q_home_location,
+    "tile_diversity": relational.q_tile_diversity,
+    "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
     "bilinear_upsample": q_bilinear_upsample,
     "label_stats": relational.q_label_stats,
@@ -3480,6 +3482,8 @@ ORACLE_SQL = {
     "fulfillment_lag": relational.SQL_FULFILLMENT_LAG,
     "impossible_travel": relational.sql_impossible_travel(),
     "home_location": relational.sql_home_location(),
+    "tile_diversity": relational.sql_tile_diversity(),
+    "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -5313,3 +5313,194 @@ r AS (
 SELECT user_id, tx AS tile_x, ty AS tile_y, CAST(n AS BIGINT) AS n_visits
 FROM r WHERE rk = 1
 """
+
+
+def q_tile_diversity(sf_dir: str, zoom: int = 6):
+    """SPATIAL EVENT-MIX DIVERSITY per tile (Gini-Simpson numerator —
+    the exact-integer diversity screen behind "is this cell
+    single-behavior or mixed-use"): per z-level tile, total events n
+    and sum over event types of n_t^2; the Simpson index 1 - sum/n^2
+    derives downstream, every byte exact.
+
+    Shape at 100 TB: ONE (tile, type) count combiner -> per-tile
+    squared rollup on the (lattice x types)-bounded table."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..core.tms import lonlat_to_webmercator_np
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)[ok]
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[ok]),
+                "tile_y": pa.array(ty[ok]),
+                "event_type": pa.array(typ, pa.string()),
+            }
+        )
+
+    per_type = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y", "event_type"],
+        [],
+        count_alias="n_t",
+        coalesce=8,
+    )
+
+    def square(batch: pa.Table) -> pa.Table:
+        nt = batch["n_t"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "n": batch["n_t"],
+                "sum_sq": pa.array(nt * nt),
+                "n_types": pa.array(np.ones(len(nt), dtype=np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        per_type.map_batches(square, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n", "sum_sq", "n_types"],
+        coalesce=4,
+    )
+
+
+def sql_tile_diversity(zoom: int = 6) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         e.event_type
+  FROM pos p JOIN events e ON e.event_id = p.event_id
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+),
+c AS (
+  SELECT tile_x, tile_y, event_type, count(*) AS n_t FROM t GROUP BY 1, 2, 3
+)
+SELECT tile_x, tile_y,
+       CAST(sum(n_t) AS BIGINT) AS n,
+       CAST(sum(n_t * n_t) AS BIGINT) AS sum_sq,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_tpch_q10(sf_dir: str, cutoff: str = "1997-01-01", k: int = 20):
+    """TPC-H Q10 (returned-item revenue): customers ranked by the
+    cent-exact revenue of their RETURNED lineitems (l_returnflag='R')
+    on orders placed in the quarter after `cutoff` — the who-is-
+    returning-the-most report. Top-k by (revenue DESC, custkey).
+
+    Shape at 100 TB: date+flag predicates pushed to both scans; orders
+    |x| lineitem is the two-sided hash join; per-customer revenue a
+    combiner; the k-row finish per-block-pruned then driver-final
+    (the tpch_q3 plan shape, different join/filters)."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import partial_sum_groupby
+
+    lo_us = int(pd.Timestamp(cutoff).value // 1000)
+    hi_us = int((pd.Timestamp(cutoff) + pd.DateOffset(months=3)).value // 1000)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        od = (
+            batch["o_orderdate"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = (od >= lo_us) & (od < hi_us)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": batch["o_custkey"].filter(pa.array(keep)),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+    def l_filter(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        keep = flag == "R"
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(keep)),
+                "rev_cents": pa.array(
+                    np.trunc(ep * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    joined = li.map_batches(l_filter, batch_format="pyarrow").join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = partial_sum_groupby(
+        joined, ["o_custkey"], ["rev_cents"], count_alias="n_items", coalesce=4
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["rev_cents", "o_custkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pdf = (
+        per_cust.map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rev_cents", "o_custkey"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pdf.astype(
+        {"o_custkey": np.int64, "rev_cents": np.int64, "n_items": np.int64}
+    )
+
+
+def sql_tpch_q10(cutoff: str = "1997-01-01", k: int = 20) -> str:
+    return f"""
+SELECT o.o_custkey,
+       CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{cutoff}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff}' + INTERVAL 3 MONTH
+GROUP BY 1
+ORDER BY rev_cents DESC, o_custkey
+LIMIT {k}
+"""
