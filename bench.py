@@ -228,6 +228,8 @@ def run_benchmarks() -> dict:
     timed("doc_keywords", lambda: mlprep.q_doc_keywords(SF_DIR))
     timed("tile_diversity", lambda: relational.q_tile_diversity(SF_DIR))
     timed("tpch_q10", lambda: relational.q_tpch_q10(SF_DIR), consume=None)
+    timed("conversion_latency", lambda: relational.q_conversion_latency(SF_DIR))
+    timed("phash_bit_stats", lambda: mlprep.q_phash_bit_stats(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

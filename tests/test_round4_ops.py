@@ -1661,3 +1661,39 @@ def test_tpch_q10_matches_pandas_recompute():
     )
     assert out["o_custkey"].tolist() == agg["o_custkey"].tolist()
     assert out["rev_cents"].tolist() == agg["rev"].tolist()
+
+
+def test_conversion_latency_matches_per_user_scan():
+    from texel_ray.pipelines.relational import q_conversion_latency
+
+    out = q_conversion_latency(SF_DIR).to_pandas().set_index("bucket")
+    ev = _events()
+    edges = np.array([60, 3600, 21600, 86400]) * 1_000_000
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        buys = np.sort(g[g["event_type"] == "purchase"]["ts_us"].to_numpy())
+        for t in g[g["event_type"] == "click"]["ts_us"].to_numpy():
+            after = buys[buys > t]
+            if len(after) and after[0] - t <= 86400 * 1_000_000:
+                b = int(np.searchsorted(edges, after[0] - t, side="left"))
+                want[b] = want.get(b, 0) + 1
+    assert sorted(out.index.tolist()) == sorted(want)
+    for b, n in want.items():
+        assert int(out.loc[b, "n"]) == n
+
+
+def test_phash_bit_stats_matches_popcount():
+    from texel_ray.pipelines.mlprep import q_phash_bit_stats
+    from texel_ray.sources.images import images_parquet_path
+
+    out = q_phash_bit_stats(SF_DIR).to_pandas().set_index("bit").sort_index()
+    h = (
+        pq.read_table(images_parquet_path(SF_DIR), columns=["phash"])["phash"]
+        .to_numpy()
+        .view(np.uint64)
+    )
+    for bit in range(64):
+        assert int(out.loc[bit, "ones"]) == int(
+            ((h >> np.uint64(bit)) & np.uint64(1)).sum()
+        )
+        assert int(out.loc[bit, "n"]) == len(h)

@@ -4402,3 +4402,46 @@ r AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf
 FROM r WHERE rank <= 3
 """
+
+
+def q_phash_bit_stats(sf_dir: str):
+    """SIGNATURE BIT-BALANCE audit (hash-health: a good perceptual hash
+    has each bit near 50/50 and the Hamming geometry depends on it):
+    per bit position 0..63 of the images' phash column, the exact
+    number of set bits and total rows — the bias 2*ones/n - 1 derives
+    downstream.
+
+    Shape at 100 TB: per-batch popcount partials over the int64 column
+    (64 skinny rows per block) -> one combiner. Nothing else moves."""
+    from ..sources.images import read_images
+    from ..stages.agg import partial_sum_groupby
+
+    ds = read_images(sf_dir, columns=["phash"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bits = np.arange(64, dtype=np.uint64)
+        ones = ((h[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "ones": pa.array(ones.astype(np.int64)),
+                "n": pa.array(np.full(64, len(h), dtype=np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384),
+        ["bit"],
+        ["ones", "n"],
+        coalesce=4,
+    )
+
+
+SQL_PHASH_BIT_STATS = """
+SELECT CAST(t.i AS BIGINT) AS bit,
+       CAST(sum((phash >> t.i) & 1) AS BIGINT) AS ones,
+       CAST(count(*) AS BIGINT) AS n
+FROM {IMAGES} i, range(64) t(i)
+GROUP BY 1
+"""

@@ -3356,6 +3356,8 @@ QUERIES = {
     "impossible_travel": relational.q_impossible_travel,
     "home_location": relational.q_home_location,
     "tile_diversity": relational.q_tile_diversity,
+    "conversion_latency": relational.q_conversion_latency,
+    "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
     "bilinear_upsample": q_bilinear_upsample,
@@ -3483,6 +3485,8 @@ ORACLE_SQL = {
     "impossible_travel": relational.sql_impossible_travel(),
     "home_location": relational.sql_home_location(),
     "tile_diversity": relational.sql_tile_diversity(),
+    "conversion_latency": relational.SQL_CONVERSION_LATENCY,
+    "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
