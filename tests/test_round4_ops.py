@@ -1697,3 +1697,59 @@ def test_phash_bit_stats_matches_popcount():
             ((h >> np.uint64(bit)) & np.uint64(1)).sum()
         )
         assert int(out.loc[bit, "n"]) == len(h)
+
+
+def test_nearest_region_dist_matches_numpy():
+    from texel_ray.pipelines.queries import q_nearest_region_dist
+    from texel_ray.pipelines.relational import _rect_regions
+    from texel_ray.sources.images import images_parquet_path
+
+    out = (
+        q_nearest_region_dist(SF_DIR).to_pandas().set_index("region").sort_index()
+    )
+    t = pq.read_table(images_parquet_path(SF_DIR), columns=["lon", "lat"])
+    lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    dx = np.maximum(
+        np.maximum(minx[None, :] - lon[:, None], lon[:, None] - maxx[None, :]), 0.0
+    )
+    dy = np.maximum(
+        np.maximum(miny[None, :] - lat[:, None], lat[:, None] - maxy[None, :]), 0.0
+    )
+    d2 = dx * dx + dy * dy
+    site = d2.argmin(axis=1)
+    for s in np.unique(site):
+        sel = site == s
+        assert int(out.loc[rid[s], "n"]) == int(sel.sum())
+        assert int(out.loc[rid[s], "d2_fp"]) == int(
+            np.floor(d2[sel, s] * 1e9).astype(np.int64).sum()
+        )
+    assert int(out["n"].sum()) == len(lon)
+
+
+def test_caption_size_corr_moments():
+    from texel_ray.pipelines.queries import q_caption_size_corr
+    from texel_ray.sources.images import images_parquet_path
+
+    out = q_caption_size_corr(SF_DIR).to_pandas().iloc[0]
+    t = pq.read_table(
+        images_parquet_path(SF_DIR), columns=["caption", "w", "h"]
+    ).to_pandas()
+    x = t["caption"].str.len().to_numpy().astype(np.int64)
+    y = (t["w"].astype(np.int64) * t["h"].astype(np.int64)).to_numpy()
+    assert int(out["n"]) == len(t)
+    assert int(out["sxy"]) == int((x * y).sum())
+    assert int(out["sxx"]) == int((x * x).sum())
+    assert int(out["syy"]) == int((y * y).sum())
+
+
+def test_weekday_mix_totals():
+    from texel_ray.pipelines.relational import q_weekday_mix
+
+    out = q_weekday_mix(SF_DIR).to_pandas()
+    ev = _events()
+    assert int(out["n"].sum()) == len(ev)
+    wd = (ev["ts_us"] // (86400 * 1_000_000)) % 7
+    for (w, typ), g in ev.assign(wd=wd).groupby(["wd", "event_type"]):
+        row = out[(out["weekday"] == w) & (out["event_type"] == typ)]
+        assert int(row["n"].iloc[0]) == len(g)

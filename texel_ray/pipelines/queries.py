@@ -3204,6 +3204,132 @@ WITH c AS (
     )
 
 
+def q_nearest_region_dist(sf_dir: str):
+    """NEAREST-REGION DISTANCE FEATURE (the distance-to-zone covariate
+    geospatial models append to every point: how far is this image from
+    the closest rect region, and which one): per region, the member
+    count (nearest by squared degree distance, min-id tiebreak) and the
+    exact fixed-point (1e9) sum of squared distances — zero for points
+    inside. Pure arithmetic (clamped axis distances), so the oracle
+    recomputes bit-for-bit.
+
+    Shape at 100 TB: stateless vectorized (batch x 58) clamped-distance
+    matrix against the per-worker-regenerated region table; ONE tiny
+    combiner. Nothing but (region, n, d2 partials) moves."""
+    from .relational import _rect_regions
+    from ..stages.agg import partial_sum_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["lon", "lat"])
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        rid, minx, miny, maxx, maxy = _rect_regions()
+        dx = np.maximum(
+            np.maximum(minx[None, :] - lon[:, None], lon[:, None] - maxx[None, :]),
+            0.0,
+        )
+        dy = np.maximum(
+            np.maximum(miny[None, :] - lat[:, None], lat[:, None] - maxy[None, :]),
+            0.0,
+        )
+        d2 = dx * dx + dy * dy
+        site = d2.argmin(axis=1)  # first (min region_id) wins ties
+        dmin = d2[np.arange(len(site)), site]
+        return pa.table(
+            {
+                "region": pa.array(rid[site].astype(np.int64)),
+                "d2_fp": pa.array(np.floor(dmin * 1e9).astype(np.int64)),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(nearest, batch_format="pyarrow", batch_size=16384),
+        ["region"],
+        ["d2_fp"],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def sql_nearest_region_dist() -> str:
+    return f"""
+WITH r AS (SELECT * FROM {regions_sql_source()} WHERE kind = 'rect'),
+d AS (
+  SELECT i.image_id, r.region_id,
+         greatest(greatest(r.minx - i.lon, i.lon - r.maxx), 0.0)
+           * greatest(greatest(r.minx - i.lon, i.lon - r.maxx), 0.0)
+         + greatest(greatest(r.miny - i.lat, i.lat - r.maxy), 0.0)
+           * greatest(greatest(r.miny - i.lat, i.lat - r.maxy), 0.0) AS d2
+  FROM {images_sql_source()} i CROSS JOIN r
+),
+a AS (
+  SELECT region_id, d2,
+         row_number() OVER (
+           PARTITION BY image_id ORDER BY d2, region_id
+         ) AS rk
+  FROM d
+)
+SELECT CAST(region_id AS BIGINT) AS region,
+       CAST(sum(CAST(floor(d2 * 1e9) AS BIGINT)) AS BIGINT) AS d2_fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rk = 1
+GROUP BY 1
+"""
+
+
+def q_caption_size_corr(sf_dir: str):
+    """CAPTION-LENGTH vs IMAGE-AREA correlation moments (the
+    text-image consistency probe of multimodal curation: do bigger
+    images get longer captions in this corpus?): exact integer moment
+    sums (n, sx, sy, sxy, sxx, syy) over x = caption codeunit length,
+    y = w * h pixels; Pearson r derives downstream exactly.
+
+    Shape at 100 TB: ONE stateless moments combiner; 1-row output."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = images_src.read_images(sf_dir, columns=["caption", "w", "h"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_length(batch["caption"]).cast(pa.int64()).to_numpy()
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = w * h
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=16384),
+        ["g"],
+        ["n", "sx", "sy", "sxy", "sxx", "syy"],
+        coalesce=4,
+    )
+
+
+def sql_caption_size_corr() -> str:
+    return f"""
+SELECT CAST(0 AS BIGINT) AS g,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(caption)) AS BIGINT) AS sx,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS sy,
+       CAST(sum(length(caption) * CAST(w AS BIGINT) * h) AS BIGINT) AS sxy,
+       CAST(sum(CAST(length(caption) AS BIGINT) * length(caption)) AS BIGINT) AS sxx,
+       CAST(sum(CAST(w AS BIGINT) * h * w * h) AS BIGINT) AS syy
+FROM {images_sql_source()}
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -3357,6 +3483,9 @@ QUERIES = {
     "home_location": relational.q_home_location,
     "tile_diversity": relational.q_tile_diversity,
     "conversion_latency": relational.q_conversion_latency,
+    "nearest_region_dist": q_nearest_region_dist,
+    "caption_size_corr": q_caption_size_corr,
+    "weekday_mix": relational.q_weekday_mix,
     "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
@@ -3486,6 +3615,9 @@ ORACLE_SQL = {
     "home_location": relational.sql_home_location(),
     "tile_diversity": relational.sql_tile_diversity(),
     "conversion_latency": relational.SQL_CONVERSION_LATENCY,
+    "nearest_region_dist": sql_nearest_region_dist(),
+    "caption_size_corr": sql_caption_size_corr(),
+    "weekday_mix": relational.SQL_WEEKDAY_MIX,
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),

@@ -5593,3 +5593,44 @@ SELECT CAST(CASE WHEN lat <= 60000000 THEN 0
        CAST(count(*) AS BIGINT) AS n
 FROM l GROUP BY 1
 """
+
+
+def q_weekday_mix(sf_dir: str):
+    """WEEKDAY x EVENT-TYPE seasonality matrix (the day-of-week shape
+    every forecasting/staffing model starts from): exact counts per
+    (weekday, type), weekday = epoch_days mod 7 (0 = Thursday,
+    1970-01-01 anchor — pure integer arithmetic, no timezone/locale
+    functions to drift between engines).
+
+    Shape at 100 TB: ONE stateless combiner; 35-row output."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "weekday": pa.array(day % 7, pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["weekday", "event_type"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_WEEKDAY_MIX = """
+SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
