@@ -233,6 +233,7 @@ def run_benchmarks() -> dict:
     timed("nearest_region_dist", lambda: queries.q_nearest_region_dist(SF_DIR))
     timed("caption_size_corr", lambda: queries.q_caption_size_corr(SF_DIR))
     timed("weekday_mix", lambda: relational.q_weekday_mix(SF_DIR))
+    timed("user_locality_depth", lambda: relational.q_user_locality_depth(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

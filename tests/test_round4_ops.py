@@ -1753,3 +1753,36 @@ def test_weekday_mix_totals():
     for (w, typ), g in ev.assign(wd=wd).groupby(["wd", "event_type"]):
         row = out[(out["weekday"] == w) & (out["event_type"] == typ)]
         assert int(row["n"].iloc[0]) == len(g)
+
+
+def test_user_locality_depth_matches_lcp_scan():
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import (
+        _event_geo_np,
+        q_user_locality_depth,
+    )
+
+    out = q_user_locality_depth(SF_DIR).to_pandas().set_index("depth")
+    ev = _events()
+    span = 256.0 * (156543.033928041 / 65536.0)
+    origin = 20037508.3427892
+    lon, lat = _event_geo_np(ev["user_id"].to_numpy(), ev["event_id"].to_numpy())
+    mx, my = lonlat_to_webmercator_np(lon, lat)
+    tx = np.trunc((mx + origin) / span).astype(np.int64)
+    ty = np.trunc((origin - my) / span).astype(np.int64)
+    df = pd.DataFrame({"u": ev["user_id"], "tx": tx, "ty": ty})
+    want = {}
+    for _, g in df.groupby("u"):
+        # brute LCP: deepest z where ALL tile coords share floor(t / 2^k)
+        gx = g["tx"].to_numpy()
+        gy = g["ty"].to_numpy()
+        depth = 16
+        while depth > 0:
+            k = 16 - depth
+            if len(set(gx >> k)) == 1 and len(set(gy >> k)) == 1:
+                break
+            depth -= 1
+        want[depth] = want.get(depth, 0) + 1
+    assert sorted(out.index.tolist()) == sorted(want)
+    for d, n in want.items():
+        assert int(out.loc[d, "n_users"]) == n

@@ -3486,6 +3486,7 @@ QUERIES = {
     "nearest_region_dist": q_nearest_region_dist,
     "caption_size_corr": q_caption_size_corr,
     "weekday_mix": relational.q_weekday_mix,
+    "user_locality_depth": relational.q_user_locality_depth,
     "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
@@ -3618,6 +3619,7 @@ ORACLE_SQL = {
     "nearest_region_dist": sql_nearest_region_dist(),
     "caption_size_corr": sql_caption_size_corr(),
     "weekday_mix": relational.SQL_WEEKDAY_MIX,
+    "user_locality_depth": relational.sql_user_locality_depth(),
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),

@@ -5634,3 +5634,108 @@ SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday, event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+def q_user_locality_depth(sf_dir: str, zoom: int = 16):
+    """USER LOCALITY DEPTH histogram (quadkey longest-common-prefix —
+    the discrete roaming-radius measure: the deepest tile that contains
+    ALL of a user's events is their z16-quadkey LCP): per user,
+    depth = zoom - bitlength(max(min_tx XOR max_tx, min_ty XOR max_ty))
+    (pure integer bit math — the XOR of the bounding tile coords upper-
+    bounds every pairwise prefix break); output = users per depth.
+
+    Shape at 100 TB: ONE (user, min/max tile coords) combiner (min and
+    max are associative), a stateless bit-math map, a tiny depth
+    histogram combiner. The quadratic per-user pair scan never runs."""
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[ok]),
+                "tx0": pa.array(tx[ok]),
+                "tx1": pa.array(tx[ok]),
+                "ty0": pa.array(ty[ok]),
+                "ty1": pa.array(ty[ok]),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate(
+            [("tx0", "min"), ("tx1", "max"), ("ty0", "min"), ("ty1", "max")]
+        )
+        return g.rename_columns(["user_id", "tx0", "tx1", "ty0", "ty1"])
+
+    u = (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+
+    def depth(batch: pa.Table) -> pa.Table:
+        m = np.maximum(
+            batch["tx0"].to_numpy(zero_copy_only=False)
+            ^ batch["tx1"].to_numpy(zero_copy_only=False),
+            batch["ty0"].to_numpy(zero_copy_only=False)
+            ^ batch["ty1"].to_numpy(zero_copy_only=False),
+        )
+        bl = np.frexp(m.astype(np.float64))[1]  # bitlength; frexp(0) -> 0
+        return pa.table({"depth": pa.array(zoom - bl, pa.int64())})
+
+    return partial_sum_groupby(
+        u.map_batches(depth, batch_format="pyarrow"),
+        ["depth"],
+        [],
+        count_alias="n_users",
+        coalesce=4,
+    )
+
+
+def sql_user_locality_depth(zoom: int = 16) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT user_id,
+         CAST(trunc({fx}) AS BIGINT) AS tx,
+         CAST(trunc({fy}) AS BIGINT) AS ty
+  FROM pos
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+),
+u AS (
+  SELECT user_id, xor(min(tx), max(tx)) AS xx, xor(min(ty), max(ty)) AS xy
+  FROM t GROUP BY 1
+),
+z AS (
+  SELECT CASE WHEN greatest(xx, xy) = 0 THEN {zoom}
+              ELSE {zoom} - length(bin(greatest(xx, xy))) END AS depth
+  FROM u
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users
+FROM z GROUP BY 1
+"""
