@@ -234,6 +234,9 @@ def run_benchmarks() -> dict:
     timed("caption_size_corr", lambda: queries.q_caption_size_corr(SF_DIR))
     timed("weekday_mix", lambda: relational.q_weekday_mix(SF_DIR))
     timed("user_locality_depth", lambda: relational.q_user_locality_depth(SF_DIR))
+    timed("tile_activity_span", lambda: relational.q_tile_activity_span(SF_DIR))
+    timed("type_cooccurrence", lambda: relational.q_type_cooccurrence(SF_DIR))
+    timed("zipf_head", lambda: mlprep.q_zipf_head(SF_DIR), consume=None)
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

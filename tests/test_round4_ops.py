@@ -1786,3 +1786,54 @@ def test_user_locality_depth_matches_lcp_scan():
     assert sorted(out.index.tolist()) == sorted(want)
     for d, n in want.items():
         assert int(out.loc[d, "n_users"]) == n
+
+
+def test_tile_activity_span_invariants():
+    from texel_ray.pipelines.relational import q_tile_activity_span
+
+    out = q_tile_activity_span(SF_DIR).to_pandas()
+    ev = _events()
+    assert int(out["n_events"].sum()) == len(ev)
+    span_days = out["last_day"] - out["first_day"] + 1
+    assert (out["n_days"] >= 1).all()
+    assert (out["n_days"] <= span_days).all()
+    assert (out["n_events"] >= out["n_days"]).all()
+
+
+def test_type_cooccurrence_matches_pandas():
+    from texel_ray.pipelines.relational import q_type_cooccurrence
+
+    out = (
+        q_type_cooccurrence(SF_DIR)
+        .to_pandas()
+        .set_index(["type_a", "type_b"])
+        .sort_index()
+    )
+    ev = _events()
+    ev = ev.assign(hour=ev["ts_us"] // (3600 * 1_000_000))
+    want = {}
+    for _, g in ev.groupby(["user_id", "hour"]):
+        types = sorted(set(g["event_type"]))
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                k = (types[i], types[j])
+                want[k] = want.get(k, 0) + 1
+    assert sorted(out.index.tolist()) == sorted(want)
+    for k, n in want.items():
+        assert int(out.loc[k, "n"]) == n
+
+
+def test_zipf_head_matches_counter():
+    from collections import Counter
+
+    from texel_ray.pipelines.mlprep import q_zipf_head
+
+    out = q_zipf_head(SF_DIR)
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    c = Counter()
+    for t in docs["text"]:
+        c.update((t or "").split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    assert out["word"].tolist() == [w for w, _ in ranked]
+    assert out["freq"].tolist() == [f for _, f in ranked]
+    assert out["rank"].tolist() == list(range(1, len(ranked) + 1))

@@ -4445,3 +4445,62 @@ SELECT CAST(t.i AS BIGINT) AS bit,
 FROM {IMAGES} i, range(64) t(i)
 GROUP BY 1
 """
+
+
+def q_zipf_head(sf_dir: str, k: int = 100):
+    """ZIPF HEAD TABLE (vocabulary rank-frequency head — the corpus
+    fingerprint whose log-log slope is the Zipf exponent; kept as exact
+    (rank, freq) integers so the fit runs downstream without any libm
+    drift): the top-k words by (frequency DESC, word ASC).
+
+    Shape at 100 TB: ONE word-count combiner (vocab dimension) -> per-
+    block top-k prune -> driver final sort. The corpus never sorts."""
+    import pandas as pd
+
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend((t or "").split())
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    counts = partial_sum_groupby(
+        ds.map_batches(words, batch_format="pyarrow", batch_size=512),
+        ["word"],
+        [],
+        count_alias="freq",
+        coalesce=4,
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["freq", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pdf = (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["freq", "word"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    pdf["freq"] = pdf["freq"].astype(np.int64)
+    return pdf[["rank", "word", "freq"]]
+
+
+SQL_ZIPF_HEAD = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+),
+c AS (SELECT word, count(*) AS freq FROM w GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+       word, CAST(freq AS BIGINT) AS freq
+FROM c
+ORDER BY freq DESC, word
+LIMIT 100
+"""

@@ -3487,6 +3487,9 @@ QUERIES = {
     "caption_size_corr": q_caption_size_corr,
     "weekday_mix": relational.q_weekday_mix,
     "user_locality_depth": relational.q_user_locality_depth,
+    "tile_activity_span": relational.q_tile_activity_span,
+    "type_cooccurrence": relational.q_type_cooccurrence,
+    "zipf_head": mlprep.q_zipf_head,
     "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
@@ -3620,6 +3623,9 @@ ORACLE_SQL = {
     "caption_size_corr": sql_caption_size_corr(),
     "weekday_mix": relational.SQL_WEEKDAY_MIX,
     "user_locality_depth": relational.sql_user_locality_depth(),
+    "tile_activity_span": relational.sql_tile_activity_span(),
+    "type_cooccurrence": relational.SQL_TYPE_COOCCURRENCE,
+    "zipf_head": mlprep.SQL_ZIPF_HEAD,
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),

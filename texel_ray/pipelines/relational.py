@@ -5739,3 +5739,191 @@ z AS (
 SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users
 FROM z GROUP BY 1
 """
+
+
+def q_tile_activity_span(sf_dir: str, zoom: int = 6):
+    """TILE TEMPORAL PERSISTENCE (coverage stability: is a cell's
+    activity a one-day burst or steady?): per z-level tile, the number
+    of DISTINCT active days plus the first/last active day — the
+    churn-vs-stable classification input for cache/invalidations.
+
+    Shape at 100 TB: (tile, day) dedup combiner -> per-tile
+    count/min/max rollup; both exchanges lattice-bounded."""
+    from ..core.tms import lonlat_to_webmercator_np
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+    DAY_US = 86400 * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )[ok]
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[ok]),
+                "tile_y": pa.array(ty[ok]),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    tile_days = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y", "day"],
+        [],
+        count_alias="n_ev",
+        coalesce=8,
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tile_x", "tile_y"]).aggregate(
+            [("day", "count"), ("day", "min"), ("day", "max"), ("n_ev", "sum")]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "n_days", "first_day", "last_day", "n_events"]
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tile_x", "tile_y"]).aggregate(
+            [
+                ("n_days", "sum"),
+                ("first_day", "min"),
+                ("last_day", "max"),
+                ("n_events", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "n_days", "first_day", "last_day", "n_events"]
+        )
+
+    # the (tile, day) rows for one tile may span blocks: rollup partials
+    # then merge (count of distinct days = sum of partial counts only
+    # after the dedup combiner above made (tile, day) unique)
+    return (
+        tile_days.map_batches(rollup, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def sql_tile_activity_span(zoom: int = 6) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         p.ts_us // 86400000000 AS day
+  FROM pos p
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+),
+d AS (SELECT tile_x, tile_y, day, count(*) AS n_ev FROM t GROUP BY 1, 2, 3)
+SELECT tile_x, tile_y,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(min(day) AS BIGINT) AS first_day,
+       CAST(max(day) AS BIGINT) AS last_day,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_type_cooccurrence(sf_dir: str):
+    """EVENT-TYPE CO-OCCURRENCE within (user, hour) windows (the
+    behavioral basket analysis: which behaviors happen together in the
+    same session-hour): unordered type pairs counted once per (user,
+    hour) that contains both. Exact.
+
+    Shape at 100 TB: (user, hour, type) dedup combiner -> 512-way
+    user-hour superbucket -> vectorized per-window pair emit (types
+    bounded by 5, so C(5,2) max per window) -> tiny pair combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    HOUR_US = 3600 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        hour = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // HOUR_US
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour": pa.array(hour, pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    distinct = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "hour", "event_type"],
+        [],
+        count_alias="_c",
+        coalesce=8,
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "hour", "event_type"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        hr = g["hour"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        new_w = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1]))
+        )
+        win = np.cumsum(new_w) - 1
+        out_a, out_b = [], []
+        starts = np.nonzero(new_w)[0]
+        ends = np.concatenate((starts[1:], [len(win)]))
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            for i in range(k):
+                for j in range(i + 1, k):
+                    out_a.append(typ[s + i])
+                    out_b.append(typ[s + j])
+        return pd.DataFrame(
+            {
+                "type_a": np.array(out_a, dtype=object),
+                "type_b": np.array(out_b, dtype=object),
+            }
+        )
+
+    parts = distinct.groupby("__ub").map_groups(pairs, batch_format="pandas")
+    return partial_sum_groupby(
+        parts, ["type_a", "type_b"], [], count_alias="n", coalesce=4
+    )
+
+
+SQL_TYPE_COOCCURRENCE = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour, event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM d a JOIN d b
+  ON b.user_id = a.user_id AND b.hour = a.hour
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
