@@ -237,6 +237,7 @@ def run_benchmarks() -> dict:
     timed("tile_activity_span", lambda: relational.q_tile_activity_span(SF_DIR))
     timed("type_cooccurrence", lambda: relational.q_type_cooccurrence(SF_DIR))
     timed("zipf_head", lambda: mlprep.q_zipf_head(SF_DIR), consume=None)
+    timed("region_knn_images", lambda: queries.q_region_knn_images(SF_DIR), consume=None)
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

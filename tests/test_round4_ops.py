@@ -1837,3 +1837,26 @@ def test_zipf_head_matches_counter():
     assert out["word"].tolist() == [w for w, _ in ranked]
     assert out["freq"].tolist() == [f for _, f in ranked]
     assert out["rank"].tolist() == list(range(1, len(ranked) + 1))
+
+
+def test_region_knn_images_matches_bruteforce():
+    from texel_ray.pipelines.queries import q_region_knn_images
+    from texel_ray.pipelines.relational import _rect_regions
+    from texel_ray.sources.images import images_parquet_path
+
+    out = q_region_knn_images(SF_DIR)
+    t = pq.read_table(
+        images_parquet_path(SF_DIR), columns=["image_id", "lon", "lat"]
+    ).to_pandas()
+    img = t["image_id"].str.slice(3).astype(np.int64).to_numpy()
+    lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    for j, r in enumerate(rid):
+        d2f = np.floor(((lon - cx[j]) ** 2 + (lat - cy[j]) ** 2) * 1e9).astype(
+            np.int64
+        )
+        order = np.lexsort((img, d2f))[:5]
+        sub = out[out["region"] == r].sort_values("rank")
+        assert sub["img"].tolist() == img[order].tolist()
+        assert sub["d2_fp"].tolist() == d2f[order].tolist()

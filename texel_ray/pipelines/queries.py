@@ -3330,6 +3330,91 @@ FROM {images_sql_source()}
 """
 
 
+def q_region_knn_images(sf_dir: str, k: int = 5):
+    """BIPARTITE kNN: the k nearest images to every rect-region CENTER
+    (the reverse-geocode / POI-enrichment join: small query side vs the
+    full corpus): squared degree distance, deterministic (d2, image id)
+    tiebreak. Output (region, rank, img, d2_fp) — exact fixed-point.
+
+    Shape at 100 TB: the 58 query centers broadcast (regenerated per
+    worker); each batch computes its (rows x 58) distance matrix and
+    keeps only its LOCAL top-k per center (per-batch prune — the
+    classic distributed top-k), so the driver merge sees
+    batches x 58 x k candidate rows, never the corpus."""
+    import pyarrow.compute as pc
+
+    from .relational import _rect_regions
+
+    ds = images_src.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    rid, minx, miny, maxx, maxy = _rect_regions()
+    cx = (minx + maxx) / 2.0
+    cy = (miny + maxy) / 2.0
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        img = (
+            pc.utf8_slice_codeunits(batch["image_id"], 3)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        d2 = (lon[:, None] - cx[None, :]) ** 2 + (lat[:, None] - cy[None, :]) ** 2
+        out_r, out_img, out_d2 = [], [], []
+        kk = min(k, len(img))
+        for j in range(len(rid)):
+            # local order IDENTICAL to the global rank: (floored d2, img)
+            d2f = np.floor(d2[:, j] * 1e9).astype(np.int64)
+            sel = np.lexsort((img, d2f))[:kk]
+            out_r.append(np.full(len(sel), rid[j], dtype=np.int64))
+            out_img.append(img[sel])
+            out_d2.append(d2f[sel])
+        return pa.table(
+            {
+                "region": pa.array(np.concatenate(out_r)),
+                "img": pa.array(np.concatenate(out_img)),
+                "d2_fp": pa.array(np.concatenate(out_d2)),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=16384
+    ).to_pandas()  # batches x 58 x k
+    rows = []
+    for r, g in cand.groupby("region"):
+        g = g.sort_values(["d2_fp", "img"], kind="stable").head(k)
+        for rank, (_, row) in enumerate(g.iterrows()):
+            rows.append((int(r), rank + 1, int(row["img"]), int(row["d2_fp"])))
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["region", "rank", "img", "d2_fp"]
+    ).astype(np.int64)
+
+
+def sql_region_knn_images(k: int = 5) -> str:
+    return f"""
+WITH r AS (
+  SELECT region_id, (minx + maxx) / 2.0 AS cx, (miny + maxy) / 2.0 AS cy
+  FROM {regions_sql_source()} WHERE kind = 'rect'
+),
+d AS (
+  SELECT r.region_id AS region,
+         CAST(substr(i.image_id, 4) AS BIGINT) AS img,
+         CAST(floor(((i.lon - r.cx) * (i.lon - r.cx)
+                   + (i.lat - r.cy) * (i.lat - r.cy)) * 1e9) AS BIGINT) AS d2_fp
+  FROM {images_sql_source()} i CROSS JOIN r
+),
+a AS (
+  SELECT region, img, d2_fp,
+         row_number() OVER (PARTITION BY region ORDER BY d2_fp, img) AS rank
+  FROM d
+)
+SELECT CAST(region AS BIGINT) AS region, CAST(rank AS BIGINT) AS rank,
+       img, d2_fp
+FROM a WHERE rank <= {k}
+"""
+
+
 QUERIES = {
     # dataset-level snap + raster tile cutting (non-SQL; kernel pinned by goldens)
     "snap_regions": spatial.q_snap_regions,
@@ -3490,6 +3575,7 @@ QUERIES = {
     "tile_activity_span": relational.q_tile_activity_span,
     "type_cooccurrence": relational.q_type_cooccurrence,
     "zipf_head": mlprep.q_zipf_head,
+    "region_knn_images": q_region_knn_images,
     "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
@@ -3626,6 +3712,7 @@ ORACLE_SQL = {
     "tile_activity_span": relational.sql_tile_activity_span(),
     "type_cooccurrence": relational.SQL_TYPE_COOCCURRENCE,
     "zipf_head": mlprep.SQL_ZIPF_HEAD,
+    "region_knn_images": sql_region_knn_images(),
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),
