@@ -2902,7 +2902,11 @@ FROM z
 """
 
 
-_IOU_CELL = 0.128  # degrees; >= the largest footprint extent (64 px x 0.002 deg)
+_IOU_CELL = 0.032  # degrees; sized for EVEN work, not max extent: with
+# 0.128 cells the densest urban cell held 22k rects -> 240M pair evals in
+# ONE group task (serial hot spot, measured 120-390 s at sf0.1); 0.032
+# quarters the hottest cell (6.8k) at the same total candidate volume
+# (donation spans grow to <= 5x5 for the largest footprints)
 
 
 def q_iou_footprint_join(sf_dir: str, threshold: float = 0.5):
@@ -2946,8 +2950,10 @@ def q_iou_footprint_join(sf_dir: str, threshold: float = 0.5):
         cy0 = np.floor((my - hh) / _IOU_CELL).astype(np.int64)
         cy1 = np.floor((my + hh) / _IOU_CELL).astype(np.int64)
         outs = {k: [] for k in ("cell", "img", "mx", "my", "hw", "hh")}
-        for dx in (0, 1):
-            for dy in (0, 1):
+        span_x = int((cx1 - cx0).max() + 1) if len(cx0) else 1
+        span_y = int((cy1 - cy0).max() + 1) if len(cy0) else 1
+        for dx in range(span_x):
+            for dy in range(span_y):
                 cx = cx0 + dx
                 cy = cy0 + dy
                 keep = (cx <= cx1) & (cy <= cy1)
@@ -2990,37 +2996,56 @@ def q_iou_footprint_join(sf_dir: str, threshold: float = 0.5):
         bnd = np.nonzero(cell[1:] != cell[:-1])[0] + 1
         starts = np.concatenate(([0], bnd))
         ends = np.concatenate((bnd, [len(cell)]))
+        sizes = ends - starts
         oa, ob, oi = [], [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
+
+        def emit_pairs(a, b, cellx, celly):
+            """Ownership-filtered exact IoU for global index arrays."""
+            rx = np.floor(
+                np.maximum(mx[a] - hw[a], mx[b] - hw[b]) / _IOU_CELL
+            ).astype(np.int64)
+            ry = np.floor(
+                np.maximum(my[a] - hh[a], my[b] - hh[b]) / _IOU_CELL
+            ).astype(np.int64)
+            own = (rx == cellx) & (ry == celly)
+            if not own.any():
+                return
+            a, b = a[own], b[own]
+            ix = np.minimum(mx[a] + hw[a], mx[b] + hw[b]) - np.maximum(
+                mx[a] - hw[a], mx[b] - hw[b]
+            )
+            iy = np.minimum(my[a] + hh[a], my[b] + hh[b]) - np.maximum(
+                my[a] - hh[a], my[b] - hh[b]
+            )
+            inter = np.maximum(0.0, ix) * np.maximum(0.0, iy)
+            areas = 4.0 * hw[a] * hh[a] + 4.0 * hw[b] * hh[b]
+            iou = inter / (areas - inter)
+            keep = iou >= threshold
+            oa.append(np.minimum(img[a][keep], img[b][keep]))
+            ob.append(np.maximum(img[a][keep], img[b][keep]))
+            oi.append(iou[keep])
+
+        # segments are millions of TINY cells: a per-segment Python loop
+        # costs ~30 us each (measured 280 s at sf0.1). Group segments of
+        # EQUAL size and broadcast one triangle template across all of
+        # them — ~50 bulk iterations instead of ~2M.
+        small = sizes <= 512
+        for m in np.unique(sizes[small]):
+            if m < 2:
                 continue
+            segs = starts[small & (sizes == m)]
+            ia, ib = np.triu_indices(int(m), k=1)
+            a = (segs[:, None] + ia[None, :]).ravel()
+            b = (segs[:, None] + ib[None, :]).ravel()
+            ck = cell[a]
+            emit_pairs(a, b, ck >> 32, (ck & 0xFFFFFFFF).astype(np.int32).astype(np.int64))
+        for s, e in zip(starts[~small], ends[~small]):
+            n = e - s
             ckey = cell[s]
             cellx, celly = ckey >> 32, np.int64(np.int32(ckey & 0xFFFFFFFF))
-            for ia, ib in _triangle_pair_indices(n):
+            for ia, ib in _triangle_pair_indices(n, tile=8192):
                 a, b = ia + s, ib + s
-                ix = np.minimum(mx[a] + hw[a], mx[b] + hw[b]) - np.maximum(
-                    mx[a] - hw[a], mx[b] - hw[b]
-                )
-                iy = np.minimum(my[a] + hh[a], my[b] + hh[b]) - np.maximum(
-                    my[a] - hh[a], my[b] - hh[b]
-                )
-                inter = np.maximum(0.0, ix) * np.maximum(0.0, iy)
-                areas = 4.0 * hw[a] * hh[a] + 4.0 * hw[b] * hh[b]
-                iou = inter / (areas - inter)
-                # reference point: the intersection's min corner
-                rx = np.floor(
-                    np.maximum(mx[a] - hw[a], mx[b] - hw[b]) / _IOU_CELL
-                ).astype(np.int64)
-                ry = np.floor(
-                    np.maximum(my[a] - hh[a], my[b] - hh[b]) / _IOU_CELL
-                ).astype(np.int64)
-                keep = (iou >= threshold) & (rx == cellx) & (ry == celly)
-                lo = np.minimum(img[a][keep], img[b][keep])
-                hi = np.maximum(img[a][keep], img[b][keep])
-                oa.append(lo)
-                ob.append(hi)
-                oi.append(iou[keep])
+                emit_pairs(a, b, cellx, celly)
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(oa) if oa else np.array([], dtype=np.int64),
