@@ -238,6 +238,9 @@ def run_benchmarks() -> dict:
     timed("type_cooccurrence", lambda: relational.q_type_cooccurrence(SF_DIR))
     timed("zipf_head", lambda: mlprep.q_zipf_head(SF_DIR), consume=None)
     timed("region_knn_images", lambda: queries.q_region_knn_images(SF_DIR), consume=None)
+    timed("word_burstiness", lambda: mlprep.q_word_burstiness(SF_DIR))
+    timed("novelty_curve", lambda: mlprep.q_novelty_curve(SF_DIR))
+    timed("activity_heatmap", lambda: relational.q_activity_heatmap(SF_DIR))
     timed("max_concurrency", lambda: relational.q_max_concurrency(SF_DIR))
     timed("interval_union_len", lambda: relational.q_interval_union_len(SF_DIR))
     timed("triangle_regions", lambda: relational.q_triangle_regions(SF_DIR))

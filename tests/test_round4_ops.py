@@ -1860,3 +1860,56 @@ def test_region_knn_images_matches_bruteforce():
         sub = out[out["region"] == r].sort_values("rank")
         assert sub["img"].tolist() == img[order].tolist()
         assert sub["d2_fp"].tolist() == d2f[order].tolist()
+
+
+def test_word_burstiness_matches_counter():
+    from collections import Counter
+
+    from texel_ray.pipelines.mlprep import q_word_burstiness
+
+    out = q_word_burstiness(SF_DIR).to_pandas().set_index("word")
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    agg = {}
+    for t in docs["text"]:
+        for w, f in Counter((t or "").split()).items():
+            df, s1, s2 = agg.get(w, (0, 0, 0))
+            agg[w] = (df + 1, s1 + f, s2 + f * f)
+    want = {w: v for w, v in agg.items() if v[0] >= 5}
+    assert sorted(out.index.tolist()) == sorted(want)
+    for w, (df, s1, s2) in want.items():
+        assert int(out.loc[w, "df"]) == df
+        assert int(out.loc[w, "sum_tf"]) == s1
+        assert int(out.loc[w, "sum_tf2"]) == s2
+
+
+def test_novelty_curve_matches_first_seen():
+    from texel_ray.pipelines.mlprep import q_novelty_curve
+    from texel_ray.stages.dedup import shingle_set
+
+    out = q_novelty_curve(SF_DIR).to_pandas().set_index("doc_id")
+    docs = (
+        pq.read_table(f"{SF_DIR}/documents.parquet")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    seen = set()
+    want = {}
+    for _, row in docs.iterrows():
+        sh = shingle_set(row["text"], 2)
+        fresh = sh - seen
+        if fresh:
+            want[int(row["doc_id"])] = len(fresh)
+        seen |= sh
+    assert sorted(out.index.tolist()) == sorted(want)
+    for d, n in want.items():
+        assert int(out.loc[d, "n_introduced"]) == n
+
+
+def test_activity_heatmap_totals():
+    from texel_ray.pipelines.relational import q_activity_heatmap
+
+    out = q_activity_heatmap(SF_DIR).to_pandas()
+    ev = _events()
+    assert int(out["n"].sum()) == len(ev)
+    assert out["hour"].between(0, 23).all()
+    assert out["weekday"].between(0, 6).all()

@@ -4504,3 +4504,125 @@ FROM c
 ORDER BY freq DESC, word
 LIMIT 100
 """
+
+
+def q_word_burstiness(sf_dir: str, min_df: int = 5):
+    """WORD BURSTINESS moments (Church-Gale dispersion: a word appearing
+    20x in one doc differs from one appearing once in 20 docs — the
+    spam/topicality signal tf-idf misses): per word with df >= min_df,
+    exact (df, sum_tf, sum_tf2) — the variance-to-mean ratio derives
+    downstream exactly.
+
+    Shape at 100 TB: per-batch per-doc tf counting (vectorized dict
+    fold), ONE (word) combiner summing the three moments."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        words, dfs, tfs, tf2s = [], [], [], []
+        for t in batch["text"].to_pylist():
+            tf: dict[str, int] = {}
+            for w in (t or "").split():
+                tf[w] = tf.get(w, 0) + 1
+            for w, f in tf.items():
+                words.append(w)
+                dfs.append(1)
+                tfs.append(f)
+                tf2s.append(f * f)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "sum_tf": pa.array(tfs, pa.int64()),
+                "sum_tf2": pa.array(tf2s, pa.int64()),
+            }
+        )
+
+    out = partial_sum_groupby(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=512),
+        ["word"],
+        ["df", "sum_tf", "sum_tf2"],
+        coalesce=4,
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = batch["df"].to_numpy(zero_copy_only=False) >= min_df
+        return batch.filter(pa.array(keep))
+
+    return out.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_WORD_BURSTINESS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS f FROM w GROUP BY 1, 2)
+SELECT word, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(f) AS BIGINT) AS sum_tf,
+       CAST(sum(f * f) AS BIGINT) AS sum_tf2
+FROM tf GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def q_novelty_curve(sf_dir: str, ngram: int = 2):
+    """CONTENT NOVELTY attribution (which documents INTRODUCED the
+    corpus's bigrams — the dataset-growth/contamination audit that
+    shows whether new data still adds new content): every distinct
+    bigram shingle is credited to its smallest doc_id; output per
+    crediting doc: how many bigrams it introduced.
+
+    Shape at 100 TB: per-doc distinct shingle rows -> ONE (shingle)
+    min-doc combiner (partial_min_groupby) -> doc-dimension count
+    combiner. Text never shuffles; shingle keys only."""
+    from ..stages.agg import partial_min_groupby, partial_sum_groupby
+    from ..stages.dedup import _hash_tokens_ngrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        gs, ids = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = np.unique(
+                _hash_tokens_ngrams((t or "").split(), ngram).astype(np.int64)
+            )
+            gs.append(h)
+            ids.append(np.full(len(h), did, dtype=np.int64))
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(gs) if gs else [], pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(ids) if ids else [], pa.int64()
+                ),
+            }
+        )
+
+    first = partial_min_groupby(
+        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512),
+        ["g"],
+        ["doc_id"],
+        coalesce=8,
+    )
+    return partial_sum_groupby(
+        first, ["doc_id"], [], count_alias="n_introduced", coalesce=4
+    )
+
+
+SQL_NOVELTY_CURVE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))
+         END AS sh
+  FROM t
+),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+f AS (SELECT g, min(doc_id) AS doc_id FROM e GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_introduced
+FROM f GROUP BY 1
+"""

@@ -3601,6 +3601,9 @@ QUERIES = {
     "type_cooccurrence": relational.q_type_cooccurrence,
     "zipf_head": mlprep.q_zipf_head,
     "region_knn_images": q_region_knn_images,
+    "word_burstiness": mlprep.q_word_burstiness,
+    "novelty_curve": mlprep.q_novelty_curve,
+    "activity_heatmap": relational.q_activity_heatmap,
     "phash_bit_stats": mlprep.q_phash_bit_stats,
     "tpch_q10": relational.q_tpch_q10,
     "ripley_pairs": q_ripley_pairs,
@@ -3738,6 +3741,9 @@ ORACLE_SQL = {
     "type_cooccurrence": relational.SQL_TYPE_COOCCURRENCE,
     "zipf_head": mlprep.SQL_ZIPF_HEAD,
     "region_knn_images": sql_region_knn_images(),
+    "word_burstiness": mlprep.SQL_WORD_BURSTINESS,
+    "novelty_curve": mlprep.SQL_NOVELTY_CURVE,
+    "activity_heatmap": relational.SQL_ACTIVITY_HEATMAP,
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
     "ripley_pairs": sql_ripley_pairs(),

@@ -5927,3 +5927,38 @@ FROM d a JOIN d b
  AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def q_activity_heatmap(sf_dir: str):
+    """WEEKDAY x HOUR activity heatmap (the 7x24 staffing/capacity
+    grid): exact counts per (weekday, hour-of-day), both pure integer
+    epoch arithmetic. ONE stateless combiner; 168-row output."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+    HOUR_US = 3600 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "weekday": pa.array((us // (86400 * 1_000_000)) % 7, pa.int64()),
+                "hour": pa.array((us // HOUR_US) % 24, pa.int64()),
+            }
+        )
+
+    return partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["weekday", "hour"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+SQL_ACTIVITY_HEATMAP = """
+SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
