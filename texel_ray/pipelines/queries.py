@@ -3043,9 +3043,38 @@ def q_iou_footprint_join(sf_dir: str, threshold: float = 0.5):
             n = e - s
             ckey = cell[s]
             cellx, celly = ckey >> 32, np.int64(np.int32(ckey & 0xFFFFFFFF))
-            for ia, ib in _triangle_pair_indices(n, tile=8192):
-                a, b = ia + s, ib + s
-                emit_pairs(a, b, cellx, celly)
+            # slice the segment's columns FIRST: triangle gathers then
+            # index a few-thousand-element (L2-resident) window instead
+            # of the full multi-million-row block (random gathers over
+            # the wide arrays measured ~1M pair evals/s; sliced locals
+            # are cache-resident)
+            smx, smy = mx[s:e], my[s:e]
+            shw, shh = hw[s:e], hh[s:e]
+            simg = img[s:e]
+            for ia, ib in _triangle_pair_indices(n, tile=4096):
+                rx = np.floor(
+                    np.maximum(smx[ia] - shw[ia], smx[ib] - shw[ib]) / _IOU_CELL
+                ).astype(np.int64)
+                ry = np.floor(
+                    np.maximum(smy[ia] - shh[ia], smy[ib] - shh[ib]) / _IOU_CELL
+                ).astype(np.int64)
+                own = (rx == cellx) & (ry == celly)
+                if not own.any():
+                    continue
+                ia2, ib2 = ia[own], ib[own]
+                ix = np.minimum(
+                    smx[ia2] + shw[ia2], smx[ib2] + shw[ib2]
+                ) - np.maximum(smx[ia2] - shw[ia2], smx[ib2] - shw[ib2])
+                iy = np.minimum(
+                    smy[ia2] + shh[ia2], smy[ib2] + shh[ib2]
+                ) - np.maximum(smy[ia2] - shh[ia2], smy[ib2] - shh[ib2])
+                inter = np.maximum(0.0, ix) * np.maximum(0.0, iy)
+                areas = 4.0 * shw[ia2] * shh[ia2] + 4.0 * shw[ib2] * shh[ib2]
+                iou = inter / (areas - inter)
+                keep = iou >= threshold
+                oa.append(np.minimum(simg[ia2][keep], simg[ib2][keep]))
+                ob.append(np.maximum(simg[ia2][keep], simg[ib2][keep]))
+                oi.append(iou[keep])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(oa) if oa else np.array([], dtype=np.int64),
