@@ -16,6 +16,21 @@ def dlit(x) -> str:
     return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
 
 
+def cluster_cpus(default: int = 32) -> int:
+    """Total CPUs the Ray cluster currently exposes. Used to size join
+    partition counts and repartition widths so stages scale with the
+    cluster instead of a sandbox-sized constant; falls back to
+    `default` when called before ray.init (e.g. planning in a test)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(2, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:  # pragma: no cover - ray import/runtime edge
+        pass
+    return default
+
+
 def read_table(sf_dir: str, table: str, columns=None):
     import ray.data
 
