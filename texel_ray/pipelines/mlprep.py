@@ -8,6 +8,7 @@ import pyarrow as pa
 
 
 from .common import (
+    cluster_cpus as _ccpus,
     distinct_pairs,
     dlit as _dlit,
     hot_bucket_filter,
@@ -311,7 +312,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     j = cand.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_a",),
         right_on=("doc_id",),
     ).map_batches(
@@ -324,7 +325,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.8):
     j = j.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_b",),
         right_on=("doc_id",),
     ).map_batches(
@@ -3647,6 +3648,115 @@ GROUP BY 1
 """
 
 
+def _add_token_bucket(b: pa.Table) -> pa.Table:
+    """512-way fold-hash superbucket on the shingle key `g`."""
+    return b.append_column(
+        "__gb",
+        pa.array(
+            (
+                (b["g"].to_numpy(zero_copy_only=False) & np.int64(0x7FFFFFFF))
+                * np.int64(2654435761)
+            )
+            % np.int64(512)
+        ),
+    )
+
+
+def _shingle_rows_ds(ds, doc_shingles):
+    """(doc_id, g, n) rows: one row per (doc, DISTINCT shingle), with the
+    doc's distinct-shingle count n carried on every row (needed for the
+    per-doc prefix length). The corpus-dimension expansion streams —
+    nothing lands on the driver."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_g, out_id, out_n = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = doc_shingles(text)
+            if len(h) == 0:
+                continue
+            out_g.append(h)
+            out_id.append(np.full(len(h), did, dtype=np.int64))
+            out_n.append(np.full(len(h), len(h), dtype=np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_id) if out_id else [], pa.int64()
+                ),
+                "g": pa.array(
+                    np.concatenate(out_g) if out_g else [], pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate(out_n) if out_n else [], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512)
+
+
+def _rarest_prefix_select(rows, threshold: float):
+    """Per-doc rarest-first PREFIX rows (g, doc_id) without broadcasting
+    the vocabulary: first a 512-way TOKEN-superbucket groupby attaches
+    each row's document frequency in place (every occurrence of a
+    shingle hashes to the same bucket, so the within-bucket count IS the
+    global df — a reduce-side join with no driver hop and no join
+    operator), then a 512-way DOC-superbucket groupby selects each doc's
+    p = n - ceil(tau*n) + 1 smallest shingles under the global
+    (df asc, g asc) order. Ordering by the (df, g) SORT KEY directly is
+    equivalent to the dense rarest-first rank (same total order, and a
+    doc's shingles are distinct), so no global rank array is ever
+    materialized or shipped in task closures."""
+    import pandas as pd
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        g = group["g"].to_numpy()
+        _, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
+        out = group[["doc_id", "g", "n"]].copy()
+        out["df"] = cnt[inv].astype(np.int64)
+        return out
+
+    with_df = (
+        rows.map_batches(_add_token_bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(attach_df, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "__db",
+                pa.array(
+                    (
+                        (
+                            b["doc_id"].to_numpy(zero_copy_only=False)
+                            & np.int64(0x7FFFFFFF)
+                        )
+                        * np.int64(2654435761)
+                    )
+                    % np.int64(512)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def prefix_select(group: pd.DataFrame) -> pd.DataFrame:
+        did = group["doc_id"].to_numpy()
+        g = group["g"].to_numpy()
+        n = group["n"].to_numpy()
+        dfv = group["df"].to_numpy()
+        order = np.lexsort((g, dfv, did))
+        did, g, n = did[order], g[order], n[order]
+        bnd = np.nonzero(did[1:] != did[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(did)]))
+        pos = np.arange(len(did)) - np.repeat(starts, ends - starts)
+        p = (n - np.ceil(threshold * n) + 1).astype(np.int64)
+        keep = pos < p
+        return pd.DataFrame({"g": g[keep], "doc_id": did[keep]})
+
+    return with_df.groupby("__db").map_groups(prefix_select, batch_format="pandas")
+
+
 def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
     """ALL-PAIRS exact set-similarity self-join with PREFIX FILTERING
     (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07 /
@@ -3664,13 +3774,15 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
     PREFIX tokens are exploded for candidate generation.
 
     Shape at 100 TB: stage 1 is a (shingle) df combiner (vocab
-    dimension); the rarest-first order means hot shingles almost never
-    appear in prefixes, collapsing the classic inverted-index hot-key
-    blowup; candidates are pair-dimension; verification re-reads only
-    candidate texts (broadcast semi-join fetch). The df rank table is
-    broadcast once — at corpus scale only the df head need ship, the
-    tail defaulting to df=1 (any underestimate only lengthens
-    prefixes, never loses recall)."""
+    dimension, stays a DATASET); the rarest-first order means hot
+    shingles almost never appear in prefixes, collapsing the classic
+    inverted-index hot-key blowup; candidates are pair-dimension;
+    verification re-reads only candidate texts (broadcast semi-join
+    fetch). Rank assignment is a DATASET JOIN on the shingle key —
+    (doc,shingle) rows ⋈ df table, per-doc prefix selection in a
+    512-way doc-superbucket groupby with (df, g) as the order key
+    directly (no dense rank, so no driver-side vocabulary
+    materialization and no multi-GB task-closure broadcast)."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data
@@ -3689,71 +3801,13 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
             _hash_tokens_ngrams((text or "").split(), ngram).astype(np.int64)
         )
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        gs = [doc_shingles(t) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"g": pa.array(np.concatenate(gs) if gs else [], pa.int64())}
-        )
-
-    df_tab = partial_sum_groupby(
-        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512),
-        ["g"],
-        [],
-        count_alias="df",
-        coalesce=4,
-    ).to_pandas()  # shingle-vocab dimension
-    g_arr = df_tab["g"].to_numpy()
-    df_arr = df_tab["df"].to_numpy()
-    # global canonical order: (df asc, g asc) — rarest first
-    order = np.lexsort((g_arr, df_arr))
-    rank = np.empty(len(order), dtype=np.int64)
-    rank[order] = np.arange(len(order))
-    g_sorted_idx = np.argsort(g_arr)
-    g_sorted = g_arr[g_sorted_idx]
-    rank_by_g = rank[g_sorted_idx]
-
-    def prefix_emit(batch: pa.Table) -> pa.Table:
-        out_g, out_id = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            h = doc_shingles(text)
-            n = len(h)
-            if n == 0:
-                continue
-            p = n - int(np.ceil(threshold * n)) + 1
-            r = rank_by_g[np.searchsorted(g_sorted, h)]
-            keep = h[np.argsort(r)[:p]]
-            out_g.append(keep)
-            out_id.append(np.full(len(keep), did, dtype=np.int64))
-        return pa.table(
-            {
-                "g": pa.array(
-                    np.concatenate(out_g) if out_g else [], pa.int64()
-                ),
-                "doc_id": pa.array(
-                    np.concatenate(out_id) if out_id else [], pa.int64()
-                ),
-            }
-        )
-
-    prefixes = ds.map_batches(
-        prefix_emit, batch_format="pyarrow", batch_size=512
-    ).map_batches(
+    rows = _shingle_rows_ds(ds, doc_shingles)
+    prefixes = _rarest_prefix_select(rows, threshold).map_batches(
         # 512-way token superbucket: grouping on the raw prefix token
         # dispatches one pandas map_groups per DISTINCT token (measured
         # 381 s at sf0.1 — the per-tiny-group tax); the fold-hash bucket
         # cuts dispatches to 512 with a vectorized in-bucket kernel
-        lambda b: b.append_column(
-            "__gb",
-            pa.array(
-                (
-                    (b["g"].to_numpy(zero_copy_only=False) & np.int64(0x7FFFFFFF))
-                    * np.int64(2654435761)
-                )
-                % np.int64(512)
-            ),
-        ),
+        _add_token_bucket,
         batch_format="pyarrow",
     )
 
@@ -3822,7 +3876,7 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
     j = cand.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_a",),
         right_on=("doc_id",),
     ).map_batches(
@@ -3834,7 +3888,7 @@ def q_allpairs_jaccard(sf_dir: str, threshold: float = 0.75, ngram: int = 3):
     j = j.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_b",),
         right_on=("doc_id",),
     ).map_batches(
@@ -4011,8 +4065,11 @@ def q_containment_join(sf_dir: str, threshold: float = 0.9, ngram: int = 3):
     (|A| - ceil(tau*|A|) + 1) tokens must hit SOME token of B — so the
     query side emits prefixes while the index side emits full sets.
 
-    Shape at 100 TB: df combiner -> broadcast rarest-first order;
-    query-prefix rows join index-full rows in ONE 512-way
+    Shape at 100 TB: df combiner (stays a DATASET); rank assignment is
+    a dataset join on the shingle key + per-doc prefix selection in a
+    doc-superbucket groupby (same de-broadcast shape as
+    allpairs_jaccard — no driver-side vocabulary, no task-closure rank
+    arrays); query-prefix rows union index-full rows into ONE 512-way
     token-superbucket groupby (vectorized per-segment bipartite
     candidate generation); candidates are pair-dimension; verification
     re-reads only candidate texts (semi-join fetch)."""
@@ -4030,66 +4087,35 @@ def q_containment_join(sf_dir: str, threshold: float = 0.9, ngram: int = 3):
             _hash_tokens_ngrams((text or "").split(), ngram).astype(np.int64)
         )
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        gs = [doc_shingles(t) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {"g": pa.array(np.concatenate(gs) if gs else [], pa.int64())}
+    srows = _shingle_rows_ds(ds, doc_shingles)
+
+    def idx_tag(b: pa.Table) -> pa.Table:
+        return _add_token_bucket(
+            pa.table(
+                {
+                    "g": b["g"],
+                    "doc_id": b["doc_id"],
+                    "side": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            )
         )
 
-    df_tab = partial_sum_groupby(
-        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=512),
-        ["g"],
-        [],
-        count_alias="df",
-        coalesce=4,
-    ).to_pandas()
-    g_arr = df_tab["g"].to_numpy()
-    df_arr = df_tab["df"].to_numpy()
-    order = np.lexsort((g_arr, df_arr))
-    rank = np.empty(len(order), dtype=np.int64)
-    rank[order] = np.arange(len(order))
-    g_sorted_idx = np.argsort(g_arr)
-    g_sorted = g_arr[g_sorted_idx]
-    rank_by_g = rank[g_sorted_idx]
-
-    def emit_sides(batch: pa.Table) -> pa.Table:
-        out_g, out_id, out_side = [], [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            h = doc_shingles(text)
-            n = len(h)
-            if n == 0:
-                continue
-            # index side: every token
-            out_g.append(h)
-            out_id.append(np.full(n, did, dtype=np.int64))
-            out_side.append(np.zeros(n, dtype=np.int8))
-            # query side: the rarest prefix
-            p = n - int(np.ceil(threshold * n)) + 1
-            r = rank_by_g[np.searchsorted(g_sorted, h)]
-            keep = h[np.argsort(r)[:p]]
-            out_g.append(keep)
-            out_id.append(np.full(len(keep), did, dtype=np.int64))
-            out_side.append(np.ones(len(keep), dtype=np.int8))
-        g = np.concatenate(out_g) if out_g else np.array([], dtype=np.int64)
-        return pa.table(
-            {
-                "g": pa.array(g, pa.int64()),
-                "doc_id": pa.array(
-                    np.concatenate(out_id) if out_id else [], pa.int64()
-                ),
-                "side": pa.array(
-                    np.concatenate(out_side) if out_side else [], pa.int8()
-                ),
-                "__gb": pa.array(
-                    ((g & np.int64(0x7FFFFFFF)) * np.int64(2654435761))
-                    % np.int64(512)
-                ),
-            }
+    def qry_tag(b: pa.Table) -> pa.Table:
+        return _add_token_bucket(
+            pa.table(
+                {
+                    "g": b["g"].cast(pa.int64()),
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "side": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            )
         )
 
-    rows = ds.map_batches(emit_sides, batch_format="pyarrow", batch_size=512)
+    rows = srows.map_batches(idx_tag, batch_format="pyarrow").union(
+        _rarest_prefix_select(srows, threshold).map_batches(
+            qry_tag, batch_format="pyarrow"
+        )
+    )
 
     def segment_candidates(group) -> "pd.DataFrame":
         g_arr2 = group["g"].to_numpy()
@@ -4149,7 +4175,7 @@ def q_containment_join(sf_dir: str, threshold: float = 0.9, ngram: int = 3):
     j = cand.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_a",),
         right_on=("doc_id",),
     ).map_batches(
@@ -4161,7 +4187,7 @@ def q_containment_join(sf_dir: str, threshold: float = 0.9, ngram: int = 3):
     j = j.join(
         texts_small,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=max(2, _ccpus() // 8),
         on=("id_b",),
         right_on=("doc_id",),
     ).map_batches(

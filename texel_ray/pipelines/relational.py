@@ -12,9 +12,28 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
+from .common import cluster_cpus as _ccpus
 from .common import read_table as _read
+
+
+def _str_eq(col, value: str) -> np.ndarray:
+    """Boolean mask ``col == value`` as a pure Arrow kernel — no per-row
+    Python boxing (replaces the ``np.asarray(col.to_pylist(), object)``
+    idiom that boxed every row of the hot scans)."""
+    return pc.equal(col, value).to_numpy(zero_copy_only=False)
+
+
+def _str_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Dictionary-encode a string column to (int64 codes, categories):
+    grouping and multi-way comparison run on ints, and per-value work
+    (hashing, comparisons) runs once per DISTINCT value, not per row."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, np.asarray(enc.dictionary, dtype=object)
 
 
 def q_agg_pricing(sf_dir: str):
@@ -93,7 +112,8 @@ def _customer_segment_lookup(sf_dir: str):
     )
     keys = cust["c_custkey"].to_numpy()
     order = np.argsort(keys)
-    vals = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[order]
+    codes, cats = _str_codes(cust["c_mktsegment"])
+    vals = cats[codes][order]
     return keys[order], vals
 
 
@@ -406,8 +426,12 @@ def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     )
 
     def sizes(batch: pa.Table) -> pa.Table:
-        lens = np.array([len(b) for b in batch["bytes"].to_pylist()], dtype=np.int64)
-        return pa.table({"fmt": batch["fmt"], "out_bytes": pa.array(lens)})
+        # offset arithmetic on the Arrow binary column — the payloads
+        # themselves are never boxed into Python bytes objects
+        lens = pc.binary_length(batch["bytes"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"fmt": batch["fmt"], "out_bytes": pa.array(lens.astype(np.int64))}
+        )
 
     return partial_sum_groupby(
         ds.map_batches(sizes, batch_format="pyarrow"),
@@ -1091,7 +1115,8 @@ def q_join_part_brand(sf_dir: str):
     keys = part["p_partkey"].to_numpy()
     order = np.argsort(keys)
     keys = keys[order]
-    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    bcodes, bcats = _str_codes(part["p_brand"])
+    brands = bcats[bcodes][order]
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
 
@@ -1724,12 +1749,14 @@ def q_dist_join_events(
         lon, lat = _event_geo_np(uid, eid)
         cx = np.floor(lon / eps).astype(np.int64)
         cy = np.floor(lat / eps).astype(np.int64)
-        et = batch["event_type"].to_pylist()
-        tcode = np.fromiter(
-            (zlib.crc32(t.encode()) & 0x7FFFFFFF for t in et),
+        # crc32 once per DISTINCT type (dictionary codes), not per row
+        codes, cats = _str_codes(batch["event_type"])
+        cat_crc = np.fromiter(
+            (zlib.crc32(t.encode()) & 0x7FFFFFFF for t in cats),
             dtype=np.int64,
-            count=len(et),
+            count=len(cats),
         )
+        tcode = cat_crc[codes]
         cells, ids, xs, ys, tc = [], [], [], [], []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -2154,30 +2181,56 @@ def q_region_coviz(sf_dir: str):
     """Region CO-VISITATION matrix (market-basket co-occurrence): for
     every pair of rect regions, how many users visited BOTH (distinct
     per user; unassigned events excluded). Same geotag + min-region
-    assign as od_flows; per user a vectorized unique + triangle pair
-    expansion; pair counts merge through the combiner — the output is
-    regions^2-bounded, the exchange carries (user, region) int rows
-    only. Exact SQL oracle: distinct user-region self-join."""
+    assign as od_flows; users bucketed 512-way (_add_user_bucket) so the
+    map_groups dispatch count is the bucket count, not the user count
+    (the measured-4.5x late_events precedent); inside each bucket ONE
+    vectorized dedup + equal-size-class triangle template expansion —
+    no per-user Python loop. Pair counts merge through the combiner —
+    the output is regions^2-bounded, the exchange carries (user,
+    region) int rows only. Exact SQL oracle: distinct user-region
+    self-join."""
     from ..stages.agg import partial_sum_groupby
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     skinny = ds.map_batches(
         _event_pos_region_batch, batch_format="pyarrow", batch_size=16384
-    )
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        r = np.unique(group["region"].to_numpy())
-        r = r[r >= 0]
-        ia, ib = np.triu_indices(len(r), k=1)
-        return pd.DataFrame(
-            {
-                "region_a": r[ia],
-                "region_b": r[ib],
-                "n_partial": np.ones(len(ia), dtype=np.int64),
-            }
+        g = group[group["region"] >= 0]
+        uid = g["user_id"].to_numpy()
+        reg = g["region"].to_numpy()
+        order = np.lexsort((reg, uid))
+        uid, reg = uid[order], reg[order]
+        keep = np.ones(len(uid), dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (reg[1:] != reg[:-1])
+        uid, reg = uid[keep], reg[keep]
+        bnd = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd)) if len(uid) else np.empty(0, np.int64)
+        ends = np.concatenate((bnd, [len(uid)])) if len(uid) else starts
+        seglen = ends - starts
+        out_a, out_b = [], []
+        for k in np.unique(seglen):
+            if k < 2:
+                continue
+            sel = starts[seglen == k]
+            ia, ib = np.triu_indices(int(k), k=1)
+            out_a.append(reg[(sel[:, None] + ia[None, :]).ravel()])
+            out_b.append(reg[(sel[:, None] + ib[None, :]).ravel()])
+        if out_a:
+            ra = np.concatenate(out_a)
+            rb = np.concatenate(out_b)
+        else:
+            ra = rb = np.empty(0, dtype=reg.dtype)
+        loc = (
+            pd.DataFrame({"region_a": ra, "region_b": rb})
+            .groupby(["region_a", "region_b"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
         )
+        return loc
 
-    parts = skinny.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    parts = skinny.groupby("__ub").map_groups(pairs, batch_format="pandas")
     agg = partial_sum_groupby(
         parts, ["region_a", "region_b"], ["n_partial"], coalesce=4
     )
@@ -2231,20 +2284,23 @@ def q_upsert_latest(sf_dir: str):
 
     def batch_latest(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        # dictionary codes, not boxed strings: the type column is only a
+        # GROUPING key here (latest-per-key keeps the max (ts, eid) row
+        # within each (user, type) run, so inter-type order is free)
+        tcode, cats = _str_codes(batch["event_type"])
         ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
         cents = np.floor(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        order = np.lexsort((eid, ts, typ, uid))
-        u, t = uid[order], typ[order]
+        order = np.lexsort((eid, ts, tcode, uid))
+        u, t = uid[order], tcode[order]
         last = np.nonzero((u[1:] != u[:-1]) | (t[1:] != t[:-1]))[0]
         keep = order[np.concatenate((last, [len(u) - 1]))] if len(u) else order
         return pa.table(
             {
                 "user_id": pa.array(uid[keep], pa.int64()),
-                "event_type": pa.array(typ[keep].tolist(), pa.string()),
+                "event_type": pa.array(cats[tcode[keep]], pa.string()),
                 "ts_us": pa.array(ts[keep], pa.int64()),
                 "event_id": pa.array(eid[keep], pa.int64()),
                 "cents": pa.array(cents[keep], pa.int64()),
@@ -2374,10 +2430,12 @@ def q_funnel_conversion(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
     def skinnify(batch: pa.Table) -> pa.Table:
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        stage = np.full(len(typ), -1, dtype=np.int64)
+        # per-DISTINCT-value stage map via dictionary codes (no boxing)
+        tcode, cats = _str_codes(batch["event_type"])
+        cat_stage = np.full(len(cats), -1, dtype=np.int64)
         for k, name in enumerate(stages):
-            stage[typ == name] = k
+            cat_stage[cats == name] = k
+        stage = cat_stage[tcode]
         keep = stage >= 0
         return pa.table(
             {
@@ -4037,13 +4095,14 @@ def q_cross_corr_daily(sf_dir: str, max_lag: int = 3):
     sx_name, sy_name = "click", "purchase"
 
     def skinnify(batch: pa.Table) -> pa.Table:
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        keep = (typ == sx_name) | (typ == sy_name)
+        is_x = _str_eq(batch["event_type"], sx_name)
+        is_y_all = _str_eq(batch["event_type"], sy_name)
+        keep = is_x | is_y_all
         day = (
             batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
             // DAY_US
         )[keep]
-        is_y = (typ[keep] == sy_name).astype(np.int64)
+        is_y = is_y_all[keep].astype(np.int64)
         return pa.table(
             {"day": pa.array(day, pa.int64()), "is_y": pa.array(is_y)}
         )
@@ -4361,8 +4420,7 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01"
             np.concatenate(
                 [
                     b["c_custkey"].to_numpy(zero_copy_only=False)[
-                        np.asarray(b["c_mktsegment"].to_pylist(), dtype=object)
-                        == segment
+                        _str_eq(b["c_mktsegment"], segment)
                     ]
                     for b in cust.iter_batches(batch_format="pyarrow")
                 ]
@@ -4409,7 +4467,7 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01"
     joined = li_small.join(
         o_small,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=max(8, _ccpus() // 2),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -4906,8 +4964,8 @@ def q_abandoned_clicks(sf_dir: str, window_s: int = 3600):
     DAY_US = 86400 * 1_000_000
 
     def skinnify(batch: pa.Table) -> pa.Table:
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        keep = (typ == "click") | (typ == "purchase")
+        is_p = _str_eq(batch["event_type"], "purchase")
+        keep = _str_eq(batch["event_type"], "click") | is_p
         return pa.table(
             {
                 "user_id": pa.array(
@@ -4919,7 +4977,7 @@ def q_abandoned_clicks(sf_dir: str, window_s: int = 3600):
                     .cast(pa.int64())
                     .to_numpy()[keep]
                 ),
-                "is_purchase": pa.array((typ[keep] == "purchase").astype(np.int8)),
+                "is_purchase": pa.array(is_p[keep].astype(np.int8)),
             }
         )
 
@@ -4992,13 +5050,16 @@ def q_ab_test_counts(sf_dir: str):
 
     def skinnify(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "arm": pa.array(_fold_hash(uid, 2)),
-                "clicks": pa.array((typ == "click").astype(np.int64)),
-                "purchases": pa.array((typ == "purchase").astype(np.int64)),
+                "clicks": pa.array(
+                    _str_eq(batch["event_type"], "click").astype(np.int64)
+                ),
+                "purchases": pa.array(
+                    _str_eq(batch["event_type"], "purchase").astype(np.int64)
+                ),
             }
         )
 
@@ -5084,7 +5145,7 @@ def q_fulfillment_lag(sf_dir: str):
     joined = li.map_batches(l_skinny, batch_format="pyarrow").join(
         orders.map_batches(o_skinny, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=max(8, _ccpus() // 2),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -5343,12 +5404,12 @@ def q_tile_diversity(sf_dir: str, zoom: int = 6):
         tx = np.trunc(fx).astype(np.int64)
         ty = np.trunc(fy).astype(np.int64)
         ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)[ok]
+        mask = pa.array(ok)
         return pa.table(
             {
                 "tile_x": pa.array(tx[ok]),
                 "tile_y": pa.array(ty[ok]),
-                "event_type": pa.array(typ, pa.string()),
+                "event_type": batch["event_type"].filter(mask),
             }
         )
 
@@ -5448,8 +5509,7 @@ def q_tpch_q10(sf_dir: str, cutoff: str = "1997-01-01", k: int = 20):
     )
 
     def l_filter(batch: pa.Table) -> pa.Table:
-        flag = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
-        keep = flag == "R"
+        keep = _str_eq(batch["l_returnflag"], "R")
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
         return pa.table(
@@ -5464,7 +5524,7 @@ def q_tpch_q10(sf_dir: str, cutoff: str = "1997-01-01", k: int = 20):
     joined = li.map_batches(l_filter, batch_format="pyarrow").join(
         orders.map_batches(o_filter, batch_format="pyarrow"),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=max(8, _ccpus() // 2),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -5521,8 +5581,8 @@ def q_conversion_latency(sf_dir: str, window_s: int = 86400):
     edges_us = np.array([60, 3600, 21600, 86400], dtype=np.int64) * 1_000_000
 
     def skinnify(batch: pa.Table) -> pa.Table:
-        typ = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        keep = (typ == "click") | (typ == "purchase")
+        is_p = _str_eq(batch["event_type"], "purchase")
+        keep = _str_eq(batch["event_type"], "click") | is_p
         return pa.table(
             {
                 "user_id": pa.array(
@@ -5534,7 +5594,7 @@ def q_conversion_latency(sf_dir: str, window_s: int = 86400):
                     .cast(pa.int64())
                     .to_numpy()[keep]
                 ),
-                "is_purchase": pa.array((typ[keep] == "purchase").astype(np.int8)),
+                "is_purchase": pa.array(is_p[keep].astype(np.int8)),
             }
         )
 
@@ -5883,36 +5943,51 @@ def q_type_cooccurrence(sf_dir: str):
     ).map_batches(_add_user_bucket, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "hour", "event_type"], kind="stable")
-        uid = g["user_id"].to_numpy()
-        hr = g["hour"].to_numpy()
-        typ = g["event_type"].to_numpy()
+        # Fully vectorized pair emit: dictionary-encode the (bounded)
+        # type vocabulary to int codes, sort windows, then one
+        # triu_indices template per window-size class k (k <= n_types,
+        # so <= 5 classes) — no per-window Python loop. Pairs are
+        # counted locally via a packed-code bincount, so the bucket
+        # emits at most n_types^2 partial rows, not one row per pair.
+        cat = group["event_type"].astype("category")
+        codes = cat.cat.codes.to_numpy().astype(np.int64)
+        uid = group["user_id"].to_numpy()
+        hr = group["hour"].to_numpy()
+        order = np.lexsort((codes, hr, uid))
+        uid, hr, codes = uid[order], hr[order], codes[order]
         new_w = np.concatenate(
             ([True], (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1]))
         )
-        win = np.cumsum(new_w) - 1
-        out_a, out_b = [], []
         starts = np.nonzero(new_w)[0]
-        ends = np.concatenate((starts[1:], [len(win)]))
-        for s, e in zip(starts, ends):
-            k = e - s
+        ends = np.concatenate((starts[1:], [len(codes)]))
+        seglen = ends - starts
+        out_a, out_b = [], []
+        for k in np.unique(seglen):
             if k < 2:
                 continue
-            for i in range(k):
-                for j in range(i + 1, k):
-                    out_a.append(typ[s + i])
-                    out_b.append(typ[s + j])
+            sel = starts[seglen == k]
+            ia, ib = np.triu_indices(int(k), k=1)
+            out_a.append(codes[(sel[:, None] + ia[None, :]).ravel()])
+            out_b.append(codes[(sel[:, None] + ib[None, :]).ravel()])
+        n_t = len(cat.cat.categories)
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            cnt = np.bincount(a * n_t + b, minlength=n_t * n_t)
+        else:
+            cnt = np.zeros(n_t * n_t, dtype=np.int64)
+        nz = np.nonzero(cnt)[0]
+        cats = np.asarray(cat.cat.categories, dtype=object)
         return pd.DataFrame(
             {
-                "type_a": np.array(out_a, dtype=object),
-                "type_b": np.array(out_b, dtype=object),
+                "type_a": cats[nz // n_t],
+                "type_b": cats[nz % n_t],
+                "n": cnt[nz].astype(np.int64),
             }
         )
 
     parts = distinct.groupby("__ub").map_groups(pairs, batch_format="pandas")
-    return partial_sum_groupby(
-        parts, ["type_a", "type_b"], [], count_alias="n", coalesce=4
-    )
+    return partial_sum_groupby(parts, ["type_a", "type_b"], ["n"], coalesce=4)
 
 
 SQL_TYPE_COOCCURRENCE = """
