@@ -166,11 +166,18 @@ def test_encode_emits_valid_jfif_structure():
     assert markers[-1] == 0xDA
 
 
-def test_progressive_raises_cleanly():
-    # minimal SOF2 (progressive) frame header after SOI
-    buf = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(buf)
+def test_unsupported_sof_raises_cleanly():
+    # SOF2 (progressive) is now supported; SOF3 (lossless) and SOF10
+    # (arithmetic progressive) still raise the documented error
+    for sof in (0xC3, 0xCA):
+        buf = (
+            b"\xff\xd8"
+            + bytes([0xFF, sof])
+            + b"\x00\x0b"
+            + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(buf)
 
 
 def test_tilecut_real_jpeg_end_to_end():
@@ -216,3 +223,64 @@ def test_tilecut_real_jpeg_end_to_end():
     assert all(bytes(r["bytes"][:4]) == b"FJPG" for r in fjpg_rows)
     rebuilt = reassemble_image(real_rows, 16, 16)
     assert psnr(decode_jpeg(real_buf), rebuilt) >= 40.0
+
+
+# ---- progressive (SOF2) decode + encode ------------------------------------
+
+
+def test_real_progressive_444_decodes_deterministically():
+    """Third-party progressive JPEG (nodejs docs asset, 4:4:4, real
+    libjpeg scan script with successive approximation) decodes; pixels
+    pinned; PSNR vs our own baseline re-encode >= 40 dB."""
+    from texel_ray.core.imagecodec import encode_jpeg
+
+    with open(os.path.join(FIX, "real_progressive_444.jpg"), "rb") as f:
+        buf = f.read()
+    img = decode_jpeg(buf)
+    assert img.shape == (58, 493, 3) and img.dtype == np.uint8
+    assert zlib.crc32(img.tobytes()) == 3940411038
+    assert psnr(img, decode_jpeg(encode_jpeg(img))) >= 40.0
+
+
+def test_real_progressive_subsampled_decodes_deterministically():
+    """Third-party progressive JPEG (Rust embedded-book asset, 2x1
+    chroma subsampling): exercises interleaved-DC MCU geometry and the
+    non-interleaved component sub-dimensions."""
+    with open(os.path.join(FIX, "real_progressive_21.jpg"), "rb") as f:
+        buf = f.read()
+    img = decode_jpeg(buf)
+    assert img.shape == (477, 720, 3)
+    assert zlib.crc32(img.tobytes()) == 114274112
+
+
+def test_progressive_encode_bitexact_vs_baseline():
+    """Progressive transmission is a LOSSLESS reordering of the same
+    quantized coefficients: decode(progressive_encode(img)) must equal
+    decode(baseline_encode(img)) bit-for-bit. The baseline path is
+    third-party-anchored, so this pins the whole spectral-selection +
+    successive-approximation machinery (EOB runs, ZRL-in-refinement,
+    correction-bit buffering) without circularity."""
+    from texel_ray.core.imagecodec import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    with open(os.path.join(FIX, "real_photo.jpg"), "rb") as f:
+        photo = decode_jpeg(f.read())[:96, :112]
+    cases = [
+        photo,
+        rng.randint(0, 256, (8, 8, 3), dtype=np.uint8),
+        rng.randint(0, 256, (24, 40, 3), dtype=np.uint8),
+        np.zeros((16, 16, 3), dtype=np.uint8),  # all-EOB-run scans
+    ]
+    for img in cases:
+        pbuf = encode_jpeg_progressive(img)
+        assert pbuf[:2] == b"\xff\xd8" and b"\xff\xc2" in pbuf[:200]
+        assert np.array_equal(decode_jpeg(pbuf), decode_jpeg(encode_jpeg(img)))
+
+
+def test_progressive_encode_dispatches_via_decode_image():
+    from texel_ray.core.imagecodec import encode_jpeg_progressive
+
+    img = (np.arange(12 * 20 * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(12, 20, 3)
+    out = decode_image(encode_jpeg_progressive(img), "jpeg")
+    assert out.shape == (12, 20, 3)
+    assert psnr(img, out) >= 30.0

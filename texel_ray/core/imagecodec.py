@@ -4,12 +4,15 @@ The evaluation container has no PIL/libjpeg/OpenCV, so:
 
 - ``png``: a real, self-contained PNG codec (RGB8, zlib DEFLATE) —
   bit-exact roundtrip, valid files readable by any external PNG reader.
-- ``jpeg`` DECODE: a real pure-numpy baseline JPEG decoder (ITU-T
-  T.81: SOF0/SOF1 frames, huffman entropy decode via a flat 16-bit
-  prefix table, restart intervals, any 1x1/2x1/2x2 subsampling,
-  batched float IDCT) — real third-party JFIF files decode; pinned in
-  tests/test_jpeg.py against a CPython-test-suite fixture with a raw
-  PPM ground-truth sibling. Progressive (SOF2) raises a documented
+- ``jpeg`` DECODE: a real pure-numpy JPEG decoder (ITU-T T.81:
+  baseline SOF0/SOF1 AND progressive SOF2 frames — spectral selection,
+  successive approximation, EOB runs —, huffman entropy decode via a
+  flat 16-bit prefix table, restart intervals, any 1x1/2x1/2x2
+  subsampling, batched float IDCT) — real third-party JFIF files
+  decode; pinned in tests/test_jpeg.py against a CPython-test-suite
+  fixture with a raw PPM ground-truth sibling plus two third-party
+  progressive fixtures (nodejs docs, Rust embedded-book). Lossless
+  (SOF3) and arithmetic-coded frames raise a documented
   NotImplementedError.
 - ``jpeg`` ENCODE: a real pure-numpy baseline JFIF encoder (4:4:4,
   Annex-K quant + huffman tables at quality 98, PSNR >= 40 dB even on
@@ -189,15 +192,14 @@ class _BitReader:
         b = self.buf[self.pos]
         if b == 0xFF:
             nxt = self.buf[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                # marker reached: T.81 pads the tail with 1-bits
+            if nxt != 0x00:
+                # marker reached (RSTn, EOI, or — in a progressive
+                # stream — the next SOS/DHT): T.81 pads the tail with
+                # 1-bits; never advance past the marker
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
-            else:
-                self.pos += 1
+            self.pos += 2
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
@@ -313,8 +315,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq_ = data[6 + c * 3], data[7 + c * 3], data[8 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline (SOF0/SOF1) JPEG supported")
+        elif marker == 0xC2:  # SOF2: progressive DCT — dedicated multi-scan path
+            return _decode_jpeg_progressive(buf)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
@@ -401,6 +407,293 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pos -= seglen  # parameterless markers carry no length field
             pos += 0
     raise ValueError("no SOS scan found in JPEG")
+
+
+# ---- progressive (SOF2) JPEG decode ---------------------------------------
+#
+# T.81 Annexes G.1/G.2, written from the published spec: spectral
+# selection (Ss..Se bands per scan) + successive approximation (Ah/Al
+# bit-plane refinement), interleaved DC scans, non-interleaved AC scans,
+# EOB-run coding, restart intervals. Coefficients accumulate across scans
+# into per-component block grids; the final dequant+IDCT reuses the same
+# batched einsum as the baseline path. Progressive transmission is a
+# LOSSLESS reordering of the same quantized coefficients, so a fully
+# refined progressive stream must decode bit-identically to the baseline
+# encoding of the same coefficients (pinned in tests/test_jpeg.py).
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """Index of the next real marker (0xFF + not-a-stuffed-zero, not
+    RSTn) at or after pos."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF:
+            m = buf[pos + 1]
+            if m != 0x00 and not (0xD0 <= m <= 0xD7):
+                return pos
+        pos += 1
+    return n
+
+
+def _ac_first_scan(block, r, act, ss, se, al, eobrun, zig):
+    """One block of an Ah=0 AC scan (T.81 G.1.2.2); returns eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, act)
+        ssss = rs & 15
+        rr = rs >> 4
+        if ssss == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.bits(rr)
+            return eobrun
+        k += rr
+        block[zig[k]] = _extend(r.bits(ssss), ssss) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_scan(block, r, act, ss, se, al, eobrun, zig):
+    """One block of an Ah>0 AC refinement scan (T.81 G.1.2.3); returns
+    eobrun. Correction bits ride along for every already-nonzero
+    coefficient passed over, including inside EOB runs."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, act)
+            ssss = rs & 15
+            rr = rs >> 4
+            val = 0
+            if ssss == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                # rr == 15: ZRL — pass 16 zero-history coefficients
+            else:  # ssss must be 1 in a refinement scan
+                val = p1 if r.bits(1) else m1
+            while k <= se:
+                z = zig[k]
+                cur = int(block[z])
+                if cur != 0:
+                    if r.bits(1) and (cur & p1) == 0:
+                        block[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val:
+                block[zig[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = zig[k]
+            cur = int(block[z])
+            if cur != 0:
+                if r.bits(1) and (cur & p1) == 0:
+                    block[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(buf: bytes) -> np.ndarray:
+    """Progressive JPEG bytes -> RGB8 (h, w, 3) (grayscale replicated)."""
+    buf = bytes(buf)
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, np.ndarray] = {}
+    huff_ac: dict[int, np.ndarray] = {}
+    restart_interval = 0
+    frame = None
+    grids = None  # per component: (bh_pad, bw_pad, 64) int32, natural order
+    zig = _ZIGZAG.tolist()
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        data = buf[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(data[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(data[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = vals
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                counts = list(data[p + 1 : p + 17])
+                n = sum(counts)
+                syms = list(data[p + 17 : p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(counts, syms)
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = data[6 + c * 3], data[7 + c * 3], data[8 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_})
+            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"], frame["mcuy"] = mcux, mcuy
+            grids = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS: one progressive scan
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = data[1 + c * 2], data[2 + c * 2]
+                idx = next(
+                    i for i, x in enumerate(frame["comps"]) if x["id"] == cs
+                )
+                scan.append((idx, tdta >> 4, tdta & 15))
+            ss, se = data[1 + ns * 2], data[2 + ns * 2]
+            ahal = data[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 15
+            r = _BitReader(buf, pos)
+            if ns > 1:
+                # interleaved scan (DC band only, per T.81): MCU order
+                if ss != 0:
+                    raise ValueError("interleaved AC scan is not valid T.81")
+                pred = [0] * ns
+                mcu_count = 0
+                for my in range(frame["mcuy"]):
+                    for mx in range(frame["mcux"]):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            r.restart()
+                            pred = [0] * ns
+                        for ci, (idx, td, _ta) in enumerate(scan):
+                            comp = frame["comps"][idx]
+                            grid = grids[idx]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    block = grid[
+                                        my * comp["v"] + by, mx * comp["h"] + bx
+                                    ]
+                                    if ah == 0:
+                                        t = _huff_decode(r, huff_dc[td])
+                                        if t:
+                                            pred[ci] += _extend(r.bits(t), t)
+                                        block[0] = pred[ci] << al
+                                    else:
+                                        if r.bits(1):
+                                            block[0] = int(block[0]) | (1 << al)
+                        mcu_count += 1
+            else:
+                # non-interleaved: raster over the component's REAL block
+                # dims (not MCU-padded), one block per restart unit
+                idx, td, ta = scan[0]
+                comp = frame["comps"][idx]
+                grid = grids[idx]
+                xi = (frame["w"] * comp["h"] + frame["hmax"] - 1) // frame["hmax"]
+                yi = (frame["h"] * comp["v"] + frame["vmax"] - 1) // frame["vmax"]
+                bw = (xi + 7) // 8
+                bh = (yi + 7) // 8
+                eobrun = 0
+                pred0 = 0
+                blocknum = 0
+                act = huff_ac.get(ta)
+                dct = huff_dc.get(td)
+                for byy in range(bh):
+                    for bxx in range(bw):
+                        if (
+                            restart_interval
+                            and blocknum
+                            and blocknum % restart_interval == 0
+                        ):
+                            r.restart()
+                            pred0 = 0
+                            eobrun = 0
+                        block = grid[byy, bxx]
+                        if ss == 0:
+                            if ah == 0:
+                                t = _huff_decode(r, dct)
+                                if t:
+                                    pred0 += _extend(r.bits(t), t)
+                                block[0] = pred0 << al
+                            else:
+                                if r.bits(1):
+                                    block[0] = int(block[0]) | (1 << al)
+                        elif ah == 0:
+                            eobrun = _ac_first_scan(
+                                block, r, act, ss, se, al, eobrun, zig
+                            )
+                        else:
+                            eobrun = _ac_refine_scan(
+                                block, r, act, ss, se, al, eobrun, zig
+                            )
+                        blocknum += 1
+            pos = _next_marker(buf, r.pos)
+        # any other segment (APPn/COM/...) is skipped by the length field
+    if frame is None or grids is None:
+        raise ValueError("no SOF2 frame found in progressive JPEG")
+    # dequant + batched IDCT + plane assembly (same math as baseline)
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for comp, grid in zip(frame["comps"], grids):
+        gh, gw, _ = grid.shape
+        blocks = grid.reshape(-1, 8, 8) * qt[comp["tq"]][None]
+        px = np.einsum(
+            "ki,nij,jl->nkl", _DCT_C.T, blocks.astype(np.float32), _DCT_C
+        ) + np.float32(128.0)
+        plane = (
+            px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = full[0], full[1] - np.float32(128.0), full[2] - np.float32(128.0)
+    rgb = np.empty((h, w, 3), dtype=np.float32)
+    rgb[:, :, 0] = y + np.float32(1.402) * cr
+    rgb[:, :, 1] = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    rgb[:, :, 2] = y + np.float32(1.772) * cb
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---- real baseline JPEG encoder (pure numpy + python bit writer) ----------
@@ -783,6 +1076,259 @@ def encode_jpeg_batch(imgs: list, quality: int = 98) -> list:
 def encode_jpeg(img: np.ndarray, quality: int = 98) -> bytes:
     """RGB8 (h, w, 3) -> baseline JFIF bytes (see encode_jpeg_batch)."""
     return encode_jpeg_batch([img], quality)[0]
+
+
+# ---- progressive (SOF2) JPEG encoder ---------------------------------------
+#
+# Emits a multi-scan progressive stream (spectral selection + successive
+# approximation, T.81 Annex G.2) over the SAME quantized coefficients as
+# the baseline encoder — so decode(progressive) must equal
+# decode(baseline) bit-for-bit (the cross-validation pinned in
+# tests/test_jpeg.py). The AC table is a custom uniform-8-bit canonical
+# table because progressive EOBn symbols (0x10..0xE0) don't exist in the
+# Annex-K baseline tables.
+
+_PROG_AC_SYMS = sorted(
+    {(run << 4) | s for run in range(16) for s in range(1, 15)}
+    | {rr << 4 for rr in range(15)}
+    | {0xF0}
+)
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+_PROG_AC_CODES = _encode_codes(*_PROG_AC_TABLE)
+_PROG_DC_CODES = _ENC_DC[0]
+
+# default scan script: covers every progressive decode branch —
+# interleaved DC first + DC refinement, banded AC first scans with EOB
+# runs, and two-level AC successive-approximation refinement on luma
+_PROG_SCAN_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first, Al=1
+    ((0,), 1, 5, 0, 2),  # AC luma low band, Al=2
+    ((0,), 6, 63, 0, 2),  # AC luma high band, Al=2
+    ((1,), 1, 63, 0, 1),  # AC chroma, Al=1
+    ((2,), 1, 63, 0, 1),
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refine
+    ((0,), 1, 63, 2, 1),  # AC luma refine 2->1
+    ((0,), 1, 63, 1, 0),  # AC luma refine 1->0
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+)
+
+
+class _BitWriterE:
+    """MSB-first bit writer with T.81 FF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, n: int):
+        if n <= 0:
+            return
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-bit padding per F.1.2.3
+        b = bytes(self.out)
+        self.out = bytearray()
+        return b
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size s, amplitude bits) for a signed value per T.81 F.1.2.1/2."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (truncation toward zero)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 98, script=_PROG_SCAN_SCRIPT
+) -> bytes:
+    """RGB8 (h, w, 3) -> progressive (SOF2) JFIF bytes, 4:4:4, same
+    quantized coefficients as the baseline encoder at this quality."""
+    zz_l, zz_c, head, _tail, seg = _enc_tables(quality)
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    f = img.astype(np.float32)
+    r_, g_, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+    cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+    comp_coef = []
+    for plane, q in ((y, zz_l), (cb, zz_c), (cr, zz_c)):
+        p = np.clip(np.round(plane), 0.0, 255.0).astype(np.int64)
+        comp_coef.append(_fdct_quant(_plane_blocks(p) - np.int64(128), q))
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+
+    parts = [
+        head,
+        seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        ),
+        seg(0xC4, bytes([0x00] + _HUFF_DC_LUMA[0]) + bytes(_HUFF_DC_LUMA[1])),
+        seg(
+            0xC4,
+            bytes([0x10] + _PROG_AC_TABLE[0]) + bytes(_PROG_AC_TABLE[1]),
+        ),
+    ]
+    dc_codes, ac_codes = _PROG_DC_CODES, _PROG_AC_CODES
+
+    for comp_ids, ss, se, ah, al in script:
+        ns = len(comp_ids)
+        sos = bytes([ns])
+        for cid in comp_ids:
+            sos += bytes([cid + 1, (0 << 4) | 0])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        parts.append(seg(0xDA, sos))
+        wtr = _BitWriterE()
+        if ss == 0 and ah == 0:
+            # DC first scan (interleaved MCU order == block raster at 4:4:4)
+            pred = [0] * ns
+            for bi in range(nby * nbx):
+                for ci, cid in enumerate(comp_ids):
+                    d = int(comp_coef[cid][bi, 0]) >> al  # arithmetic shift
+                    diff = d - pred[ci]
+                    pred[ci] = d
+                    s, amp = _mag_bits(diff)
+                    code, ln = dc_codes[s]
+                    wtr.put(code, ln)
+                    wtr.put(amp, s)
+        elif ss == 0:
+            # DC refinement: one bit per block per component
+            for bi in range(nby * nbx):
+                for cid in comp_ids:
+                    wtr.put((int(comp_coef[cid][bi, 0]) >> al) & 1, 1)
+        elif ah == 0:
+            # AC first scan: EOB-run coded band (single component)
+            Z = comp_coef[comp_ids[0]]
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    code, ln = ac_codes[rr << 4]
+                    wtr.put(code, ln)
+                    wtr.put(eobrun - (1 << rr), rr)
+                    eobrun = 0
+
+            for bi in range(nby * nbx):
+                vs = [_trunc_shift(int(Z[bi, k]), al) for k in range(ss, se + 1)]
+                if not any(vs):
+                    eobrun += 1
+                    if eobrun == 0x4000:  # cap: EOBn rr <= 14
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vs) if v)
+                for i, v in enumerate(vs):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    s, amp = _mag_bits(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(amp, s)
+                    run = 0
+                if last_nz < len(vs) - 1:
+                    eobrun += 1  # block tail is all zero -> joins EOB run
+            flush_eob()
+        else:
+            # AC refinement scan (T.81 G.2 / the libjpeg-documented
+            # algorithm re-derived): newly-significant coefficients emit
+            # (run<<4)|1 + sign; already-nonzero coefficients passed over
+            # buffer one correction bit each, appended after the next
+            # symbol or carried with the EOB run.
+            Z = comp_coef[comp_ids[0]]
+            eobrun = 0
+            run_bits: list[int] = []  # correction bits riding the EOB run
+            cur_bits: list[int] = []  # this block's bits since last symbol
+
+            def flush_eob_r():
+                """Emit the pending EOBn symbol + the run's buffered
+                correction bits (decoder reads them while tail-walking
+                the run's blocks in coefficient order)."""
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    code, ln = ac_codes[rr << 4]
+                    wtr.put(code, ln)
+                    wtr.put(eobrun - (1 << rr), rr)
+                    eobrun = 0
+                for b in run_bits:
+                    wtr.put(b, 1)
+                run_bits.clear()
+
+            def emit_cur():
+                for b in cur_bits:
+                    wtr.put(b, 1)
+                cur_bits.clear()
+
+            for bi in range(nby * nbx):
+                band = [int(Z[bi, k]) for k in range(ss, se + 1)]
+                absv = [abs(_trunc_shift(v, al)) for v in band]
+                eob = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = i
+                run = 0
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        flush_eob_r()
+                        code, ln = ac_codes[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                        emit_cur()
+                    if a > 1:
+                        # history coefficient: buffer its correction bit
+                        cur_bits.append(a & 1)
+                        continue
+                    # newly significant (|shifted| == 1)
+                    flush_eob_r()
+                    code, ln = ac_codes[(run << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if band[i] >= 0 else 0, 1)
+                    emit_cur()
+                    run = 0
+                if run > 0 or cur_bits:
+                    eobrun += 1
+                    run_bits.extend(cur_bits)
+                    cur_bits.clear()
+                    if eobrun == 0x4000 or len(run_bits) > 900:
+                        flush_eob_r()
+            flush_eob_r()
+        parts.append(wtr.flush())
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
 
 
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
