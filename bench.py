@@ -261,6 +261,12 @@ def run_benchmarks() -> dict:
     from texel_ray.pipelines.queries import q_poly_intersect_join
 
     timed("poly_intersect_join", lambda: q_poly_intersect_join(SF_DIR))
+    timed("full_outer_hours", lambda: relational.q_full_outer_hours(SF_DIR))
+    timed("semi_join_orders", lambda: relational.q_semi_join_orders(SF_DIR))
+    timed("ewma_daily", lambda: relational.q_ewma_daily(SF_DIR), consume=None)
+    timed("activity_streaks", lambda: relational.q_activity_streaks(SF_DIR))
+    timed("churned_users", lambda: relational.q_churned_users(SF_DIR))
+    timed("iqr_outliers", lambda: relational.q_iqr_outliers(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -1,0 +1,150 @@
+"""Brute-force invariant tests for the round-5 operators: full-outer
+hourly reconciliation (pandas outer merge), semi join (pandas isin),
+EWMA (plain sequential recurrence), activity streaks (per-user python
+scan), habit-cell churn (pandas pivot), IQR outlier gate (numpy
+recompute of the discrete-quantile Tukey fences)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DAY_US = 86400 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+
+
+def _events() -> pd.DataFrame:
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    df["day"] = df["ts_us"] // DAY_US
+    df["cents"] = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+    return df
+
+
+def test_full_outer_hours_matches_pandas_outer_merge():
+    from texel_ray.pipelines.relational import q_full_outer_hours
+
+    out = (
+        q_full_outer_hours(SF_DIR)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    ev["hour"] = ev["ts_us"] // HOUR_US
+    s = ev[ev.event_type == "signup"].groupby("hour").size().rename("n_signup")
+    p = ev[ev.event_type == "purchase"].groupby("hour").size().rename("n_purchase")
+    want = (
+        pd.concat([s, p], axis=1)
+        .fillna(0)
+        .astype(np.int64)
+        .reset_index()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # outer-only rows must exist, or the join type isn't exercised
+    assert ((want.n_signup == 0) | (want.n_purchase == 0)).any()
+
+
+def test_semi_join_orders_matches_isin():
+    from texel_ray.pipelines.relational import q_semi_join_orders
+
+    out = (
+        q_semi_join_orders(SF_DIR)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    keys = set(li[li.l_quantity >= 48.0].l_orderkey)
+    hit = orders[orders.o_orderkey.isin(keys)].copy()
+    hit["cents"] = np.trunc(hit.o_totalprice.to_numpy() * 100.0).astype(np.int64)
+    want = (
+        hit.groupby("o_orderpriority")
+        .agg(total_cents=("cents", "sum"), n_orders=("cents", "size"))
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # semi (not inner): an order with several qualifying lineitems
+    # counts once
+    assert int(want.n_orders.sum()) == len(keys & set(orders.o_orderkey))
+
+
+def test_ewma_daily_matches_sequential_recurrence():
+    from texel_ray.pipelines.relational import q_ewma_daily
+
+    out = q_ewma_daily(SF_DIR).to_pandas().sort_values("day").reset_index(drop=True)
+    daily = _events().groupby("day").size().sort_index()
+    e = []
+    for i, c in enumerate(daily.to_numpy()):
+        e.append(float(c) if i == 0 else (float(c) + e[-1]) / 2.0)
+    assert out["day"].tolist() == daily.index.tolist()
+    assert out["n"].tolist() == daily.to_numpy().tolist()
+    # alpha = 1/2 keeps every term a dyadic rational: exact equality
+    assert out["ewma"].tolist() == e
+
+
+def test_activity_streaks_matches_python_scan():
+    from texel_ray.pipelines.relational import q_activity_streaks
+
+    out = q_activity_streaks(SF_DIR).to_pandas()
+    got = dict(zip(out.streak_len, out.n_users))
+    ev = _events()
+    hist: dict[int, int] = {}
+    for _, g in ev.groupby("user_id"):
+        days = sorted(set(g.day))
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        hist[best] = hist.get(best, 0) + 1
+    assert got == hist
+
+
+def test_churned_users_matches_pandas_pivot():
+    from texel_ray.pipelines.relational import q_churned_users
+
+    out = q_churned_users(SF_DIR).to_pandas()
+    got = dict(zip(out.status, out.n_cells))
+    ev = _events()
+    mid = (int(ev.day.min()) + int(ev.day.max()) + 1) // 2
+    ev["hod"] = (ev.ts_us // HOUR_US) % 24
+    f = ev.groupby(["user_id", "hod"]).agg(
+        h1=("day", lambda d: int((d < mid).any())),
+        h2=("day", lambda d: int((d >= mid).any())),
+    )
+    want = {
+        "retained": int(((f.h1 > 0) & (f.h2 > 0)).sum()),
+        "churned": int(((f.h1 > 0) & (f.h2 == 0)).sum()),
+        "new": int(((f.h1 == 0) & (f.h2 > 0)).sum()),
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
+    assert len(got) >= 2  # the grain must exercise >1 class
+
+
+def test_iqr_outliers_matches_numpy_fences():
+    from texel_ray.pipelines.relational import q_iqr_outliers
+
+    out = q_iqr_outliers(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events()
+    for typ, g in ev.groupby("event_type"):
+        c = np.sort(g.cents.to_numpy())
+        n = len(c)
+        q1 = int(c[int(np.ceil(0.25 * n)) - 1])  # ceil(q*n)th smallest
+        q3 = int(c[int(np.ceil(0.75 * n)) - 1])
+        iqr = q3 - q1
+        n_out = int(((2 * c < 2 * q1 - 3 * iqr) | (2 * c > 2 * q3 + 3 * iqr)).sum())
+        row = out.loc[typ]
+        assert (row.q1_cents, row.q3_cents, row.n, row.n_outliers) == (
+            q1,
+            q3,
+            n,
+            n_out,
+        )

@@ -3705,6 +3705,12 @@ QUERIES = {
     "anti_join_bloom": relational.q_anti_join_bloom,
     "quantiles_quality": mlprep.q_quantiles_quality,
     "pack_sequences": mlprep.q_pack_sequences,
+    "full_outer_hours": relational.q_full_outer_hours,
+    "semi_join_orders": relational.q_semi_join_orders,
+    "ewma_daily": relational.q_ewma_daily,
+    "activity_streaks": relational.q_activity_streaks,
+    "churned_users": relational.q_churned_users,
+    "iqr_outliers": relational.q_iqr_outliers,
 }
 
 ORACLE_SQL = {
@@ -3798,6 +3804,12 @@ ORACLE_SQL = {
     "activity_heatmap": relational.SQL_ACTIVITY_HEATMAP,
     "phash_bit_stats": mlprep.SQL_PHASH_BIT_STATS.replace("{IMAGES}", images_sql_source()),
     "tpch_q10": relational.sql_tpch_q10(),
+    "full_outer_hours": relational.SQL_FULL_OUTER_HOURS,
+    "semi_join_orders": relational.sql_semi_join_orders(),
+    "ewma_daily": relational.SQL_EWMA_DAILY,
+    "activity_streaks": relational.SQL_ACTIVITY_STREAKS,
+    "churned_users": relational.SQL_CHURNED_USERS,
+    "iqr_outliers": relational.SQL_IQR_OUTLIERS,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -6037,3 +6037,460 @@ SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+# ---- round 5: six new plan shapes (outer/semi joins, recursive EWMA,
+# ---- gaps-and-islands streaks, set-difference churn, IQR outlier gate) -----
+
+
+def q_full_outer_hours(sf_dir: str):
+    """FULL OUTER JOIN of two derived hourly series (signup counts vs
+    purchase counts per hour-of-epoch): the canonical reconciliation
+    shape where either side can be missing — sparse hours produce
+    genuine left-only/right-only rows, coalesced to 0. Exercises Ray's
+    Dataset.join(join_type="full_outer") end to end.
+
+    Shape at 100 TB: each side folds through a (hour) count combiner to
+    the time dimension BEFORE the join, so the full-outer exchange is
+    hour-dimension, never event-dimension."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HOUR_US = 3600 * 1_000_000
+
+    def side(ev_type: str, alias: str):
+        def skinnify(batch: pa.Table) -> pa.Table:
+            keep = _str_eq(batch["event_type"], ev_type)
+            hour = (
+                batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+                // HOUR_US
+            )[keep]
+            return pa.table({"hour": pa.array(hour, pa.int64())})
+
+        return partial_sum_groupby(
+            ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+            ["hour"],
+            [],
+            count_alias=alias,
+            coalesce=4,
+        )
+
+    joined = side("signup", "n_signup").join(
+        side("purchase", "n_purchase"),
+        join_type="full_outer",
+        num_partitions=max(2, _ccpus() // 8),
+        on=("hour",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": batch["hour"],
+                "n_signup": pc.coalesce(batch["n_signup"], 0).cast(pa.int64()),
+                "n_purchase": pc.coalesce(batch["n_purchase"], 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_HOURS = """
+WITH s AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(s.hour, p.hour) AS hour,
+       coalesce(n_signup, 0) AS n_signup,
+       coalesce(n_purchase, 0) AS n_purchase
+FROM s FULL OUTER JOIN p ON s.hour = p.hour
+"""
+
+
+def q_semi_join_orders(sf_dir: str, qty: float = 48.0):
+    """SEMI JOIN (EXISTS): orders having at least one high-quantity
+    lineitem, rolled up per order priority (count + cent-exact total).
+    Exercises Ray's Dataset.join(join_type="left_semi") — the
+    no-duplication existence probe that a plain inner join would get
+    wrong (an order with 3 qualifying lineitems must count once).
+
+    Shape at 100 TB: the probe side folds to DISTINCT qualifying order
+    keys via a per-batch dedup combiner before the semi join, so the
+    exchange carries each key once; the rollup is a tiny combiner."""
+    from ..stages.agg import partial_min_groupby, partial_sum_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def l_filter(batch: pa.Table) -> pa.Table:
+        keep = batch["l_quantity"].to_numpy(zero_copy_only=False) >= qty
+        return pa.table({"l_orderkey": batch["l_orderkey"].filter(pa.array(keep))})
+
+    keys = partial_min_groupby(
+        li.map_batches(l_filter, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [],
+        coalesce=8,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def o_skinny(batch: pa.Table) -> pa.Table:
+        cents = np.trunc(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    hit = orders.map_batches(o_skinny, batch_format="pyarrow").join(
+        keys,
+        join_type="left_semi",
+        num_partitions=max(8, _ccpus() // 2),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    agg = partial_sum_groupby(
+        hit, ["o_orderpriority"], ["cents"], count_alias="n_orders", coalesce=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["o_orderpriority", "total_cents", "n_orders"]
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_semi_join_orders(qty: float = 48.0) -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= {qty})
+GROUP BY 1
+"""
+
+
+def q_ewma_daily(sf_dir: str, half: bool = True):
+    """EWMA smoothing of the daily event count (alpha = 1/2): the
+    recursive time-series operator SQL needs a RECURSIVE CTE for.
+    e_1 = c_1; e_t = (c_t + e_{t-1}) / 2 — with alpha exactly one half
+    every term is a dyadic rational, so float64 is EXACT on both
+    engines and the value hash is deterministic.
+
+    Shape at 100 TB: one (day) count combiner folds the corpus to the
+    time dimension; the recurrence runs on that bounded series (a
+    dimension table, like tile_cost_dist's occupied-tile list) — the
+    sequential scan is inherent to the operator's data dependency."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["day"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    ).to_pandas()  # day-dimension (bounded)
+    daily = daily.sort_values("day").reset_index(drop=True)
+    n = daily["n"].to_numpy().astype(np.float64)
+    e = np.empty(len(n), dtype=np.float64)
+    for i in range(len(n)):
+        e[i] = n[i] if i == 0 else (n[i] + e[i - 1]) / 2.0
+    return pa.table(
+        {
+            "day": pa.array(daily["day"].to_numpy(), pa.int64()),
+            "n": pa.array(daily["n"].to_numpy(), pa.int64()),
+            "ewma": pa.array(e, pa.float64()),
+        }
+    )
+
+
+SQL_EWMA_DAILY = """
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), o AS (
+  SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM d
+), r AS (
+  SELECT day, n, rn, CAST(n AS DOUBLE) AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.day, o.n, o.rn, (CAST(o.n AS DOUBLE) + r.ewma) / 2.0
+  FROM o JOIN r ON o.rn = r.rn + 1
+)
+SELECT day, n, ewma FROM r
+"""
+
+
+def q_activity_streaks(sf_dir: str):
+    """LONGEST CONSECUTIVE-DAY STREAK per user, as a streak-length
+    histogram (the gaps-and-islands engagement metric). Exact.
+
+    Shape at 100 TB: (user, day) dedup combiner folds the corpus to
+    active user-days; ONE 512-way user superbucket groupby; inside a
+    bucket one sort and fully vectorized island detection (boundary
+    where user changes or day gap != 1, segment max via reduceat) — no
+    per-user loop; the histogram is a tiny combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"user_id": batch["user_id"], "day": pa.array(day, pa.int64())}
+        )
+
+    dedup = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "day"],
+        [],
+        count_alias="_c",
+        coalesce=8,
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def streaks(group: pd.DataFrame) -> pd.DataFrame:
+        uid = group["user_id"].to_numpy()
+        day = group["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # island starts: new user OR day gap != 1
+        new_island = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            new_island[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        starts = np.nonzero(new_island)[0]
+        ends = np.concatenate((starts[1:], [len(uid)]))
+        ilen = ends - starts  # island lengths
+        iuid = uid[starts]
+        # per-user max island length (islands are user-contiguous)
+        ubnd = np.nonzero(iuid[1:] != iuid[:-1])[0] + 1
+        ustarts = np.concatenate(([0], ubnd))
+        umax = np.maximum.reduceat(ilen, ustarts) if len(ilen) else ilen
+        return (
+            pd.DataFrame({"streak_len": umax})
+            .groupby("streak_len", sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = dedup.groupby("__ub").map_groups(streaks, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["streak_len"], ["n_partial"], coalesce=2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["streak_len", "n_users"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), i AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ilen FROM g GROUP BY user_id, grp
+), m AS (
+  SELECT user_id, max(ilen) AS streak_len FROM i GROUP BY 1
+)
+SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users FROM m GROUP BY 1
+"""
+
+
+def q_churned_users(sf_dir: str):
+    """HABIT-CELL CHURN (set difference over time halves): classify
+    every (user, hour-of-day) habit cell as retained (active both
+    halves), churned (first half only) or new (second half only) by the
+    corpus-midpoint day — the behavioral-shift decomposition. The
+    hour-of-day grain keeps all three classes populated (plain per-user
+    churn is degenerate on this corpus: every user is active in both
+    halves). The midpoint derives from the data (min/max day) in a
+    first tiny aggregate pass.
+
+    Shape at 100 TB: pass 1 is a scalar min/max combiner; pass 2 folds
+    the corpus to per-cell half-activity FLAGS via a max-combiner
+    (flags are 0/1 ints, max = logical OR); the 2x2 rollup is a tiny
+    combiner. Nothing cell-dimension ever sorts."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    # pass 1: corpus day range (scalar)
+    def day_minmax(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "dmin": pa.array([int(day.min())], pa.int64()),
+                "dmax": pa.array([int(day.max())], pa.int64()),
+            }
+        )
+
+    rng = ds.map_batches(day_minmax, batch_format="pyarrow").to_pandas()
+    dmin, dmax = int(rng["dmin"].min()), int(rng["dmax"].max())
+    mid = (dmin + dmax + 1) // 2  # first day of the second half
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        hod = (us // (3600 * 1_000_000)) % 24
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hod": pa.array(hod, pa.int64()),
+                "h1": pa.array((day < mid).astype(np.int64)),
+                "h2": pa.array((day >= mid).astype(np.int64)),
+            }
+        )
+
+    # max-combiner == logical OR of the half flags per habit cell
+    from ..stages.agg import partial_max_groupby
+
+    flags = partial_max_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "hod"],
+        ["h1", "h2"],
+        coalesce=8,
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        h1 = batch["h1"].to_numpy(zero_copy_only=False)
+        h2 = batch["h2"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            (h1 > 0) & (h2 > 0), "retained", np.where(h1 > 0, "churned", "new")
+        )
+        return pa.table({"status": pa.array(status.tolist(), pa.string())})
+
+    return partial_sum_groupby(
+        flags.map_batches(classify, batch_format="pyarrow"),
+        ["status"],
+        [],
+        count_alias="n_cells",
+        coalesce=2,
+    )
+
+
+SQL_CHURNED_USERS = """
+WITH b AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS dmin,
+         max(epoch_us(ts) // 86400000000) AS dmax
+  FROM events
+), f AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hod,
+         max(CASE WHEN epoch_us(ts) // 86400000000 <  (dmin + dmax + 1) // 2
+                  THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN epoch_us(ts) // 86400000000 >= (dmin + dmax + 1) // 2
+                  THEN 1 ELSE 0 END) AS h2
+  FROM events, b GROUP BY 1, 2
+)
+SELECT CASE WHEN h1 > 0 AND h2 > 0 THEN 'retained'
+            WHEN h1 > 0 THEN 'churned' ELSE 'new' END AS status,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM f GROUP BY 1
+"""
+
+
+def q_iqr_outliers(sf_dir: str):
+    """IQR OUTLIER GATE per event type (the Tukey-fence data-quality
+    rule): values outside [q1 - 1.5*IQR, q3 + 1.5*IQR] where q1/q3 are
+    the exact DISCRETE quartiles (quantile_disc: the ceil(q*n)th
+    smallest) of the cent-quantized value — all-integer bounds times 2
+    (to keep 1.5x exact), so the comparison is exact at any parallelism.
+
+    Shape at 100 TB: same value-histogram selection as grouped_median —
+    a (type, cents) count combiner folds the corpus to its
+    distinct-value dimension, quartiles pick on the per-type sorted
+    histogram, and the outlier count sums histogram buckets outside the
+    fences. No second scan of the corpus, no per-row shuffle."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch["event_type"], "cents": pa.array(cents)}
+        )
+
+    hist = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "cents"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        n = g["n"].to_numpy()
+        v = g["cents"].to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        q1 = int(v[np.searchsorted(cum, int(np.ceil(0.25 * total)))])
+        q3 = int(v[np.searchsorted(cum, int(np.ceil(0.75 * total)))])
+        iqr = q3 - q1
+        lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr  # fences x2, all int
+        out_mask = (2 * v < lo2) | (2 * v > hi2)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [total],
+                "q1_cents": [q1],
+                "q3_cents": [q3],
+                "n_outliers": [int(n[out_mask].sum())],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(gate, batch_format="pandas")
+
+
+SQL_IQR_OUTLIERS = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events
+), q AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(cents, 0.25) AS q1_cents,
+         quantile_disc(cents, 0.75) AS q3_cents
+  FROM c GROUP BY 1
+)
+SELECT q.event_type, q.n, q.q1_cents, q.q3_cents,
+       CAST(count(*) FILTER (
+         2 * c.cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)
+         OR 2 * c.cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)
+       ) AS BIGINT) AS n_outliers
+FROM q JOIN c ON c.event_type = q.event_type
+GROUP BY 1, 2, 3, 4
+"""

@@ -84,6 +84,23 @@ def partial_min_groupby(ds, keys: list[str], min_cols: list[str], coalesce: int 
     return partials.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
 
+def partial_max_groupby(ds, keys: list[str], max_cols: list[str], coalesce: int = 16):
+    """Distributed max-per-key with per-batch combining (max is
+    associative; on 0/1 flag columns this is a distributed logical OR)."""
+    aggs = [(c, "max") for c in max_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + max_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if coalesce and coalesce > 1:
+        partials = partials.repartition(coalesce)
+        partials = partials.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    partials = partials.repartition(1)
+    return partials.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
 def salted_group_map(
     ds,
     key: str,
