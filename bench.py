@@ -267,6 +267,7 @@ def run_benchmarks() -> dict:
     timed("activity_streaks", lambda: relational.q_activity_streaks(SF_DIR))
     timed("churned_users", lambda: relational.q_churned_users(SF_DIR))
     timed("iqr_outliers", lambda: relational.q_iqr_outliers(SF_DIR))
+    timed("flow_basins", lambda: queries.q_flow_basins(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

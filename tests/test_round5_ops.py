@@ -148,3 +148,46 @@ def test_iqr_outliers_matches_numpy_fences():
             n,
             n_out,
         )
+
+
+def test_flow_basins_matches_chain_walk():
+    from texel_ray.pipelines.queries import _tile_counts, q_flow_basins
+
+    out = q_flow_basins(SF_DIR).to_pandas()
+    occ = _tile_counts(SF_DIR, 6).to_pandas()
+    key2n = {
+        (int(r.tile_x), int(r.tile_y)): int(r.n) for r in occ.itertuples()
+    }
+
+    def succ(cell):
+        x, y = cell
+        n = key2n[cell]
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = (x + dx, y + dy)
+                if nb not in key2n:
+                    continue
+                k = (key2n[nb], nb[0], nb[1])
+                if k < (n, x, y) and (best is None or k < best):
+                    best = k
+        return (best[1], best[2]) if best else cell
+
+    basins: dict[tuple, list] = {}
+    for cell, n in key2n.items():
+        cur = cell
+        while True:
+            nxt = succ(cur)
+            if nxt == cur:
+                break
+            cur = nxt
+        basins.setdefault(cur, [0, 0])
+        basins[cur][0] += n
+        basins[cur][1] += 1
+    got = {
+        (int(r.sink_x), int(r.sink_y)): (int(r.n_images), int(r.n_tiles))
+        for r in out.itertuples()
+    }
+    assert got == {k: tuple(v) for k, v in basins.items()}

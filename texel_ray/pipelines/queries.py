@@ -2114,6 +2114,151 @@ FROM t LEFT JOIN r{max_hops} r ON r.x = t.tile_x AND r.y = t.tile_y
     )
 
 
+def q_flow_basins(sf_dir: str, zoom: int = 6, rounds: int = 12):
+    """D8 FLOW BASINS over the occupied-tile lattice via POINTER
+    DOUBLING: every occupied tile flows to its steepest-descent occupied
+    8-neighbor — the neighbor minimizing the (n, tile_x, tile_y) key
+    among those strictly below the tile's own key (strict lexicographic
+    descent => acyclic, tie-free, deterministic); tiles with no lower
+    neighbor are SINKS (local minima). The basin label is the terminal
+    sink, found by successor-pointer doubling: after k rounds every
+    pointer has advanced 2^k hops, so `rounds`=12 resolves chains up to
+    4096 — the full z6 lattice. Output: per-basin tile count + image
+    mass (sink-dimension).
+
+    Shape at 100 TB: the successor table is lattice-bounded (4^zoom) —
+    a dimension table like tile_cost_dist's occupied list; each
+    doubling round is ONE skinny self-join of that table (log2(chain)
+    rounds total, the classic O(log n) distributed pointer-jumping
+    primitive), never a per-hop walk. Oracle: recursive CTE chasing the
+    same successor chain one hop at a time."""
+    counts = _tile_counts(sf_dir, zoom).materialize()
+    occ = counts.to_pandas()  # lattice-dimension-bounded
+    okeys = (occ["tile_x"].to_numpy() << 32) | occ["tile_y"].to_numpy()
+    oorder = np.argsort(okeys)
+    okeys_s = okeys[oorder]
+    on_s = occ["n"].to_numpy()[oorder]
+
+    D8 = ((-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+
+    def successor(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        best_n = n.copy()
+        best_x = tx.copy()
+        best_y = ty.copy()
+        for dx, dy in D8:
+            nx, ny = tx + dx, ty + dy
+            key = (nx << 32) | ny
+            pos = np.minimum(np.searchsorted(okeys_s, key), len(okeys_s) - 1)
+            hit = okeys_s[pos] == key
+            nb_n = np.where(hit, on_s[pos], np.iinfo(np.int64).max)
+            # strict lexicographic (n, x, y) comparison, vectorized
+            lower = (nb_n < best_n) | (
+                (nb_n == best_n)
+                & ((nx < best_x) | ((nx == best_x) & (ny < best_y)))
+            )
+            take = hit & lower
+            best_n = np.where(take, nb_n, best_n)
+            best_x = np.where(take, nx, best_x)
+            best_y = np.where(take, ny, best_y)
+        return pa.table(
+            {
+                "x": pa.array(tx, pa.int64()),
+                "y": pa.array(ty, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(best_x, pa.int64()),
+                "sy": pa.array(best_y, pa.int64()),
+            }
+        )
+
+    ptr = counts.map_batches(successor, batch_format="pyarrow").materialize()
+    npart = max(2, _cpu_count() // 8)
+    for _ in range(rounds):
+        # ptr' := ptr with (sx, sy) replaced by its successor's (sx, sy)
+        hop = ptr.join(
+            ptr.select_columns(["x", "y", "sx", "sy"]).map_batches(
+                lambda b: b.rename_columns(["jx", "jy", "ssx", "ssy"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=npart,
+            on=("sx", "sy"),
+            right_on=("jx", "jy"),
+        ).materialize()
+        # converged when no pointer advanced this round (2^k >= longest
+        # chain) — skips the remaining doubling rounds
+        moved = hop.filter(expr="ssx != sx or ssy != sy").count()
+        ptr = hop.select_columns(["x", "y", "n", "ssx", "ssy"]).map_batches(
+            lambda b: b.rename_columns(["x", "y", "n", "sx", "sy"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if moved == 0:
+            break
+
+    from ..stages.agg import partial_sum_groupby
+
+    agg = partial_sum_groupby(
+        ptr.map_batches(
+            lambda b: pa.table(
+                {"sink_x": b["sx"], "sink_y": b["sy"], "n_images": b["n"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["sink_x", "sink_y"],
+        ["n_images"],
+        count_alias="n_tiles",
+        coalesce=4,
+    )
+    return agg
+
+
+def sql_flow_basins(zoom: int = 6) -> str:
+    t = _tile_sql(zoom)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT {t['tx']} AS x, {t['ty']} AS y, CAST(count(*) AS BIGINT) AS n
+  FROM {images_sql_source()}
+  WHERE {t['valid']}
+  GROUP BY 1, 2
+), succ AS (
+  SELECT t.x, t.y, t.n,
+         coalesce(
+           (SELECT nb.x FROM t nb
+            WHERE abs(nb.x - t.x) <= 1 AND abs(nb.y - t.y) <= 1
+              AND (nb.x != t.x OR nb.y != t.y)
+              AND (nb.n, nb.x, nb.y) < (t.n, t.x, t.y)
+            ORDER BY nb.n, nb.x, nb.y LIMIT 1), t.x) AS sx,
+         coalesce(
+           (SELECT nb.y FROM t nb
+            WHERE abs(nb.x - t.x) <= 1 AND abs(nb.y - t.y) <= 1
+              AND (nb.x != t.x OR nb.y != t.y)
+              AND (nb.n, nb.x, nb.y) < (t.n, t.x, t.y)
+            ORDER BY nb.n, nb.x, nb.y LIMIT 1), t.y) AS sy
+  FROM t
+), chase AS (
+  SELECT x, y, n, sx, sy FROM succ
+  UNION ALL
+  SELECT c.x, c.y, c.n, s.sx, s.sy
+  FROM chase c JOIN succ s ON s.x = c.sx AND s.y = c.sy
+  WHERE s.sx != c.sx OR s.sy != c.sy
+), final AS (
+  SELECT x, y, n, sx, sy,
+         row_number() OVER (PARTITION BY x, y ORDER BY sx, sy) AS rn
+  FROM chase c
+  WHERE NOT EXISTS (SELECT 1 FROM succ s
+                    WHERE s.x = c.sx AND s.y = c.sy
+                      AND (s.sx != c.sx OR s.sy != c.sy))
+)
+SELECT sx AS sink_x, sy AS sink_y,
+       CAST(sum(n) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_tiles
+FROM final WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 def q_gini_tiles(sf_dir: str, zoom: int = 6):
     """GINI concentration index of the per-tile image-count distribution
     (how unequally the corpus concentrates across occupied tiles) — the
@@ -3711,6 +3856,7 @@ QUERIES = {
     "activity_streaks": relational.q_activity_streaks,
     "churned_users": relational.q_churned_users,
     "iqr_outliers": relational.q_iqr_outliers,
+    "flow_basins": q_flow_basins,
 }
 
 ORACLE_SQL = {
@@ -3810,6 +3956,7 @@ ORACLE_SQL = {
     "activity_streaks": relational.SQL_ACTIVITY_STREAKS,
     "churned_users": relational.SQL_CHURNED_USERS,
     "iqr_outliers": relational.SQL_IQR_OUTLIERS,
+    "flow_basins": sql_flow_basins(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),
