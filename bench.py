@@ -268,6 +268,7 @@ def run_benchmarks() -> dict:
     timed("churned_users", lambda: relational.q_churned_users(SF_DIR))
     timed("iqr_outliers", lambda: relational.q_iqr_outliers(SF_DIR))
     timed("flow_basins", lambda: queries.q_flow_basins(SF_DIR))
+    timed("image_progressive", lambda: relational.q_image_progressive(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

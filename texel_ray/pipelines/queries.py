@@ -3857,6 +3857,7 @@ QUERIES = {
     "churned_users": relational.q_churned_users,
     "iqr_outliers": relational.q_iqr_outliers,
     "flow_basins": q_flow_basins,
+    "image_progressive": relational.q_image_progressive,
 }
 
 ORACLE_SQL = {
@@ -4076,6 +4077,7 @@ for _name in (
     "curate_images",
     "image_resize",
     "image_transcode",
+    "image_progressive",
     "quantiles_quality",
     "audio_features",
     "s2_cells",

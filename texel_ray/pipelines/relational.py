@@ -408,6 +408,78 @@ def q_image_transcode(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_image_progressive(sf_dir: str):
+    """PROGRESSIVE-JPEG transcode audit over a deterministic 1-in-16
+    corpus sample: decode -> encode a real multi-scan SOF2 stream
+    (spectral selection + successive approximation) -> decode it back
+    and compare BIT-FOR-BIT against the baseline encode->decode of the
+    same pixels. Progressive transmission is a lossless reordering of
+    the same quantized coefficients, so n_mismatch MUST be 0 — the
+    query is its own conformance gate for the SOF2 codec under the
+    driver sweep. Output: one row (n, prog_bytes, baseline_bytes,
+    n_mismatch), every value deterministic.
+    """
+    import zlib
+
+    from ..core.imagecodec import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from ..sources.images import read_images
+
+    def transcode(batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        keep = [
+            i
+            for i, (f, iid) in enumerate(zip(fmts, ids))
+            if f == "jpeg" and zlib.crc32(str(iid).encode()) % 16 == 0
+        ]
+        payloads = batch["bytes"].take(pa.array(keep, pa.int64())).to_pylist()
+        n = 0
+        prog_bytes = 0
+        base_bytes = 0
+        n_mismatch = 0
+        for buf in payloads:
+            img = decode_image(buf, "jpeg")
+            pbuf = encode_jpeg_progressive(img)
+            bbuf = encode_jpeg(img)
+            if not np.array_equal(decode_jpeg(pbuf), decode_jpeg(bbuf)):
+                n_mismatch += 1
+            n += 1
+            prog_bytes += len(pbuf)
+            base_bytes += len(bbuf)
+        return pa.table(
+            {
+                "grp": pa.array([0], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "prog_bytes": pa.array([prog_bytes], pa.int64()),
+                "baseline_bytes": pa.array([base_bytes], pa.int64()),
+                "n_mismatch": pa.array([n_mismatch], pa.int64()),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    parts = ds.map_batches(
+        transcode, batch_format="pyarrow", batch_size=512, concurrency=12
+    )
+    from ray.data.aggregate import Sum
+
+    out = parts.groupby("grp").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("prog_bytes", alias_name="prog_bytes"),
+        Sum("baseline_bytes", alias_name="baseline_bytes"),
+        Sum("n_mismatch", alias_name="n_mismatch"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["grp"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     """Multimodal resize stage as a pipeline: decode -> nearest-neighbor
     resize -> re-encode; per-format count + total re-encoded bytes

@@ -78,6 +78,11 @@ REGRESSION_PIN = [
     # DHT anchor + roundtrip PSNR); an "independent" PSNR recompute would
     # reuse the same codec, so the golden pins the distributed composition
     "image_transcode",
+    # the SOF2 codec is pinned by third-party progressive fixtures +
+    # the progressive==baseline bit-equality pytest; the query carries
+    # its own conformance gate (n_mismatch must be 0), the golden pins
+    # the distributed composition
+    "image_progressive",
 ]
 
 
