@@ -269,6 +269,7 @@ def run_benchmarks() -> dict:
     timed("iqr_outliers", lambda: relational.q_iqr_outliers(SF_DIR))
     timed("flow_basins", lambda: queries.q_flow_basins(SF_DIR))
     timed("image_progressive", lambda: relational.q_image_progressive(SF_DIR))
+    timed("last_touch_attribution", lambda: relational.q_last_touch_attribution(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -191,3 +191,21 @@ def test_flow_basins_matches_chain_walk():
         for r in out.itertuples()
     }
     assert got == {k: tuple(v) for k, v in basins.items()}
+
+
+def test_last_touch_attribution_matches_per_user_scan():
+    from texel_ray.pipelines.relational import q_last_touch_attribution
+
+    out = q_last_touch_attribution(SF_DIR).to_pandas()
+    got = dict(zip(out.touch_type, out.n))
+    ev = _events().sort_values(["user_id", "ts_us", "event_id"])
+    want: dict[str, int] = {}
+    for _, g in ev.groupby("user_id"):
+        last = None
+        for row in g.itertuples():
+            if row.event_type == "purchase":
+                key = last if last is not None else "none"
+                want[key] = want.get(key, 0) + 1
+            else:
+                last = row.event_type
+    assert got == want

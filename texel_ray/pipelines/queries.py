@@ -3858,6 +3858,7 @@ QUERIES = {
     "iqr_outliers": relational.q_iqr_outliers,
     "flow_basins": q_flow_basins,
     "image_progressive": relational.q_image_progressive,
+    "last_touch_attribution": relational.q_last_touch_attribution,
 }
 
 ORACLE_SQL = {
@@ -3958,6 +3959,7 @@ ORACLE_SQL = {
     "churned_users": relational.SQL_CHURNED_USERS,
     "iqr_outliers": relational.SQL_IQR_OUTLIERS,
     "flow_basins": sql_flow_basins(),
+    "last_touch_attribution": relational.SQL_LAST_TOUCH_ATTRIBUTION,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

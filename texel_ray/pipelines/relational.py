@@ -6566,3 +6566,91 @@ SELECT q.event_type, q.n, q.q1_cents, q.q3_cents,
 FROM q JOIN c ON c.event_type = q.event_type
 GROUP BY 1, 2, 3, 4
 """
+
+
+def q_last_touch_attribution(sf_dir: str):
+    """LAST-TOUCH ATTRIBUTION: every purchase is credited to the user's
+    most recent PRIOR non-purchase event (strict (ts, event_id) order;
+    purchases with no prior touch credit 'none') — the marketing
+    attribution argmax-before-each-anchor shape. Output: per touch type,
+    attributed purchase count.
+
+    Shape at 100 TB: skinny (user, ts, id, typecode) rows; ONE 512-way
+    user superbucket groupby; inside a bucket one sort + a vectorized
+    running last-non-purchase index (maximum.accumulate over positions,
+    user-boundary checked by uid equality at the credited index) — no
+    per-user loop; (type, n) partials -> tiny combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        tcode, cats = _str_codes(batch["event_type"])
+        # stable global code: crc32 of the type string, computed once
+        # per DISTINCT type so merged buckets agree across batches
+        import zlib
+
+        cat_crc = np.fromiter(
+            (zlib.crc32(t.encode()) & 0x7FFFFFFF for t in cats),
+            dtype=np.int64,
+            count=len(cats),
+        )
+        is_p = _str_eq(batch["event_type"], "purchase")
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "is_p": pa.array(is_p.astype(np.int8)),
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        is_p = g["is_p"].to_numpy().astype(bool)
+        typ = g["event_type"].to_numpy()
+        idx = np.arange(len(uid))
+        last_np = np.maximum.accumulate(np.where(~is_p, idx, -1))
+        p_pos = idx[is_p]
+        j = last_np[p_pos]
+        ok = (j >= 0) & (uid[np.maximum(j, 0)] == uid[p_pos])
+        touch = np.where(ok, typ[np.maximum(j, 0)], "none")
+        return (
+            pd.DataFrame({"touch_type": touch})
+            .groupby("touch_type", sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = skinny.groupby("__ub").map_groups(attribute, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["touch_type"], ["n_partial"], coalesce=2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["touch_type", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), p AS (
+  SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'
+), x AS (
+  SELECT p.event_id AS pid,
+         (SELECT n.event_type FROM e n
+          WHERE n.user_id = p.user_id AND n.event_type != 'purchase'
+            AND (n.ts_us < p.ts_us
+                 OR (n.ts_us = p.ts_us AND n.event_id < p.event_id))
+          ORDER BY n.ts_us DESC, n.event_id DESC LIMIT 1) AS touch
+  FROM p
+)
+SELECT coalesce(touch, 'none') AS touch_type, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY 1
+"""
