@@ -270,6 +270,7 @@ def run_benchmarks() -> dict:
     timed("flow_basins", lambda: queries.q_flow_basins(SF_DIR))
     timed("image_progressive", lambda: relational.q_image_progressive(SF_DIR))
     timed("last_touch_attribution", lambda: relational.q_last_touch_attribution(SF_DIR))
+    timed("pareto_tiles", lambda: relational.q_pareto_tiles(SF_DIR), consume=None)
 
     def _shuffle():
         import pyarrow as _pa

@@ -209,3 +209,34 @@ def test_last_touch_attribution_matches_per_user_scan():
             else:
                 last = row.event_type
     assert got == want
+
+
+def test_pareto_tiles_matches_sorted_cumsum():
+    from texel_ray.pipelines.relational import (
+        _event_geo_np,
+        q_pareto_tiles,
+    )
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+
+    out = q_pareto_tiles(SF_DIR).to_pandas().set_index("share_pct")
+    ev = _events()
+    lon, lat = _event_geo_np(ev.user_id.to_numpy(), ev.event_id.to_numpy())
+    mx, my = lonlat_to_webmercator_np(lon, lat)
+    span = 256.0 * (156543.033928041 / 64.0)
+    origin = 20037508.3427892
+    fx, fy = (mx + origin) / span, (origin - my) / span
+    tx, ty = np.trunc(fx).astype(np.int64), np.trunc(fy).astype(np.int64)
+    ok = (fx >= 0) & (fy >= 0) & (tx < 64) & (ty < 64)
+    counts: dict[tuple, int] = {}
+    for x, y in zip(tx[ok], ty[ok]):
+        counts[(int(x), int(y))] = counts.get((int(x), int(y)), 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    for p in (50, 80, 90, 99):
+        cum = 0
+        for k, (_, n) in enumerate(ordered, 1):
+            cum += n
+            if 100 * cum >= p * total:
+                break
+        row = out.loc[p]
+        assert (int(row.n_tiles), int(row.n_covered)) == (k, cum)

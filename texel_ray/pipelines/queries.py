@@ -3859,6 +3859,7 @@ QUERIES = {
     "flow_basins": q_flow_basins,
     "image_progressive": relational.q_image_progressive,
     "last_touch_attribution": relational.q_last_touch_attribution,
+    "pareto_tiles": relational.q_pareto_tiles,
 }
 
 ORACLE_SQL = {
@@ -3960,6 +3961,7 @@ ORACLE_SQL = {
     "iqr_outliers": relational.SQL_IQR_OUTLIERS,
     "flow_basins": sql_flow_basins(),
     "last_touch_attribution": relational.SQL_LAST_TOUCH_ATTRIBUTION,
+    "pareto_tiles": relational.sql_pareto_tiles(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -6654,3 +6654,99 @@ WITH e AS (
 SELECT coalesce(touch, 'none') AS touch_type, CAST(count(*) AS BIGINT) AS n
 FROM x GROUP BY 1
 """
+
+
+def q_pareto_tiles(sf_dir: str, zoom: int = 6, shares=(50, 80, 90, 99)):
+    """PARETO COVERAGE CURVE of spatial concentration: the minimum
+    number of z6 tiles that cover >= P% of all located events, for P in
+    {50, 80, 90, 99} (the "how concentrated is the corpus" planning
+    number behind cache sizing and hot-shard budgets). Ordering is
+    deterministic: tiles by (count DESC, tile_x, tile_y); all-integer
+    comparison (100 * cumsum >= P * total).
+
+    Shape at 100 TB: ONE (tile) count combiner folds the corpus to the
+    lattice dimension; the cumulative scan runs on that bounded
+    histogram driver-side (a dimension table)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..core.tms import lonlat_to_webmercator_np
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        return pa.table(
+            {"tile_x": pa.array(tx[ok]), "tile_y": pa.array(ty[ok])}
+        )
+
+    hist = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    ).to_pandas()  # lattice-dimension-bounded
+    order = np.lexsort(
+        (hist["tile_y"].to_numpy(), hist["tile_x"].to_numpy(), -hist["n"].to_numpy())
+    )
+    n = hist["n"].to_numpy()[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1]) if len(cum) else 0
+    out_p, out_k, out_cov = [], [], []
+    for p in shares:
+        k = int(np.searchsorted(100 * cum, p * total, side="left")) + 1
+        out_p.append(p)
+        out_k.append(k)
+        out_cov.append(int(cum[k - 1]))
+    return pa.table(
+        {
+            "share_pct": pa.array(out_p, pa.int64()),
+            "n_tiles": pa.array(out_k, pa.int64()),
+            "n_covered": pa.array(out_cov, pa.int64()),
+        }
+    )
+
+
+def sql_pareto_tiles(zoom: int = 6, shares=(50, 80, 90, 99)) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    vals = ", ".join(f"({p})" for p in shares)
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos p
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+  GROUP BY 1, 2
+), c AS (
+  SELECT sum(n) OVER (ORDER BY n DESC, tile_x, tile_y
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY n DESC, tile_x, tile_y) AS k,
+         sum(n) OVER () AS total
+  FROM t
+), p(share_pct) AS (VALUES {vals})
+SELECT CAST(share_pct AS BIGINT) AS share_pct,
+       CAST(min(k) AS BIGINT) AS n_tiles,
+       CAST(min(cum) AS BIGINT) AS n_covered
+FROM p JOIN c ON 100 * cum >= share_pct * total
+GROUP BY 1
+"""
