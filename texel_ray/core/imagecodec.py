@@ -57,12 +57,16 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> RGB8 array. Supports 8-bit RGB, filters 0-4."""
+    """PNG bytes -> RGB8 array. Supports every 8-bit non-interlaced
+    color type (gray / RGB / palette / gray+alpha / RGBA; alpha dropped,
+    gray replicated, palette resolved), filters 0-4."""
     buf = bytes(buf)
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
+    ctype = 2
+    pal = None
     idat = []
     while pos < len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
@@ -71,19 +75,37 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctype != 2 or interlace != 0:
-                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+        elif tag == b"PLTE":
+            pal = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
             break
     raw = zlib.decompress(b"".join(idat))
-    stride = w * 3 + 1
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * nch + 1
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+
+    def to_rgb(flat: np.ndarray) -> np.ndarray:
+        px = flat.reshape(h, w, nch)
+        if ctype == 2:
+            rgb = px
+        elif ctype == 6:
+            rgb = px[:, :, :3]
+        elif ctype == 3:
+            if pal is None:
+                raise ValueError("palette PNG without PLTE")
+            rgb = pal[np.minimum(px[:, :, 0], len(pal) - 1)]
+        else:  # 0 or 4: grayscale (+alpha dropped)
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(rgb)
+
     if not rows[:, 0].any():  # all filter 0 (our encoder): fully vectorized
-        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
-    out = np.zeros((h, w * 3), dtype=np.uint8)
-    bpp = 3
+        return to_rgb(np.ascontiguousarray(rows[:, 1:]))
+    out = np.zeros((h, w * nch), dtype=np.uint8)
+    bpp = nch
     for y in range(h):
         f = rows[y, 0]
         line = rows[y, 1:].astype(np.int32)
@@ -118,7 +140,7 @@ def decode_png(buf: bytes) -> np.ndarray:
             out[y] = acc
         else:
             raise ValueError(f"bad PNG filter {f}")
-    return out.reshape(h, w, 3)
+    return to_rgb(out)
 
 
 # ---- deterministic lossy stand-in (see module docstring) ------------------
@@ -1331,6 +1353,190 @@ def encode_jpeg_progressive(
     return b"".join(parts)
 
 
+# ---- BMP decode (BITMAPINFOHEADER, BI_RGB) ---------------------------------
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed Windows BMP -> RGB8 (h, w, 3): 8-bit palettized,
+    24-bit BGR and 32-bit BGRA (alpha dropped), bottom-up or top-down,
+    4-byte row padding. Written from the published BITMAPINFOHEADER
+    layout; compressed variants (RLE, BITFIELDS) raise."""
+    buf = bytes(buf)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM signature)")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_size,) = struct.unpack_from("<I", buf, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("only BITMAPINFOHEADER(+) BMP supported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (comp,) = struct.unpack_from("<I", buf, 30)
+    if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS
+        raise NotImplementedError(f"compressed BMP (method {comp}) unsupported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp + 31) // 32 * 4
+    px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = px.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if comp == 3:  # BI_BITFIELDS: per-channel masks follow the header
+        if bpp not in (16, 32):
+            raise NotImplementedError("BITFIELDS BMP requires 16/32 bpp")
+        masks = struct.unpack_from(
+            "<III", buf, 54 if hdr_size == 40 else 14 + 40
+        )
+        dt = np.uint16 if bpp == 16 else np.uint32
+        words = np.ascontiguousarray(rows[:, : w * (bpp // 8)]).view(dt)
+        words = words.reshape(h, w).astype(np.uint32)
+        chans = []
+        for m in masks:
+            if m == 0:
+                chans.append(np.zeros((h, w), dtype=np.uint8))
+                continue
+            shift = (m & -m).bit_length() - 1
+            width = int(m >> shift).bit_length()
+            v = (words & np.uint32(m)) >> np.uint32(shift)
+            # scale a width-bit value to 8 bits (replicate high bits)
+            if width < 8:
+                v = (v << (8 - width)) | (v >> max(0, 2 * width - 8))
+            chans.append(v.astype(np.uint8))
+        img = np.stack(chans, axis=2)
+    elif bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 32:
+        img = rows[:, : w * 4].reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB
+    elif bpp == 8:
+        (ncol,) = struct.unpack_from("<I", buf, 46)
+        ncol = ncol or 256
+        pal = np.frombuffer(
+            buf, dtype=np.uint8, count=ncol * 4, offset=14 + hdr_size
+        ).reshape(ncol, 4)[:, 2::-1]  # BGRX -> RGB
+        img = pal[rows[:, :w]]
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    return np.ascontiguousarray(img)
+
+
+# ---- GIF decode (87a/89a, LZW, first frame) --------------------------------
+
+
+def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """GIF variable-width LZW decode (LSB-first bit packing) -> palette
+    indices. Written from the GIF89a specification appendix."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(npix, dtype=np.uint8)
+    n_out = 0
+    # dictionary: seq[i] = bytes for code i (base codes are single bytes)
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    seqs = list(base)
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    n = len(data)
+    while n_out < npix:
+        while nbits < code_size:
+            if pos >= n:
+                # truncated stream: stop with what we have
+                out[n_out:] = 0
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            seqs = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(seqs):
+            entry = seqs[code]
+            if prev is not None:
+                seqs.append(prev + entry[:1])
+        elif code == len(seqs) and prev is not None:
+            entry = prev + prev[:1]
+            seqs.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        take = min(len(entry), npix - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(seqs) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if n_out < npix:
+        out[n_out:] = 0
+    return out
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST FRAME -> RGB8 (h, w, 3): global/local color
+    tables, interlaced row order, LZW decompression; animation frames
+    beyond the first and transparency compositing are out of scope (the
+    first frame renders from its palette as-is)."""
+    buf = bytes(buf)
+    if buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (missing GIF87a/89a signature)")
+    sw, sh = struct.unpack_from("<HH", buf, 6)
+    flags = buf[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 7)
+        gct = np.frombuffer(buf, np.uint8, ncol * 3, pos).reshape(ncol, 3)
+        pos += ncol * 3
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _ix, _iy, iw, ih = struct.unpack_from("<HHHH", buf, pos + 1)
+            iflags = buf[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                ncol = 2 << (iflags & 7)
+                ct = np.frombuffer(buf, np.uint8, ncol * 3, pos).reshape(ncol, 3)
+                pos += ncol * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = buf[pos]
+            pos += 1
+            chunks = []
+            while buf[pos]:
+                ln = buf[pos]
+                chunks.append(buf[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw(b"".join(chunks), mcs, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                deinter = np.empty_like(idx)
+                passes = ((0, 8), (4, 8), (2, 4), (1, 2))
+                src = 0
+                for start, step in passes:
+                    rows = range(start, ih, step)
+                    for r in rows:
+                        deinter[r] = idx[src]
+                        src += 1
+                idx = deinter
+            return np.ascontiguousarray(ct[np.minimum(idx, len(ct) - 1)])
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image frame found in GIF")
+
+
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(buf)
@@ -1341,6 +1547,10 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         if bytes(buf[:2]) == b"\xff\xd8":
             return decode_jpeg(buf)
         return decode_fake_jpeg(buf)
+    if fmt == "gif":
+        return decode_gif(buf)
+    if fmt == "bmp":
+        return decode_bmp(buf)
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 
