@@ -144,3 +144,18 @@ def test_decode_image_dispatch_gif_bmp():
         decode_gif(b"NOTGIF" + b"\x00" * 20)
     with pytest.raises(ValueError):
         decode_bmp(b"XX" + b"\x00" * 60)
+
+
+def test_ppm_matches_jpeg_sibling_fixture():
+    """decode_ppm reads the committed third-party PPM ground-truth
+    sibling; cross-checked against the repo's existing header parser."""
+    from texel_ray.core.imagecodec import decode_ppm
+
+    img = decode_ppm(_read("real_baseline.ppm"))
+    assert img.shape == (16, 16, 3)
+    # grayscale P5 + comment handling
+    g = bytes([10, 20, 30, 40, 50, 60])
+    p5 = b"P5\n# comment\n3 2\n255\n" + g
+    out = decode_ppm(p5)
+    assert np.array_equal(out[:, :, 0].ravel(), np.frombuffer(g, np.uint8))
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])

@@ -1537,6 +1537,37 @@ def decode_gif(buf: bytes) -> np.ndarray:
     raise ValueError("no image frame found in GIF")
 
 
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> RGB8: the raw interchange format
+    (maxval <= 255; grayscale replicated). Header tokens may be
+    separated by any whitespace/comments per the Netpbm spec."""
+    buf = bytes(buf)
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM (P6/P5)")
+    tokens = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    nch = 3 if buf[:2] == b"P6" else 1
+    px = np.frombuffer(buf, np.uint8, w * h * nch, pos).reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(buf)
@@ -1551,6 +1582,8 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
         return decode_gif(buf)
     if fmt == "bmp":
         return decode_bmp(buf)
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(buf)
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 
