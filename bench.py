@@ -271,6 +271,9 @@ def run_benchmarks() -> dict:
     timed("image_progressive", lambda: relational.q_image_progressive(SF_DIR))
     timed("last_touch_attribution", lambda: relational.q_last_touch_attribution(SF_DIR))
     timed("pareto_tiles", lambda: relational.q_pareto_tiles(SF_DIR), consume=None)
+    timed("moving_avg_daily", lambda: relational.q_moving_avg_daily(SF_DIR))
+    timed("scd2_intervals", lambda: relational.q_scd2_intervals(SF_DIR))
+    timed("top2_gap_tiles", lambda: relational.q_top2_gap_tiles(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -240,3 +240,73 @@ def test_pareto_tiles_matches_sorted_cumsum():
                 break
         row = out.loc[p]
         assert (int(row.n_tiles), int(row.n_covered)) == (k, cum)
+
+
+def test_moving_avg_daily_matches_pandas_rolling():
+    from texel_ray.pipelines.relational import q_moving_avg_daily
+
+    out = (
+        q_moving_avg_daily(SF_DIR)
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    d = ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    rows = []
+    for typ, g in d.groupby("event_type"):
+        g = g.sort_values("day")
+        for _, r in g.iterrows():
+            win = g[(g.day >= r.day - 6) & (g.day <= r.day)]
+            rows.append((typ, int(r.day), int(r.n), int(win.n.sum())))
+    want = pd.DataFrame(rows, columns=["event_type", "day", "n", "n7"])
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_scd2_intervals_matches_per_key_diffs():
+    from texel_ray.pipelines.relational import q_scd2_intervals
+
+    out = q_scd2_intervals(SF_DIR).to_pandas().set_index("event_type")
+    ev = _events().sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    agg: dict[str, list] = {}
+    for (_, typ), g in ev.groupby(["user_id", "event_type"]):
+        ts = g.ts_us.to_numpy()
+        for gap in np.diff(ts):
+            agg.setdefault(typ, []).append(int(gap))
+    for typ, gaps in agg.items():
+        row = out.loc[typ]
+        assert (int(row.n_intervals), int(row.total_us), int(row.max_us)) == (
+            len(gaps),
+            sum(gaps),
+            max(gaps),
+        )
+
+
+def test_top2_gap_tiles_matches_counter():
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import _event_geo_np, q_top2_gap_tiles
+
+    out = q_top2_gap_tiles(SF_DIR).to_pandas()
+    got = {
+        (int(r.tile_x), int(r.tile_y)): (r.top_type, int(r.n_top), int(r.gap))
+        for r in out.itertuples()
+    }
+    ev = _events()
+    lon, lat = _event_geo_np(ev.user_id.to_numpy(), ev.event_id.to_numpy())
+    mx, my = lonlat_to_webmercator_np(lon, lat)
+    span = 256.0 * (156543.033928041 / 64.0)
+    origin = 20037508.3427892
+    fx, fy = (mx + origin) / span, (origin - my) / span
+    tx, ty = np.trunc(fx).astype(np.int64), np.trunc(fy).astype(np.int64)
+    ok = (fx >= 0) & (fy >= 0) & (tx < 64) & (ty < 64)
+    cnt: dict[tuple, dict] = {}
+    for x, y, t in zip(tx[ok], ty[ok], ev.event_type.to_numpy()[ok]):
+        cnt.setdefault((int(x), int(y)), {}).setdefault(t, 0)
+        cnt[(int(x), int(y))][t] += 1
+    want = {}
+    for cell, types in cnt.items():
+        ordered = sorted(types.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_t, top_n = ordered[0]
+        second = ordered[1][1] if len(ordered) > 1 else 0
+        want[cell] = (top_t, top_n, top_n - second)
+    assert got == want

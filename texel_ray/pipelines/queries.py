@@ -3860,6 +3860,9 @@ QUERIES = {
     "image_progressive": relational.q_image_progressive,
     "last_touch_attribution": relational.q_last_touch_attribution,
     "pareto_tiles": relational.q_pareto_tiles,
+    "moving_avg_daily": relational.q_moving_avg_daily,
+    "scd2_intervals": relational.q_scd2_intervals,
+    "top2_gap_tiles": relational.q_top2_gap_tiles,
 }
 
 ORACLE_SQL = {
@@ -3962,6 +3965,9 @@ ORACLE_SQL = {
     "flow_basins": sql_flow_basins(),
     "last_touch_attribution": relational.SQL_LAST_TOUCH_ATTRIBUTION,
     "pareto_tiles": relational.sql_pareto_tiles(),
+    "moving_avg_daily": relational.SQL_MOVING_AVG_DAILY,
+    "scd2_intervals": relational.SQL_SCD2_INTERVALS,
+    "top2_gap_tiles": relational.sql_top2_gap_tiles(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -6750,3 +6750,293 @@ SELECT CAST(share_pct AS BIGINT) AS share_pct,
 FROM p JOIN c ON 100 * cum >= share_pct * total
 GROUP BY 1
 """
+
+
+def q_moving_avg_daily(sf_dir: str, window_d: int = 7):
+    """TRAILING 7-DAY WINDOW SUM of daily event counts per type (the
+    moving-average smoothing every ops dashboard draws): for each
+    (type, day) present in the data, n and the sum over [day-6, day].
+    Exact integers.
+
+    Shape at 100 TB: a (type, day) count combiner folds the corpus to
+    the time dimension; each day-count DONATES itself to the 7 windows
+    it supports (the rolling_wau donation pattern — skinny explode on
+    the bounded day dimension, no per-day rescan); one combiner sums
+    donations, own-day rows filter absent days out."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"event_type": batch["event_type"], "day": pa.array(day, pa.int64())}
+        )
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["event_type", "day"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+    def donate(batch: pa.Table) -> pa.Table:
+        typ = batch["event_type"]
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        outs = []
+        for off in range(window_d):
+            outs.append(
+                pa.table(
+                    {
+                        "event_type": typ,
+                        "day": pa.array(day + off, pa.int64()),
+                        "n7": pa.array(n),
+                        "n_self": pa.array(
+                            n if off == 0 else np.zeros(len(n), np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    win = partial_sum_groupby(
+        daily.map_batches(donate, batch_format="pyarrow"),
+        ["event_type", "day"],
+        ["n7", "n_self"],
+        coalesce=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = batch["n_self"].to_numpy(zero_copy_only=False) > 0
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "event_type": batch["event_type"].filter(m),
+                "day": batch["day"].filter(m),
+                "n": batch["n_self"].filter(m),
+                "n7": batch["n7"].filter(m),
+            }
+        )
+
+    return win.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MOVING_AVG_DAILY = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n7
+FROM d
+"""
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD2 VALIDITY INTERVALS: treating each (user, event_type) stream
+    as versioned records, the validity interval of an event runs to the
+    NEXT event of the same key (lead()); rollup per type: interval
+    count, total and max covered microseconds. The
+    slowly-changing-dimension reconstruction shape.
+
+    Shape at 100 TB: skinny (user, type-code, ts, id) rows; ONE 512-way
+    user superbucket groupby; one sort + a vectorized next-diff masked
+    at (user, type) boundaries; (type, n, sum, max) partials -> tiny
+    combiner."""
+    from ..stages.agg import partial_max_groupby, partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def intervals(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="stable"
+        )
+        uid = g["user_id"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])
+        gap = (ts[1:] - ts[:-1])[same]
+        tt = typ[:-1][same]
+        df = pd.DataFrame({"event_type": tt, "gap": gap})
+        out = df.groupby("event_type", sort=False).agg(
+            n_intervals=("gap", "size"),
+            total_us=("gap", "sum"),
+            max_us=("gap", "max"),
+        )
+        return out.reset_index()
+
+    parts = skinny.groupby("__ub").map_groups(intervals, batch_format="pandas")
+    sums = partial_sum_groupby(
+        parts, ["event_type"], ["n_intervals", "total_us"], coalesce=2
+    )
+    maxes = partial_max_groupby(parts, ["event_type"], ["max_us"], coalesce=2)
+    joined = sums.join(
+        maxes,
+        join_type="inner",
+        num_partitions=max(2, _ccpus() // 8),
+        on=("event_type",),
+    )
+    return joined.map_batches(
+        lambda b: b.select(["event_type", "n_intervals", "total_us", "max_us"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), l AS (
+  SELECT event_type,
+         lead(ts_us) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts_us, event_id) - ts_us AS gap
+  FROM e
+)
+SELECT event_type,
+       CAST(count(gap) AS BIGINT) AS n_intervals,
+       CAST(sum(gap) AS BIGINT) AS total_us,
+       CAST(max(gap) AS BIGINT) AS max_us
+FROM l WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def q_top2_gap_tiles(sf_dir: str, zoom: int = 6):
+    """TOP-2 MARGIN per tile: the dominant event type, its count, and
+    the gap to the runner-up (0 when a tile has one type) — the
+    classification-confidence margin for every spatial cell,
+    deterministic tiebreak (count DESC, type ASC).
+
+    Shape at 100 TB: (tile, type) count combiner -> 512-way tile
+    superbucket -> ONE in-bucket lexsort + segment-head/second pick
+    (vectorized, no per-tile loop). Output lattice-bounded."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..core.tms import lonlat_to_webmercator_np
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        m = pa.array(ok)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[ok]),
+                "tile_y": pa.array(ty[ok]),
+                "event_type": batch["event_type"].filter(m),
+            }
+        )
+
+    per_type = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y", "event_type"],
+        [],
+        count_alias="n",
+        coalesce=8,
+    ).map_batches(
+        lambda b: b.append_column(
+            "__tb",
+            pa.array(
+                (
+                    (
+                        (
+                            b["tile_x"].to_numpy(zero_copy_only=False) * 131071
+                            + b["tile_y"].to_numpy(zero_copy_only=False)
+                        )
+                        & np.int64(0x7FFFFFFF)
+                    )
+                    * np.int64(2654435761)
+                )
+                % np.int64(512)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def top2(group: pd.DataFrame) -> pd.DataFrame:
+        tx = group["tile_x"].to_numpy()
+        ty = group["tile_y"].to_numpy()
+        typ = group["event_type"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.lexsort((typ, -n, ty, tx))
+        tx, ty, typ, n = tx[order], ty[order], typ[order], n[order]
+        new_tile = np.ones(len(tx), dtype=bool)
+        new_tile[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.nonzero(new_tile)[0]
+        ends = np.concatenate((starts[1:], [len(tx)]))
+        second = np.where(ends - starts >= 2, n[np.minimum(starts + 1, len(n) - 1)], 0)
+        return pd.DataFrame(
+            {
+                "tile_x": tx[starts],
+                "tile_y": ty[starts],
+                "top_type": typ[starts],
+                "n_top": n[starts],
+                "gap": n[starts] - second,
+            }
+        )
+
+    return per_type.groupby("__tb").map_groups(top2, batch_format="pandas")
+
+
+def sql_top2_gap_tiles(zoom: int = 6) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    merc_x = "(lon * (pi() / 180.0) * 6378137.0)"
+    merc_y = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({merc_x}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({merc_y})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         e.event_type, CAST(count(*) AS BIGINT) AS n
+  FROM pos p JOIN events e ON e.event_id = p.event_id
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT tile_x, tile_y, event_type, n,
+         row_number() OVER (PARTITION BY tile_x, tile_y
+                            ORDER BY n DESC, event_type) AS rk
+  FROM t
+)
+SELECT a.tile_x, a.tile_y, a.event_type AS top_type, a.n AS n_top,
+       a.n - coalesce(b.n, 0) AS gap
+FROM r a LEFT JOIN r b
+  ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.rk = 2
+WHERE a.rk = 1
+"""
