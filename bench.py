@@ -274,6 +274,7 @@ def run_benchmarks() -> dict:
     timed("moving_avg_daily", lambda: relational.q_moving_avg_daily(SF_DIR))
     timed("scd2_intervals", lambda: relational.q_scd2_intervals(SF_DIR))
     timed("top2_gap_tiles", lambda: relational.q_top2_gap_tiles(SF_DIR))
+    timed("image_bmp_roundtrip", lambda: relational.q_image_bmp_roundtrip(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

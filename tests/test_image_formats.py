@@ -159,3 +159,14 @@ def test_ppm_matches_jpeg_sibling_fixture():
     out = decode_ppm(p5)
     assert np.array_equal(out[:, :, 0].ravel(), np.frombuffer(g, np.uint8))
     assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_bmp_encode_roundtrip_lossless():
+    from texel_ray.core.imagecodec import encode_bmp
+
+    rng = np.random.RandomState(11)
+    for shape in ((5, 7, 3), (16, 16, 3), (9, 3, 3)):
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        buf = encode_bmp(img)
+        assert buf[:2] == b"BM"
+        assert np.array_equal(decode_bmp(buf), img)

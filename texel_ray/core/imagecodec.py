@@ -1418,6 +1418,21 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) -> 24-bit BI_RGB BMP bytes (bottom-up, padded
+    rows) — the lossless uncompressed interchange output; readable by
+    any external viewer and bit-exact through decode_bmp."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + dib + data
+
+
 # ---- GIF decode (87a/89a, LZW, first frame) --------------------------------
 
 

@@ -3863,6 +3863,7 @@ QUERIES = {
     "moving_avg_daily": relational.q_moving_avg_daily,
     "scd2_intervals": relational.q_scd2_intervals,
     "top2_gap_tiles": relational.q_top2_gap_tiles,
+    "image_bmp_roundtrip": relational.q_image_bmp_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -4088,6 +4089,7 @@ for _name in (
     "image_resize",
     "image_transcode",
     "image_progressive",
+    "image_bmp_roundtrip",
     "quantiles_quality",
     "audio_features",
     "s2_cells",

@@ -480,6 +480,62 @@ def q_image_progressive(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_image_bmp_roundtrip(sf_dir: str):
+    """BMP interchange audit over a deterministic 1-in-16 corpus
+    sample: decode -> encode 24-bit BI_RGB BMP -> decode back; BMP is
+    LOSSLESS so n_mismatch must be 0 (and is). Output: one row
+    (n, bmp_bytes, n_mismatch), every value deterministic — the
+    externally-readable uncompressed export path under the driver
+    gate."""
+    import zlib
+
+    from ..core.imagecodec import decode_bmp, decode_image, encode_bmp
+    from ..sources.images import read_images
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keep = [
+            i
+            for i, iid in enumerate(ids)
+            if zlib.crc32(str(iid).encode()) % 16 == 0
+        ]
+        payloads = batch["bytes"].take(pa.array(keep, pa.int64())).to_pylist()
+        fmts = batch["fmt"].take(pa.array(keep, pa.int64())).to_pylist()
+        n = 0
+        total = 0
+        n_mismatch = 0
+        for buf, f in zip(payloads, fmts):
+            img = decode_image(buf, f)
+            bmp = encode_bmp(img)
+            if not np.array_equal(decode_bmp(bmp), img):
+                n_mismatch += 1
+            n += 1
+            total += len(bmp)
+        return pa.table(
+            {
+                "grp": pa.array([0], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "bmp_bytes": pa.array([total], pa.int64()),
+                "n_mismatch": pa.array([n_mismatch], pa.int64()),
+            }
+        )
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "fmt"])
+    parts = ds.map_batches(
+        roundtrip, batch_format="pyarrow", batch_size=512, concurrency=12
+    )
+    from ray.data.aggregate import Sum
+
+    out = parts.groupby("grp").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("bmp_bytes", alias_name="bmp_bytes"),
+        Sum("n_mismatch", alias_name="n_mismatch"),
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["grp"]), batch_format="pyarrow"
+    )
+
+
 def q_image_resize(sf_dir: str, out_w: int = 8, out_h: int = 8):
     """Multimodal resize stage as a pipeline: decode -> nearest-neighbor
     resize -> re-encode; per-format count + total re-encoded bytes

@@ -83,6 +83,10 @@ REGRESSION_PIN = [
     # its own conformance gate (n_mismatch must be 0), the golden pins
     # the distributed composition
     "image_progressive",
+    # BMP is lossless and its decoder is pinned pixel-exact vs the
+    # third-party PNG sibling; the query carries its own gate
+    # (n_mismatch must be 0), the golden pins the composition
+    "image_bmp_roundtrip",
 ]
 
 
