@@ -275,6 +275,8 @@ def run_benchmarks() -> dict:
     timed("scd2_intervals", lambda: relational.q_scd2_intervals(SF_DIR))
     timed("top2_gap_tiles", lambda: relational.q_top2_gap_tiles(SF_DIR))
     timed("image_bmp_roundtrip", lambda: relational.q_image_bmp_roundtrip(SF_DIR))
+    timed("grid_crosstab", lambda: relational.q_grid_crosstab(SF_DIR))
+    timed("robust_zscore_days", lambda: relational.q_robust_zscore_days(SF_DIR), consume=None)
 
     def _shuffle():
         import pyarrow as _pa

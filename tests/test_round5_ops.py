@@ -310,3 +310,59 @@ def test_top2_gap_tiles_matches_counter():
         second = ordered[1][1] if len(ordered) > 1 else 0
         want[cell] = (top_t, top_n, top_n - second)
     assert got == want
+
+
+def test_grid_crosstab_row_consistency():
+    """Every (tile, hex) pair must agree with an independent per-row
+    double-encode, and the marginals must equal the single-grid counts."""
+    from texel_ray.core.tms import lonlat_to_webmercator_np
+    from texel_ray.pipelines.relational import _event_geo_np, q_grid_crosstab
+
+    out = q_grid_crosstab(SF_DIR).to_pandas()
+    got = {
+        (int(r.tile_x), int(r.tile_y), int(r.hex_q), int(r.hex_r)): int(r.n)
+        for r in out.itertuples()
+    }
+    ev = _events()
+    lon, lat = _event_geo_np(ev.user_id.to_numpy(), ev.event_id.to_numpy())
+    mx, my = lonlat_to_webmercator_np(lon, lat)
+    span = 256.0 * (156543.033928041 / 64.0)
+    origin = 20037508.3427892
+    fx, fy = (mx + origin) / span, (origin - my) / span
+    tx, ty = np.trunc(fx).astype(np.int64), np.trunc(fy).astype(np.int64)
+    ok = (fx >= 0) & (fy >= 0) & (tx < 64) & (ty < 64) & np.isfinite(my)
+    q = (mx * (np.sqrt(3.0) / 3.0) - my * (1.0 / 3.0)) / 250_000.0
+    r = (my * (2.0 / 3.0)) / 250_000.0
+    cx, cz = q, r
+    cy = -cx - cz
+    rx, ry, rz = np.floor(cx + 0.5), np.floor(cy + 0.5), np.floor(cz + 0.5)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    fix_z = ~fix_x & ~fix_y
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    want: dict[tuple, int] = {}
+    for i in np.nonzero(ok)[0]:
+        key = (int(tx[i]), int(ty[i]), int(rx[i]), int(rz[i]))
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_robust_zscore_days_matches_recompute():
+    from texel_ray.pipelines.relational import q_robust_zscore_days
+
+    out = q_robust_zscore_days(SF_DIR).to_pandas().sort_values("day")
+    daily = _events().groupby("day").size().sort_index()
+    n = daily.to_numpy()
+    v = np.sort(n)
+    med = int(v[int(np.ceil(0.5 * len(v))) - 1])
+    dev = np.sort(np.abs(n - med))
+    mad = int(dev[int(np.ceil(0.5 * len(dev))) - 1])
+    want = (1349 * np.abs(n - med) > 7000 * mad).astype(int)
+    assert out["day"].tolist() == daily.index.tolist()
+    assert out["n"].tolist() == n.tolist()
+    assert out["is_outlier"].tolist() == want.tolist()
+    # the integer reduction is the exact 0.6745/3.5 rule
+    flt = 0.6745 * np.abs(n - med) > 3.5 * mad
+    assert np.array_equal(flt.astype(int), want)

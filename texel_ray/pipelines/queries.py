@@ -3864,6 +3864,8 @@ QUERIES = {
     "scd2_intervals": relational.q_scd2_intervals,
     "top2_gap_tiles": relational.q_top2_gap_tiles,
     "image_bmp_roundtrip": relational.q_image_bmp_roundtrip,
+    "grid_crosstab": relational.q_grid_crosstab,
+    "robust_zscore_days": relational.q_robust_zscore_days,
 }
 
 ORACLE_SQL = {
@@ -3969,6 +3971,8 @@ ORACLE_SQL = {
     "moving_avg_daily": relational.SQL_MOVING_AVG_DAILY,
     "scd2_intervals": relational.SQL_SCD2_INTERVALS,
     "top2_gap_tiles": relational.sql_top2_gap_tiles(),
+    "grid_crosstab": relational.sql_grid_crosstab(),
+    "robust_zscore_days": relational.SQL_ROBUST_ZSCORE_DAYS,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -7096,3 +7096,154 @@ FROM r a LEFT JOIN r b
   ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.rk = 2
 WHERE a.rk = 1
 """
+
+
+def q_grid_crosstab(sf_dir: str, zoom: int = 6, size_m: float = 250_000.0):
+    """CROSS-GRID CONTINGENCY: joint (z6 WebMercator tile, axial hex
+    cell) event counts — the index-migration audit that shows how two
+    spatial partitioning schemes overlap (needed when moving a corpus
+    between tile- and hex-keyed layouts). Both encodings run in the
+    SAME batch pass, so consistency is per-row by construction.
+
+    Shape at 100 TB: stateless double-encode map, ONE combiner on the
+    composite key; output bounded by occupied (tile x hex) pairs."""
+    from ..stages.agg import partial_sum_groupby
+    from ..stages.tiles import hex_bin
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..core.tms import lonlat_to_webmercator_np
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        t = pa.table(
+            {
+                "lon": pa.array(lon[ok], pa.float64()),
+                "lat": pa.array(lat[ok], pa.float64()),
+                "tile_x": pa.array(tx[ok]),
+                "tile_y": pa.array(ty[ok]),
+            }
+        )
+        # hex_bin appends hex_q/hex_r with its own validity filter (the
+        # same rows: in-grid implies a finite Mercator y)
+        return hex_bin(t, size_m=size_m, keep_columns=["tile_x", "tile_y"])
+
+    return partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y", "hex_q", "hex_r"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    )
+
+
+def sql_grid_crosstab(zoom: int = 6, size_m: float = 250_000.0) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    mx = "(lon * (pi() / 180.0) * 6378137.0)"
+    my = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({mx}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({my})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+a AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         ({mx} * (sqrt(3.0) / 3.0) - {my} * (1.0 / 3.0)) / {size_m!r} AS q,
+         ({my} * (2.0 / 3.0)) / {size_m!r} AS r
+  FROM pos
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+    AND isfinite({my})
+), c AS (
+  SELECT tile_x, tile_y, q AS cx, r AS cz, -q - r AS cy,
+         floor(q + 0.5) AS rx0, floor(-q - r + 0.5) AS ry0, floor(r + 0.5) AS rz0
+  FROM a
+), f AS (
+  SELECT tile_x, tile_y, cx, cy, cz, rx0, ry0, rz0,
+         abs(rx0 - cx) AS dx, abs(ry0 - cy) AS dy, abs(rz0 - cz) AS dz
+  FROM c
+)
+SELECT tile_x, tile_y,
+       CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS hex_q,
+       CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                 THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS hex_r,
+       CAST(count(*) AS BIGINT) AS n
+FROM f
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_robust_zscore_days(sf_dir: str):
+    """ROBUST (MAD) DAILY ANOMALY GATE: flag days whose event count
+    deviates from the corpus median by a modified z-score > 3.5 —
+    0.6745 * |n - median| / MAD > 3.5, evaluated as the exact integer
+    comparison 6745 * |n - med| > 35000 * MAD, reduced to
+    1349 * |n - med| > 7000 * MAD (both sides int64). The
+    outlier-day data-quality rule that, unlike mean/std, one bad day
+    cannot mask.
+
+    Shape at 100 TB: a (day) count combiner folds the corpus to the
+    time dimension; median and MAD are exact selections on that bounded
+    histogram. Output: day, n, is_outlier for every day."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    daily = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["day"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    ).to_pandas()  # day-dimension (bounded)
+    daily = daily.sort_values("day").reset_index(drop=True)
+    n = daily["n"].to_numpy()
+    v = np.sort(n)
+    med = int(v[int(np.ceil(0.5 * len(v))) - 1])  # quantile_disc median
+    dev = np.sort(np.abs(n - med))
+    mad = int(dev[int(np.ceil(0.5 * len(dev))) - 1])
+    is_out = (1349 * np.abs(n - med) > 7000 * mad).astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(daily["day"].to_numpy(), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "is_outlier": pa.array(is_out, pa.int64()),
+        }
+    )
+
+
+SQL_ROBUST_ZSCORE_DAYS = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT quantile_disc(n, 0.5) AS med FROM d
+), md AS (
+  SELECT quantile_disc(abs(n - med), 0.5) AS mad FROM d, m
+)
+SELECT day, n,
+       CAST(CASE WHEN 1349 * abs(n - med) > 7000 * mad
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM d, m, md
+"""
