@@ -277,6 +277,7 @@ def run_benchmarks() -> dict:
     timed("image_bmp_roundtrip", lambda: relational.q_image_bmp_roundtrip(SF_DIR))
     timed("grid_crosstab", lambda: relational.q_grid_crosstab(SF_DIR))
     timed("robust_zscore_days", lambda: relational.q_robust_zscore_days(SF_DIR), consume=None)
+    timed("rfm_segments", lambda: relational.q_rfm_segments(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

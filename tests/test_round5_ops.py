@@ -366,3 +366,39 @@ def test_robust_zscore_days_matches_recompute():
     # the integer reduction is the exact 0.6745/3.5 rule
     flt = 0.6745 * np.abs(n - med) > 3.5 * mad
     assert np.array_equal(flt.astype(int), want)
+
+
+def test_rfm_segments_matches_pandas_recompute():
+    from texel_ray.pipelines.relational import q_rfm_segments
+
+    out = q_rfm_segments(SF_DIR).to_pandas()
+    got = {
+        (int(r.r_bucket), int(r.f_bucket), int(r.m_bucket)): int(r.n_customers)
+        for r in out.itertuples()
+    }
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    orders["day"] = (
+        orders.o_orderdate.astype("datetime64[us]").astype(np.int64)
+        // (86400 * 1_000_000)
+    )
+    orders["cents"] = np.trunc(orders.o_totalprice.to_numpy() * 100.0).astype(
+        np.int64
+    )
+    c = orders.groupby("o_custkey").agg(
+        r_day=("day", "max"), f=("day", "size"), m=("cents", "sum")
+    )
+
+    def edges(v):
+        s = np.sort(v.to_numpy())
+        return [s[int(np.ceil(q * len(s))) - 1] for q in (0.2, 0.4, 0.6, 0.8)]
+
+    er, ef, em = edges(c.r_day), edges(c.f), edges(c.m)
+    want: dict[tuple, int] = {}
+    for row in c.itertuples():
+        key = (
+            1 + sum(row.r_day > e for e in er),
+            1 + sum(row.f > e for e in ef),
+            1 + sum(row.m > e for e in em),
+        )
+        want[key] = want.get(key, 0) + 1
+    assert got == want

@@ -3866,6 +3866,7 @@ QUERIES = {
     "image_bmp_roundtrip": relational.q_image_bmp_roundtrip,
     "grid_crosstab": relational.q_grid_crosstab,
     "robust_zscore_days": relational.q_robust_zscore_days,
+    "rfm_segments": relational.q_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -3973,6 +3974,7 @@ ORACLE_SQL = {
     "top2_gap_tiles": relational.sql_top2_gap_tiles(),
     "grid_crosstab": relational.sql_grid_crosstab(),
     "robust_zscore_days": relational.SQL_ROBUST_ZSCORE_DAYS,
+    "rfm_segments": relational.SQL_RFM_SEGMENTS,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -7247,3 +7247,120 @@ SELECT day, n,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
 FROM d, m, md
 """
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM CUSTOMER SEGMENTATION (recency / frequency / monetary
+    quintiles — the classic CRM cube): per customer last-order day,
+    order count and cent-exact spend; each metric bucketed 1..5 by its
+    exact DISCRETE quintile edges (quantile_disc at .2/.4/.6/.8; a
+    value equal to an edge falls in the lower bucket, so ties are
+    deterministic and engine-independent); output the populated
+    (r, f, m) cells with customer counts (<= 125 rows).
+
+    Shape at 100 TB: ONE (custkey) combiner folds orders to the
+    customer dimension; each metric's quintile edges are exact
+    selections on its value histogram (the grouped_median pattern);
+    only the 12 edge scalars broadcast; the cell rollup is a tiny
+    combiner."""
+    from ..stages.agg import partial_max_groupby, partial_sum_groupby
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        cents = np.trunc(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "r_day": pa.array(day, pa.int64()),
+                "f": pa.array(np.ones(len(day), np.int64)),
+                "m": pa.array(cents),
+            }
+        )
+
+    skinny = orders.map_batches(skinnify, batch_format="pyarrow", batch_size=16384)
+    last = partial_max_groupby(skinny, ["o_custkey"], ["r_day"], coalesce=8)
+    sums = partial_sum_groupby(skinny, ["o_custkey"], ["f", "m"], coalesce=8)
+    cust = last.join(
+        sums,
+        join_type="inner",
+        num_partitions=max(2, _ccpus() // 8),
+        on=("o_custkey",),
+    )
+
+    def edges_of(col: str) -> np.ndarray:
+        # exact discrete quintile edges on the metric's value histogram
+        # (grouped_median selection pattern; the histogram task holds
+        # the distinct-value dimension, the driver sees 4 scalars)
+        hist = partial_sum_groupby(
+            cust.select_columns([col]), [col], [], count_alias="cnt", coalesce=4
+        ).to_pandas()
+        hist = hist.sort_values(col)
+        cum = hist["cnt"].to_numpy().cumsum()
+        total = int(cum[-1])
+        v = hist[col].to_numpy()
+        return np.array(
+            [
+                v[np.searchsorted(cum, int(np.ceil(q * total)))]
+                for q in (0.2, 0.4, 0.6, 0.8)
+            ],
+            dtype=np.int64,
+        )
+
+    cust = cust.materialize()  # customer-dimension; consumed 4x below
+    er, ef, em = edges_of("r_day"), edges_of("f"), edges_of("m")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        def b(col, e):
+            x = batch[col].to_numpy(zero_copy_only=False)
+            return 1 + (x[:, None] > e[None, :]).sum(axis=1).astype(np.int64)
+
+        return pa.table(
+            {
+                "r_bucket": pa.array(b("r_day", er)),
+                "f_bucket": pa.array(b("f", ef)),
+                "m_bucket": pa.array(b("m", em)),
+            }
+        )
+
+    return partial_sum_groupby(
+        cust.map_batches(bucket, batch_format="pyarrow"),
+        ["r_bucket", "f_bucket", "m_bucket"],
+        [],
+        count_alias="n_customers",
+        coalesce=2,
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH c AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(trunc(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT quantile_disc(r_day, 0.2) AS r1, quantile_disc(r_day, 0.4) AS r2,
+         quantile_disc(r_day, 0.6) AS r3, quantile_disc(r_day, 0.8) AS r4,
+         quantile_disc(f, 0.2) AS f1, quantile_disc(f, 0.4) AS f2,
+         quantile_disc(f, 0.6) AS f3, quantile_disc(f, 0.8) AS f4,
+         quantile_disc(m, 0.2) AS m1, quantile_disc(m, 0.4) AS m2,
+         quantile_disc(m, 0.6) AS m3, quantile_disc(m, 0.8) AS m4
+  FROM c
+)
+SELECT CAST(1 + (r_day > r1)::int + (r_day > r2)::int
+            + (r_day > r3)::int + (r_day > r4)::int AS BIGINT) AS r_bucket,
+       CAST(1 + (f > f1)::int + (f > f2)::int
+            + (f > f3)::int + (f > f4)::int AS BIGINT) AS f_bucket,
+       CAST(1 + (m > m1)::int + (m > m2)::int
+            + (m > m3)::int + (m > m4)::int AS BIGINT) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c, e GROUP BY 1, 2, 3
+"""
