@@ -278,6 +278,7 @@ def run_benchmarks() -> dict:
     timed("grid_crosstab", lambda: relational.q_grid_crosstab(SF_DIR))
     timed("robust_zscore_days", lambda: relational.q_robust_zscore_days(SF_DIR), consume=None)
     timed("rfm_segments", lambda: relational.q_rfm_segments(SF_DIR))
+    timed("tpch_q5", lambda: relational.q_tpch_q5(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -402,3 +402,33 @@ def test_rfm_segments_matches_pandas_recompute():
         )
         want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_tpch_q5_matches_pandas_join():
+    from texel_ray.pipelines.relational import q_tpch_q5
+
+    out = q_tpch_q5(SF_DIR).to_pandas()
+    got = dict(zip(out.n_name, out.revenue_cents))
+    rd = lambda t: pq.read_table(f"{SF_DIR}/{t}.parquet").to_pandas()  # noqa: E731
+    c, o, li = rd("customer"), rd("orders"), rd("lineitem")
+    s, n, r = rd("supplier"), rd("nation"), rd("region")
+    df = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    df = df[
+        (df.c_nationkey == df.s_nationkey)
+        & (df.r_name == "ASIA")
+        & (df.o_orderdate >= lo)
+        & (df.o_orderdate < hi)
+    ]
+    df["rev"] = np.trunc(
+        df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy()) * 100.0
+    ).astype(np.int64)
+    want = df.groupby("n_name").rev.sum().to_dict()
+    assert got == want and len(got) > 0

@@ -3867,6 +3867,7 @@ QUERIES = {
     "grid_crosstab": relational.q_grid_crosstab,
     "robust_zscore_days": relational.q_robust_zscore_days,
     "rfm_segments": relational.q_rfm_segments,
+    "tpch_q5": relational.q_tpch_q5,
 }
 
 ORACLE_SQL = {
@@ -3975,6 +3976,7 @@ ORACLE_SQL = {
     "grid_crosstab": relational.sql_grid_crosstab(),
     "robust_zscore_days": relational.SQL_ROBUST_ZSCORE_DAYS,
     "rfm_segments": relational.SQL_RFM_SEGMENTS,
+    "tpch_q5": relational.sql_tpch_q5(),
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

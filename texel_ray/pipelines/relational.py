@@ -7364,3 +7364,141 @@ SELECT CAST(1 + (r_day > r1)::int + (r_day > r2)::int
        CAST(count(*) AS BIGINT) AS n_customers
 FROM c, e GROUP BY 1, 2, 3
 """
+
+
+def q_tpch_q5(sf_dir: str, region: str = "ASIA", year_lo: str = "1996-01-01",
+              year_hi: str = "1997-01-01"):
+    """TPC-H Q5 (local supplier volume): cent-exact revenue per nation
+    for orders in [year_lo, year_hi) where the CUSTOMER and the
+    LINEITEM's SUPPLIER sit in the same nation, restricted to one
+    region — the widest join in the suite (region x nation x supplier x
+    customer x orders x lineitem).
+
+    Shape at 100 TB: region/nation/supplier/customer fold to broadcast
+    int lookup arrays (dimension tables — at extreme customer
+    cardinality this side upgrades to a hash join, the
+    q_join_mktsegment caveat); orders date-pruned at the scan; ONE
+    two-sided lineitem |x| orders hash join; nation-equality gate and
+    the region filter run vectorized in the join's map; per-nation
+    revenue is a tiny combiner."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import partial_sum_groupby
+
+    lo_us = int(pd.Timestamp(year_lo).value // 1000)
+    hi_us = int(pd.Timestamp(year_hi).value // 1000)
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = int(
+        reg["r_regionkey"][list(reg["r_name"].to_pylist()).index(region)].as_py()
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkeys = nat["n_nationkey"].to_numpy()
+    norder = np.argsort(nkeys)
+    nkeys_s = nkeys[norder]
+    nregion = nat["n_regionkey"].to_numpy()[norder]
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)[norder]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].to_numpy()
+    sorder = np.argsort(skeys)
+    skeys_s = skeys[sorder]
+    snation = supp["s_nationkey"].to_numpy()[sorder]
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ckeys = cust["c_custkey"].to_numpy()
+    corder = np.argsort(ckeys)
+    ckeys_s = ckeys[corder]
+    cnation = cust["c_nationkey"].to_numpy()[corder]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        keep = (d >= lo_us) & (d < hi_us)
+        m = pa.array(keep)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+        pos = np.minimum(np.searchsorted(ckeys_s, ck), len(ckeys_s) - 1)
+        cn = np.where(ckeys_s[pos] == ck, cnation[pos], -1)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(m),
+                "c_nation": pa.array(cn.astype(np.int64)),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_skinny(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(skeys_s, sk), len(skeys_s) - 1)
+        sn = np.where(skeys_s[pos] == sk, snation[pos], -1)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "s_nation": pa.array(sn.astype(np.int64)),
+                "rev_cents": pa.array(
+                    np.trunc(ep * (1.0 - disc) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    joined = li.map_batches(l_skinny, batch_format="pyarrow").join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(8, _ccpus() // 2),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nation"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nation"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nkeys_s, sn), len(nkeys_s) - 1)
+        in_region = (nkeys_s[pos] == sn) & (nregion[pos] == rkey)
+        keep = (sn == cn) & (sn >= 0) & in_region
+        name = nnames[pos[keep]]
+        return pa.table(
+            {
+                "n_name": pa.array(name.tolist(), pa.string()),
+                "rev_cents": batch["rev_cents"].filter(pa.array(keep)),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        joined.map_batches(gate, batch_format="pyarrow"),
+        ["n_name"],
+        ["rev_cents"],
+        coalesce=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["n_name", "revenue_cents"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_tpch_q5(region: str = "ASIA", year_lo: str = "1996-01-01",
+                year_hi: str = "1997-01-01") -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(trunc(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{year_lo}'
+  AND o.o_orderdate <  TIMESTAMP '{year_hi}'
+GROUP BY 1
+"""
