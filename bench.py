@@ -279,6 +279,8 @@ def run_benchmarks() -> dict:
     timed("robust_zscore_days", lambda: relational.q_robust_zscore_days(SF_DIR), consume=None)
     timed("rfm_segments", lambda: relational.q_rfm_segments(SF_DIR))
     timed("tpch_q5", lambda: relational.q_tpch_q5(SF_DIR))
+    timed("percent_of_parent_tiles", lambda: relational.q_percent_of_parent_tiles(SF_DIR))
+    timed("word_cooccurrence", lambda: mlprep.q_word_cooccurrence(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

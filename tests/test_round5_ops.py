@@ -432,3 +432,38 @@ def test_tpch_q5_matches_pandas_join():
     ).astype(np.int64)
     want = df.groupby("n_name").rev.sum().to_dict()
     assert got == want and len(got) > 0
+
+
+def test_percent_of_parent_tiles_marginals():
+    from texel_ray.pipelines.relational import q_percent_of_parent_tiles
+
+    out = q_percent_of_parent_tiles(SF_DIR).to_pandas()
+    # parent totals must equal the sum of their children's n
+    grp = out.assign(px=out.tile_x // 4, py=out.tile_y // 4)
+    for (_, _), g in grp.groupby(["px", "py"]):
+        assert (g.parent_n == g.n.sum()).all()
+    assert (out.n <= out.parent_n).all() and len(out) > 0
+
+
+def test_word_cooccurrence_matches_counter():
+    from texel_ray.pipelines.mlprep import q_word_cooccurrence
+
+    out = q_word_cooccurrence(SF_DIR).to_pandas()
+    got = {(r.word_a, r.word_b): int(r.n_docs) for r in out.itertuples()}
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    from collections import Counter
+
+    cnt = Counter()
+    for t in docs.text.fillna(""):
+        if t.strip():
+            cnt.update(t.split())
+    vocab = set(
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    )
+    want: dict[tuple, int] = {}
+    for t in docs.text.fillna(""):
+        ws = sorted(set(t.split()) & vocab)
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                want[(ws[i], ws[j])] = want.get((ws[i], ws[j]), 0) + 1
+    assert got == want

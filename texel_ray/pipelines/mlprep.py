@@ -4652,3 +4652,88 @@ f AS (SELECT g, min(doc_id) AS doc_id FROM e GROUP BY 1)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_introduced
 FROM f GROUP BY 1
 """
+
+
+def q_word_cooccurrence(sf_dir: str, k: int = 30):
+    """WORD CO-OCCURRENCE over the top-k vocabulary: for every pair of
+    head words, how many documents contain BOTH (the PMI/embedding-
+    prior co-occurrence matrix, kept as exact integer counts). The
+    vocabulary is the deterministic top-k by (count DESC, token ASC).
+
+    Shape at 100 TB: the vocab is output-dimension (top-k) and
+    broadcasts; per batch each doc folds to its distinct vocab-index
+    set and pairs count into a k*k bincount, so a batch emits <= C(k,2)
+    partial rows regardless of corpus size; one tiny pair combiner."""
+    from ..stages.agg import partial_sum_groupby
+
+    vdf = q_token_counts(sf_dir, k).to_pandas()
+    vocab = {w: i for i, w in enumerate(vdf["token"].tolist())}
+    words = np.asarray(vdf["token"].tolist(), dtype=object)
+    nv = len(words)
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        cnt = np.zeros(nv * nv, dtype=np.int64)
+        for text in batch["text"].to_pylist():
+            idx = sorted(
+                {vocab[t] for t in (text or "").split() if t in vocab}
+            )
+            m = len(idx)
+            for i in range(m):
+                a = idx[i] * nv
+                for j in range(i + 1, m):
+                    cnt[a + idx[j]] += 1
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "ia": pa.array((nz // nv).astype(np.int64)),
+                "ib": pa.array((nz % nv).astype(np.int64)),
+                "n_partial": pa.array(cnt[nz]),
+            }
+        )
+
+    agg = partial_sum_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=512),
+        ["ia", "ib"],
+        ["n_partial"],
+        coalesce=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ia = batch["ia"].to_numpy(zero_copy_only=False)
+        ib = batch["ib"].to_numpy(zero_copy_only=False)
+        wa = words[ia]
+        wb = words[ib]
+        # canonical pair order is LEXICOGRAPHIC (mirrors a.token < b.token)
+        lo = np.minimum(wa, wb)
+        hi = np.maximum(wa, wb)
+        return pa.table(
+            {
+                "word_a": pa.array(lo.tolist(), pa.string()),
+                "word_b": pa.array(hi.tolist(), pa.string()),
+                "n_docs": batch["n_partial"],
+            }
+        )
+
+    # index pairs are rank-ordered, not lexicographic: re-key and merge
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return partial_sum_groupby(out, ["word_a", "word_b"], ["n_docs"], coalesce=2)
+
+
+SQL_WORD_COOCCURRENCE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), v AS (
+  SELECT token FROM toks GROUP BY 1
+  ORDER BY count(*) DESC, token ASC LIMIT 30
+), d AS (
+  SELECT DISTINCT doc_id, token FROM toks
+  WHERE token IN (SELECT token FROM v)
+)
+SELECT a.token AS word_a, b.token AS word_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+"""

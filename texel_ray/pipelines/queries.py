@@ -3868,6 +3868,8 @@ QUERIES = {
     "robust_zscore_days": relational.q_robust_zscore_days,
     "rfm_segments": relational.q_rfm_segments,
     "tpch_q5": relational.q_tpch_q5,
+    "percent_of_parent_tiles": relational.q_percent_of_parent_tiles,
+    "word_cooccurrence": mlprep.q_word_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -3977,6 +3979,8 @@ ORACLE_SQL = {
     "robust_zscore_days": relational.SQL_ROBUST_ZSCORE_DAYS,
     "rfm_segments": relational.SQL_RFM_SEGMENTS,
     "tpch_q5": relational.sql_tpch_q5(),
+    "percent_of_parent_tiles": relational.sql_percent_of_parent_tiles(),
+    "word_cooccurrence": mlprep.SQL_WORD_COOCCURRENCE,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

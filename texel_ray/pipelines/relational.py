@@ -7502,3 +7502,101 @@ WHERE c.c_nationkey = s.s_nationkey
   AND o.o_orderdate <  TIMESTAMP '{year_hi}'
 GROUP BY 1
 """
+
+
+def q_percent_of_parent_tiles(sf_dir: str, zoom: int = 6):
+    """PERCENT-OF-PARENT hierarchy share: every occupied z6 tile's event
+    count alongside its z4 PARENT tile's total (the OLAP
+    percent-of-parent drill-down, kept as the exact integer pair
+    (n, parent_n) so the share is engine-independent).
+
+    Shape at 100 TB: ONE z6 count combiner; the z4 parent totals derive
+    from that lattice-bounded table (a second tiny combiner) and
+    broadcast as a lookup — no join, no second corpus scan."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    span = 256.0 * (156543.033928041 / float(1 << zoom))
+    origin = 20037508.3427892
+    matrix = 1 << zoom
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..core.tms import lonlat_to_webmercator_np
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_geo_np(uid, eid)
+        mx, my = lonlat_to_webmercator_np(lon, lat)
+        fx = (mx - (-origin)) / span
+        fy = (origin - my) / span
+        tx = np.trunc(fx).astype(np.int64)
+        ty = np.trunc(fy).astype(np.int64)
+        ok = (fx >= 0) & (fy >= 0) & (tx < matrix) & (ty < matrix)
+        return pa.table(
+            {"tile_x": pa.array(tx[ok]), "tile_y": pa.array(ty[ok])}
+        )
+
+    fine = partial_sum_groupby(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=16384),
+        ["tile_x", "tile_y"],
+        [],
+        count_alias="n",
+        coalesce=4,
+    ).materialize()  # lattice-bounded; consumed twice
+
+    parents = fine.map_batches(
+        lambda b: pa.table(
+            {
+                "px": pa.array(b["tile_x"].to_numpy(zero_copy_only=False) >> 2),
+                "py": pa.array(b["tile_y"].to_numpy(zero_copy_only=False) >> 2),
+                "n": b["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ptab = partial_sum_groupby(parents, ["px", "py"], ["n"], coalesce=2).to_pandas()
+    pkey = (ptab["px"].to_numpy() << 32) | ptab["py"].to_numpy()
+    porder = np.argsort(pkey)
+    pkey_s, pn_s = pkey[porder], ptab["n"].to_numpy()[porder]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        tx = batch["tile_x"].to_numpy(zero_copy_only=False)
+        ty = batch["tile_y"].to_numpy(zero_copy_only=False)
+        key = ((tx >> 2) << 32) | (ty >> 2)
+        pos = np.minimum(np.searchsorted(pkey_s, key), len(pkey_s) - 1)
+        return pa.table(
+            {
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "n": batch["n"],
+                "parent_n": pa.array(pn_s[pos].astype(np.int64)),
+            }
+        )
+
+    return fine.map_batches(attach, batch_format="pyarrow")
+
+
+def sql_percent_of_parent_tiles(zoom: int = 6) -> str:
+    span = f"(256.0 * (156543.033928041 / {float(1 << zoom)!r}))"
+    matrix = 1 << zoom
+    mx = "(lon * (pi() / 180.0) * 6378137.0)"
+    my = "(ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)"
+    fx = f"(({mx}) - (-20037508.3427892)) / {span}"
+    fy = f"((20037508.3427892) - ({my})) / {span}"
+    return f"""
+WITH {_sql_event_pos()},
+t AS (
+  SELECT CAST(trunc({fx}) AS BIGINT) AS tile_x,
+         CAST(trunc({fy}) AS BIGINT) AS tile_y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos
+  WHERE ({fx}) >= 0 AND ({fy}) >= 0
+    AND CAST(trunc({fx}) AS BIGINT) < {matrix}
+    AND CAST(trunc({fy}) AS BIGINT) < {matrix}
+  GROUP BY 1, 2
+)
+SELECT tile_x, tile_y, n,
+       CAST(sum(n) OVER (PARTITION BY tile_x // 4, tile_y // 4)
+            AS BIGINT) AS parent_n
+FROM t
+"""
