@@ -281,6 +281,8 @@ def run_benchmarks() -> dict:
     timed("tpch_q5", lambda: relational.q_tpch_q5(SF_DIR))
     timed("percent_of_parent_tiles", lambda: relational.q_percent_of_parent_tiles(SF_DIR))
     timed("word_cooccurrence", lambda: mlprep.q_word_cooccurrence(SF_DIR))
+    timed("order_fanout_dist", lambda: relational.q_order_fanout_dist(SF_DIR))
+    timed("user_day_percentiles", lambda: relational.q_user_day_percentiles(SF_DIR), consume=None)
 
     def _shuffle():
         import pyarrow as _pa

@@ -467,3 +467,32 @@ def test_word_cooccurrence_matches_counter():
             for j in range(i + 1, len(ws)):
                 want[(ws[i], ws[j])] = want.get((ws[i], ws[j]), 0) + 1
     assert got == want
+
+
+def test_order_fanout_dist_matches_counter():
+    from collections import Counter
+
+    from texel_ray.pipelines.relational import q_order_fanout_dist
+
+    out = q_order_fanout_dist(SF_DIR).to_pandas()
+    got = dict(zip(out.n_lines, out.n_orders))
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    per = Counter(li["l_orderkey"].to_pylist())
+    want = Counter(per.values())
+    assert got == dict(want)
+
+
+def test_user_day_percentiles_matches_numpy():
+    from texel_ray.pipelines.relational import q_user_day_percentiles
+
+    out = q_user_day_percentiles(SF_DIR).to_pandas().iloc[0]
+    ev = _events()
+    n = ev.groupby(["user_id", "day"]).size().to_numpy()
+    v = np.sort(n)
+    pick = lambda q: int(v[int(np.ceil(q * len(v))) - 1])  # noqa: E731
+    assert (
+        int(out.n_user_days),
+        int(out.p10),
+        int(out.p50),
+        int(out.p90),
+    ) == (len(v), pick(0.10), pick(0.50), pick(0.90))

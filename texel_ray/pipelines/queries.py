@@ -3870,6 +3870,8 @@ QUERIES = {
     "tpch_q5": relational.q_tpch_q5,
     "percent_of_parent_tiles": relational.q_percent_of_parent_tiles,
     "word_cooccurrence": mlprep.q_word_cooccurrence,
+    "order_fanout_dist": relational.q_order_fanout_dist,
+    "user_day_percentiles": relational.q_user_day_percentiles,
 }
 
 ORACLE_SQL = {
@@ -3981,6 +3983,8 @@ ORACLE_SQL = {
     "tpch_q5": relational.sql_tpch_q5(),
     "percent_of_parent_tiles": relational.sql_percent_of_parent_tiles(),
     "word_cooccurrence": mlprep.SQL_WORD_COOCCURRENCE,
+    "order_fanout_dist": relational.SQL_ORDER_FANOUT_DIST,
+    "user_day_percentiles": relational.SQL_USER_DAY_PERCENTILES,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

@@ -7600,3 +7600,100 @@ SELECT tile_x, tile_y, n,
             AS BIGINT) AS parent_n
 FROM t
 """
+
+
+def q_order_fanout_dist(sf_dir: str):
+    """JOIN-FANOUT DISTRIBUTION: histogram of lineitems-per-order (the
+    group-size distribution that sizes hash-join build sides and
+    predicts skew). Two combiners: per-order counts, then the count
+    histogram — the corpus folds to the order dimension then to the
+    distinct-size dimension.
+
+    Shape at 100 TB: both exchanges skinny; output bounded by the max
+    fanout."""
+    from ..stages.agg import partial_sum_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per_order = partial_sum_groupby(
+        li, ["l_orderkey"], [], count_alias="n_lines", coalesce=8
+    )
+    return partial_sum_groupby(
+        per_order.select_columns(["n_lines"]),
+        ["n_lines"],
+        [],
+        count_alias="n_orders",
+        coalesce=2,
+    )
+
+
+SQL_ORDER_FANOUT_DIST = """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders FROM c GROUP BY 1
+"""
+
+
+def q_user_day_percentiles(sf_dir: str):
+    """ACTIVITY-RATE PERCENTILES: p10/p50/p90 of events per active
+    user-day (the engagement-distribution summary behind rate limits
+    and capacity planning). Exact discrete quantiles (ceil selection).
+
+    Shape at 100 TB: a (user, day) count combiner folds the corpus to
+    active user-days, a second combiner folds THAT to its distinct-
+    count histogram (bounded by the max daily rate), and the selection
+    runs on the tiny histogram."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {"user_id": batch["user_id"], "day": pa.array(day, pa.int64())}
+        )
+
+    per_ud = partial_sum_groupby(
+        ds.map_batches(skinnify, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "day"],
+        [],
+        count_alias="n",
+        coalesce=8,
+    )
+    hist = partial_sum_groupby(
+        per_ud.select_columns(["n"]), ["n"], [], count_alias="cnt", coalesce=2
+    ).to_pandas()  # distinct-daily-rate dimension (bounded)
+    hist = hist.sort_values("n")
+    cum = hist["cnt"].to_numpy().cumsum()
+    total = int(cum[-1])
+    v = hist["n"].to_numpy()
+    out = {}
+    for name, q in (("p10", 0.10), ("p50", 0.50), ("p90", 0.90)):
+        out[name] = int(v[np.searchsorted(cum, int(np.ceil(q * total)))])
+    return pa.table(
+        {
+            "n_user_days": pa.array([total], pa.int64()),
+            "p10": pa.array([out["p10"]], pa.int64()),
+            "p50": pa.array([out["p50"]], pa.int64()),
+            "p90": pa.array([out["p90"]], pa.int64()),
+        }
+    )
+
+
+SQL_USER_DAY_PERCENTILES = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_user_days,
+       quantile_disc(n, 0.10) AS p10,
+       quantile_disc(n, 0.50) AS p50,
+       quantile_disc(n, 0.90) AS p90
+FROM c
+"""
