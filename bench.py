@@ -283,6 +283,8 @@ def run_benchmarks() -> dict:
     timed("word_cooccurrence", lambda: mlprep.q_word_cooccurrence(SF_DIR))
     timed("order_fanout_dist", lambda: relational.q_order_fanout_dist(SF_DIR))
     timed("user_day_percentiles", lambda: relational.q_user_day_percentiles(SF_DIR), consume=None)
+    timed("path_motifs", lambda: relational.q_path_motifs(SF_DIR))
+    timed("bucket_skew_report", lambda: relational.q_bucket_skew_report(SF_DIR))
 
     def _shuffle():
         import pyarrow as _pa

@@ -496,3 +496,33 @@ def test_user_day_percentiles_matches_numpy():
         int(out.p50),
         int(out.p90),
     ) == (len(v), pick(0.10), pick(0.50), pick(0.90))
+
+
+def test_path_motifs_matches_per_user_scan():
+    from collections import Counter
+
+    from texel_ray.pipelines.relational import q_path_motifs
+
+    out = q_path_motifs(SF_DIR).to_pandas()
+    ev = _events().sort_values(["user_id", "ts_us", "event_id"])
+    cnt = Counter()
+    for _, g in ev.groupby("user_id"):
+        t = g.event_type.tolist()
+        for i in range(len(t) - 2):
+            cnt[(t[i], t[i + 1], t[i + 2])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r.t1, r.t2, r.t3), int(r.n)) for r in out.itertuples()]
+    assert got == want
+
+
+def test_bucket_skew_report_matches_fold_hash():
+    from collections import Counter
+
+    from texel_ray.pipelines.relational import _fold_hash, q_bucket_skew_report
+
+    out = q_bucket_skew_report(SF_DIR).to_pandas()
+    got = dict(zip(out.bucket, out.n))
+    ev = _events()
+    b = _fold_hash(ev.user_id.to_numpy(), 512)
+    want = dict(Counter(b.tolist()))
+    assert got == want

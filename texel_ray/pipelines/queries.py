@@ -3872,6 +3872,8 @@ QUERIES = {
     "word_cooccurrence": mlprep.q_word_cooccurrence,
     "order_fanout_dist": relational.q_order_fanout_dist,
     "user_day_percentiles": relational.q_user_day_percentiles,
+    "path_motifs": relational.q_path_motifs,
+    "bucket_skew_report": relational.q_bucket_skew_report,
 }
 
 ORACLE_SQL = {
@@ -3985,6 +3987,8 @@ ORACLE_SQL = {
     "word_cooccurrence": mlprep.SQL_WORD_COOCCURRENCE,
     "order_fanout_dist": relational.SQL_ORDER_FANOUT_DIST,
     "user_day_percentiles": relational.SQL_USER_DAY_PERCENTILES,
+    "path_motifs": relational.sql_path_motifs(),
+    "bucket_skew_report": relational.SQL_BUCKET_SKEW_REPORT,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),

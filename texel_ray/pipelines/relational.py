@@ -7697,3 +7697,108 @@ SELECT CAST(count(*) AS BIGINT) AS n_user_days,
        quantile_disc(n, 0.90) AS p90
 FROM c
 """
+
+
+def q_path_motifs(sf_dir: str, k: int = 20):
+    """TOP-K BEHAVIORAL PATH MOTIFS: the most common consecutive
+    event-type TRIGRAMS per user stream (the 3-step journey patterns
+    behind funnel design) — counts exact, top-k by (n DESC, path ASC).
+
+    Shape at 100 TB: 512-way user superbucket, ONE sort per bucket and
+    a fully vectorized prev/mid/next triple masked at user boundaries
+    (the bigram kernel extended one step); (t1,t2,t3) partials -> tiny
+    combiner -> deterministic top-k."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def skinnify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    skinny = ds.map_batches(
+        skinnify, batch_format="pyarrow", batch_size=16384
+    ).map_batches(_add_user_bucket, batch_format="pyarrow")
+
+    def trigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        if len(uid) < 3:
+            return pd.DataFrame(
+                {"t1": [], "t2": [], "t3": [], "n_partial": []}
+            ).astype({"t1": object, "t2": object, "t3": object, "n_partial": np.int64})
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        df = pd.DataFrame(
+            {"t1": typ[:-2][same], "t2": typ[1:-1][same], "t3": typ[2:][same]}
+        )
+        return (
+            df.groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+
+    parts = skinny.groupby("__ub").map_groups(trigrams, batch_format="pandas")
+    agg = partial_sum_groupby(parts, ["t1", "t2", "t3"], ["n_partial"], coalesce=2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["t1", "t2", "t3", "n"])
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["n", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
+def sql_path_motifs(k: int = 20) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+), t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3,
+         user_id,
+         lead(user_id, 2) OVER (ORDER BY user_id, ts_us, event_id) AS u3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {k}
+"""
+
+
+def q_bucket_skew_report(sf_dir: str, buckets: int = 512):
+    """SHUFFLE-SKEW AUDIT of the engine's own 512-way user superbucket:
+    row count per fold-hash bucket — the introspection report that
+    validates the superbucket family's even-work assumption (hot
+    buckets here would mean hot tasks in every superbucketed
+    operator). Output: per-bucket counts (bounded by `buckets`).
+
+    Shape at 100 TB: ONE stateless combiner on the bucket key."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    skinny = ds.map_batches(_add_user_bucket, batch_format="pyarrow")
+    return partial_sum_groupby(
+        skinny.select_columns(["__ub"]), ["__ub"], [], count_alias="n", coalesce=4
+    ).map_batches(
+        lambda b: b.rename_columns(["bucket", "n"]), batch_format="pyarrow"
+    )
+
+
+SQL_BUCKET_SKEW_REPORT = """
+SELECT ((user_id & 2147483647) * 2654435761) % 512 AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
