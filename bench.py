@@ -285,6 +285,7 @@ def run_benchmarks() -> dict:
     timed("user_day_percentiles", lambda: relational.q_user_day_percentiles(SF_DIR), consume=None)
     timed("path_motifs", lambda: relational.q_path_motifs(SF_DIR))
     timed("bucket_skew_report", lambda: relational.q_bucket_skew_report(SF_DIR))
+    timed("embedding_norm_outliers", lambda: mlprep.q_embedding_norm_outliers(SF_DIR), consume=None)
 
     def _shuffle():
         import pyarrow as _pa

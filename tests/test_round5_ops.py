@@ -526,3 +526,25 @@ def test_bucket_skew_report_matches_fold_hash():
     b = _fold_hash(ev.user_id.to_numpy(), 512)
     want = dict(Counter(b.tolist()))
     assert got == want
+
+
+def test_embedding_norm_outliers_matches_numpy():
+    from texel_ray.pipelines.mlprep import q_embedding_norm_outliers
+
+    out = q_embedding_norm_outliers(SF_DIR).to_pandas().iloc[0]
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    flat = np.asarray(emb["embedding"].combine_chunks().flatten(), np.float64)
+    m = np.floor(flat.reshape(-1, 64) * 1_000_000.0).astype(np.int64)
+    n2 = np.sort((m * m).sum(axis=1))
+    q1 = int(n2[int(np.ceil(0.25 * len(n2))) - 1])
+    q3 = int(n2[int(np.ceil(0.75 * len(n2))) - 1])
+    iqr = q3 - q1
+    n_out = int(
+        ((2 * n2 < 2 * q1 - 3 * iqr) | (2 * n2 > 2 * q3 + 3 * iqr)).sum()
+    )
+    assert (int(out.n), int(out.q1_norm2), int(out.q3_norm2), int(out.n_outliers)) == (
+        len(n2),
+        q1,
+        q3,
+        n_out,
+    )

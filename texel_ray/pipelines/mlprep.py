@@ -4737,3 +4737,74 @@ SELECT a.token AS word_a, b.token AS word_b,
 FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY 1, 2
 """
+
+
+def q_embedding_norm_outliers(sf_dir: str, dim: int = 64):
+    """VECTOR-NORM QUALITY GATE: per-embedding exact fixed-point squared
+    L2 norm (sum of floor(x*1e6)^2 — pure integer after the one widening
+    multiply, so DuckDB recomputes it bit-exactly), Tukey-fenced on the
+    exact discrete quartiles of the norm distribution. Degenerate or
+    exploded vectors (bad encoder batches) land outside the fences.
+    Output: one row (n, q1, q3, n_outliers).
+
+    Shape at 100 TB: norms are a map-only fold (vectors never shuffle);
+    the fence selection runs on the distinct-norm histogram (the
+    grouped_median pattern)."""
+    from ..stages.agg import partial_sum_groupby
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        m = np.floor(flat.reshape(len(batch), dim) * 1_000_000.0).astype(np.int64)
+        return pa.table({"norm2": pa.array((m * m).sum(axis=1))})
+
+    hist = partial_sum_groupby(
+        ds.map_batches(norms, batch_format="pyarrow", batch_size=4096),
+        ["norm2"],
+        [],
+        count_alias="cnt",
+        coalesce=4,
+    ).to_pandas()  # distinct-norm dimension
+    hist = hist.sort_values("norm2")
+    cum = hist["cnt"].to_numpy().cumsum()
+    total = int(cum[-1])
+    v = hist["norm2"].to_numpy()
+    q1 = int(v[np.searchsorted(cum, int(np.ceil(0.25 * total)))])
+    q3 = int(v[np.searchsorted(cum, int(np.ceil(0.75 * total)))])
+    iqr = q3 - q1
+    out_mask = (2 * v < 2 * q1 - 3 * iqr) | (2 * v > 2 * q3 + 3 * iqr)
+    n_out = int(hist["cnt"].to_numpy()[out_mask].sum())
+    return pa.table(
+        {
+            "n": pa.array([total], pa.int64()),
+            "q1_norm2": pa.array([q1], pa.int64()),
+            "q3_norm2": pa.array([q3], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
+        }
+    )
+
+
+SQL_EMBEDDING_NORM_OUTLIERS = """
+WITH n AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+           AS BIGINT) AS norm2
+  FROM embeddings
+), q AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         quantile_disc(norm2, 0.25) AS q1_norm2,
+         quantile_disc(norm2, 0.75) AS q3_norm2
+  FROM n
+)
+SELECT q.n, q.q1_norm2, q.q3_norm2,
+       CAST(count(*) FILTER (
+         2 * n.norm2 < 2 * q1_norm2 - 3 * (q3_norm2 - q1_norm2)
+         OR 2 * n.norm2 > 2 * q3_norm2 + 3 * (q3_norm2 - q1_norm2)
+       ) AS BIGINT) AS n_outliers
+FROM q, n
+GROUP BY 1, 2, 3
+"""

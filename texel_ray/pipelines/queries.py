@@ -3874,6 +3874,7 @@ QUERIES = {
     "user_day_percentiles": relational.q_user_day_percentiles,
     "path_motifs": relational.q_path_motifs,
     "bucket_skew_report": relational.q_bucket_skew_report,
+    "embedding_norm_outliers": mlprep.q_embedding_norm_outliers,
 }
 
 ORACLE_SQL = {
@@ -3989,6 +3990,7 @@ ORACLE_SQL = {
     "user_day_percentiles": relational.SQL_USER_DAY_PERCENTILES,
     "path_motifs": relational.sql_path_motifs(),
     "bucket_skew_report": relational.SQL_BUCKET_SKEW_REPORT,
+    "embedding_norm_outliers": mlprep.SQL_EMBEDDING_NORM_OUTLIERS,
     "ripley_pairs": sql_ripley_pairs(),
     "bilinear_upsample": sql_bilinear_upsample(),
     "voronoi_assign": relational.sql_voronoi_assign(),
